@@ -1,0 +1,486 @@
+"""Quantized BERT for sequence classification, TPU-native.
+
+Re-designs the reference's ``QuantizedBertForSequenceClassification``
+(reference: models/quantized_bert.py) as a pure function over a parameter
+pytree plus threaded quantization state. The *site inventory* is reproduced
+exactly — explicit activation quantizers at every non-layer tensor:
+
+- embeddings two-stage sum quantization: word+token_type, then +position
+  (quantized_bert.py:52-53, 78-88)
+- attention scores quantized *before* the 1/sqrt(d) factor — the factor is
+  absorbed into the next quantizer's scale (quantized_bert.py:189-198)
+- attention probabilities post-softmax, context after head merge
+  (quantized_bert.py:116-118, 154, 198, 213)
+- residual-sum quantizers before each LayerNorm in self-output and FFN
+  output (quantized_bert.py:233-245, 259-277)
+- FFN intermediate dense with fused GELU (quantized_bert.py:283-291),
+  pooler dense with fused Tanh (quantized_bert.py:374-389)
+- classifier head ``quant_setup`` in {all, FP_logits, MSE_logits}
+  (quantized_bert.py:526-555); STS-B regression clamps logits to [0, 5]
+  (quantized_bert.py:599-600)
+- 2-bit-embedding override ``Et`` switches the word-embedding weight range
+  estimator to MSE/golden-section (quantized_bert.py:32-36)
+
+It also reproduces the model-specific ``quant_dict`` key language
+(main.py:443-498) and the per-token / per-embedding / per-group activation
+quantization wiring (main.py:358-440).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from transformer_quantization_tpu.ops.layers import (
+    dropout,
+    quant_embedding,
+    quant_layernorm,
+    quant_linear,
+)
+from transformer_quantization_tpu.quant.manager import QuantCtx
+from transformer_quantization_tpu.quant.qconfig import (
+    QuantConfigBuilder,
+    QuantDefaults,
+    QuantModelConfig,
+    QuantMode,
+    apply_quant_dict,
+)
+from transformer_quantization_tpu.quant.ranges import OptMethod, RangeMethod
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    """Model hyperparameters (HF ``BertConfig`` subset)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    layer_norm_eps: float = 1e-12
+    num_labels: int = 2
+    initializer_range: float = 0.02
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def _linear_init(rng, n_out, n_in, std):
+    kw, _ = jax.random.split(rng)
+    return {
+        "kernel": (std * jax.random.normal(kw, (n_out, n_in))).astype(jnp.float32),
+        "bias": jnp.zeros((n_out,), jnp.float32),
+    }
+
+
+def _ln_init(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_bert_params(rng: jax.Array, cfg: BertConfig) -> Dict:
+    """Random initialization matching HF BERT (normal(0, initializer_range)).
+
+    Kernels are stored ``(out, in)`` — the torch convention — so per-channel
+    weight quantization reduces over dim 0 exactly like the reference.
+    """
+    std = cfg.initializer_range
+    keys = jax.random.split(rng, 8 + cfg.num_hidden_layers)
+
+    def emb(k, n, d):
+        return (std * jax.random.normal(k, (n, d))).astype(jnp.float32)
+
+    params = {
+        "embeddings": {
+            "word": emb(keys[0], cfg.vocab_size, cfg.hidden_size),
+            "position": emb(keys[1], cfg.max_position_embeddings,
+                            cfg.hidden_size),
+            "token_type": emb(keys[2], cfg.type_vocab_size, cfg.hidden_size),
+            "ln": _ln_init(cfg.hidden_size),
+        },
+        "layers": [],
+        "pooler": _linear_init(keys[3], cfg.hidden_size, cfg.hidden_size, std),
+        "classifier": _linear_init(keys[4], cfg.num_labels, cfg.hidden_size,
+                                   std),
+    }
+    h, m = cfg.hidden_size, cfg.intermediate_size
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[8 + i], 6)
+        params["layers"].append({
+            "attn": {
+                "q": _linear_init(ks[0], h, h, std),
+                "k": _linear_init(ks[1], h, h, std),
+                "v": _linear_init(ks[2], h, h, std),
+            },
+            "attn_out": {
+                "dense": _linear_init(ks[3], h, h, std),
+                "ln": _ln_init(h),
+            },
+            "ffn": {
+                "inter": _linear_init(ks[4], m, h, std),
+                "dense": _linear_init(ks[5], h, m, std),
+                "ln": _ln_init(h),
+            },
+        })
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Quant site inventory (models/quantized_bert.py site-for-site)
+# ---------------------------------------------------------------------------
+
+
+def declare_bert_sites(defaults: QuantDefaults, cfg: BertConfig,
+                       quant_setup: str = "all",
+                       quant_dict: Optional[Mapping] = None) -> QuantModelConfig:
+    """Declare every weight/activation quantizer of QuantizedBert.
+
+    ``quant_setup``: 'all' | 'FP_logits' | 'MSE_logits'
+    (quantized_bert.py:526-555). ``quant_dict`` is consulted only for the
+    ``Et`` estimator switch (quantized_bert.py:32-36); apply value overrides
+    afterwards with :func:`apply_bert_quant_dict`.
+    """
+    quant_dict = quant_dict or {}
+    b = QuantConfigBuilder(defaults)
+
+    # Embeddings
+    et_over = ({"range_method": RangeMethod.MSE,
+                "opt_method": OptMethod.golden_section}
+               if "Et" in quant_dict else {})
+    b.weight("emb.word.w", **et_over)
+    b.weight("emb.position.w")
+    b.weight("emb.token_type.w")
+    b.act("emb.sum_tt")
+    b.act("emb.sum_pos")
+    b.weight("emb.ln.w")
+    b.act("emb.ln.out")
+
+    for i in range(cfg.num_hidden_layers):
+        p = f"L{i}."
+        for lin in ("attn.q", "attn.k", "attn.v"):
+            b.weight(p + lin + ".w")
+            b.act(p + lin + ".out")
+        b.act(p + "attn.scores")
+        b.act(p + "attn.probs")
+        b.act(p + "attn.context")
+        b.weight(p + "attn_out.dense.w")
+        b.act(p + "attn_out.dense.out")
+        b.act(p + "attn_out.res")
+        b.weight(p + "attn_out.ln.w")
+        b.act(p + "attn_out.ln.out")
+        b.weight(p + "ffn.inter.w")
+        b.act(p + "ffn.inter.out")
+        b.weight(p + "ffn.dense.w")
+        b.act(p + "ffn.dense.out")
+        b.act(p + "ffn.res")
+        b.weight(p + "ffn.ln.w")
+        b.act(p + "ffn.ln.out")
+
+    b.weight("pooler.dense.w")
+    b.act("pooler.dense.out")
+    b.weight("classifier.w")
+    if quant_setup == "MSE_logits":
+        b.act("classifier.out", range_method=RangeMethod.MSE,
+              opt_method=OptMethod.golden_section)
+    elif quant_setup == "FP_logits":
+        b.act("classifier.out", enabled=False)
+    elif quant_setup == "all":
+        b.act("classifier.out")
+    else:
+        raise ValueError(f"Quantization setup '{quant_setup}' not supported.")
+    return b.build()
+
+
+def _layer_act_sites(i: int) -> Tuple[str, ...]:
+    """All activation sites inside encoder layer ``i`` (for 'L' keys)."""
+    p = f"L{i}."
+    return tuple(p + s for s in (
+        "attn.q.out", "attn.k.out", "attn.v.out", "attn.scores", "attn.probs",
+        "attn.context", "attn_out.dense.out", "attn_out.res",
+        "attn_out.ln.out", "ffn.inter.out", "ffn.dense.out", "ffn.res",
+        "ffn.ln.out"))
+
+
+def apply_bert_quant_dict(qcfg: QuantModelConfig, quant_dict: Mapping,
+                          n_layers: int) -> QuantModelConfig:
+    """Apply the BERT ``quant_dict`` key language (main.py:443-498).
+
+    Keys are applied in the reference's canonical order — embeddings, then
+    per-layer letters before their global counterparts, then layer-wide
+    ``L`` keys, then head keys — so a global key overrides a per-layer key
+    exactly as the sequential hijack calls do in the reference.
+
+    Note: the reference routes ``wP`` through the *activation* hijack
+    (main.py:494 calls hijack_act_quant) — a bug; here ``wP`` addresses the
+    pooler's weight quantizer as the name intends.
+    """
+    letter_site = {
+        "s": "attn.scores", "p": "attn.probs", "c": "attn.context",
+        "g": "attn_out.dense.out", "u": "attn_out.res", "x": "attn_out.ln.out",
+        "h": "ffn.dense.out", "y": "ffn.res", "z": "ffn.ln.out",
+    }
+    ordered: List[Tuple[str, Tuple[str, ...]]] = [
+        ("e", ("emb.sum_tt", "emb.sum_pos")),
+        ("Et", ("emb.word.w",)),
+    ]
+    for i in range(n_layers):
+        for letter, site in letter_site.items():
+            ordered.append((f"{letter}{i}", (f"L{i}.{site}",)))
+            ordered.append((letter, (f"L{i}.{site}",)))
+        ordered.append((f"L{i}", _layer_act_sites(i)))
+        ordered.append(("L", _layer_act_sites(i)))
+    ordered += [
+        ("P", ("pooler.dense.out",)),
+        ("C", ("classifier.out",)),
+        ("wP", ("pooler.dense.w",)),
+        ("wC", ("classifier.w",)),
+    ]
+    known = {k for k, _ in ordered}
+    unknown = set(quant_dict) - known
+    if unknown:
+        raise KeyError(f"unknown quant_dict keys: {sorted(unknown)}")
+    for key, sites in ordered:
+        if key in quant_dict:
+            qcfg = apply_quant_dict(qcfg, {key: quant_dict[key]},
+                                    {key: sites})
+    return qcfg
+
+
+def apply_peg_wiring(qcfg: QuantModelConfig, n_layers: int,
+                     per_token: bool = False, per_embd: bool = False,
+                     per_groups: Optional[int] = None,
+                     permute: bool = False) -> QuantModelConfig:
+    """Per-token / per-embedding / per-group activation quantization wiring.
+
+    Reproduces main.py:358-440: ``axis=2`` for per-embedding/per-group on
+    (B, T, d) sites, ``axis=1`` for per-token; applied to the embedding sums
+    + LayerNorm, and per layer to q/k/v outputs, context, self-output dense/
+    residual/LN, and FFN-output dense/residual/LN. The pooler (B, d) gets
+    ``axis=1`` only in per-embedding mode (main.py:436-440).
+    """
+    base_axis = 2 if (per_embd or per_groups) else 1
+    if not (per_token or per_embd or per_groups):
+        return qcfg
+    changes = {"axis": base_axis, "n_groups": per_groups, "permute": permute}
+    sites = ["emb.sum_tt", "emb.sum_pos", "emb.ln.out"]
+    for i in range(n_layers):
+        p = f"L{i}."
+        sites += [p + s for s in (
+            "attn.q.out", "attn.k.out", "attn.v.out", "attn.context",
+            "attn_out.dense.out", "attn_out.res", "attn_out.ln.out",
+            "ffn.dense.out", "ffn.res", "ffn.ln.out")]
+    qcfg = qcfg.replace_sites({s: dict(changes) for s in sites})
+    if per_embd:
+        qcfg = qcfg.replace_site("pooler.dense.out", axis=1,
+                                 n_groups=per_groups, permute=permute)
+    return qcfg
+
+
+def shared_permutation_groups(n_layers: int) -> List[Tuple[str, Tuple[str, ...]]]:
+    """(source, targets) per layer for ``--per-groups-permute-shared-h``:
+    every permuted site in a layer reuses the FFN-output dense ranges
+    (main.py:539-557, where the source is the site named 'dense')."""
+    out = []
+    for i in range(n_layers):
+        p = f"L{i}."
+        targets = tuple(p + s for s in (
+            "attn.q.out", "attn.k.out", "attn.v.out", "attn.context",
+            "attn_out.dense.out", "attn_out.res", "attn_out.ln.out",
+            "ffn.dense.out", "ffn.res", "ffn.ln.out"))
+        out.append((p + "ffn.dense.out", targets))
+    return out
+
+
+def bert_weight_site_tensors(params: Dict) -> Dict[str, Array]:
+    """Map weight-site names to their tensors (for range initialization)."""
+    out = {
+        "emb.word.w": params["embeddings"]["word"],
+        "emb.position.w": params["embeddings"]["position"],
+        "emb.token_type.w": params["embeddings"]["token_type"],
+        "emb.ln.w": params["embeddings"]["ln"]["scale"],
+        "pooler.dense.w": params["pooler"]["kernel"],
+        "classifier.w": params["classifier"]["kernel"],
+    }
+    for i, layer in enumerate(params["layers"]):
+        p = f"L{i}."
+        out[p + "attn.q.w"] = layer["attn"]["q"]["kernel"]
+        out[p + "attn.k.w"] = layer["attn"]["k"]["kernel"]
+        out[p + "attn.v.w"] = layer["attn"]["v"]["kernel"]
+        out[p + "attn_out.dense.w"] = layer["attn_out"]["dense"]["kernel"]
+        out[p + "attn_out.ln.w"] = layer["attn_out"]["ln"]["scale"]
+        out[p + "ffn.inter.w"] = layer["ffn"]["inter"]["kernel"]
+        out[p + "ffn.dense.w"] = layer["ffn"]["dense"]["kernel"]
+        out[p + "ffn.ln.w"] = layer["ffn"]["ln"]["scale"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+
+def _embeddings(ctx, params, cfg: BertConfig, input_ids, token_type_ids,
+                position_ids, train, rng):
+    """Two-stage quantized embedding sum (quantized_bert.py:60-88)."""
+    e = params["embeddings"]
+    words = quant_embedding(ctx, "emb.word", input_ids, e["word"])
+    tok_types = quant_embedding(ctx, "emb.token_type", token_type_ids,
+                                e["token_type"])
+    h = words + tok_types
+    h = ctx.act("emb.sum_tt", h)
+    pos = quant_embedding(ctx, "emb.position", position_ids, e["position"])
+    h = h + pos
+    h = ctx.act("emb.sum_pos", h)
+    h = quant_layernorm(ctx, "emb.ln", h, e["ln"]["scale"], e["ln"]["bias"],
+                        cfg.layer_norm_eps)
+    return dropout(h, cfg.hidden_dropout_prob, rng, not train)
+
+
+def _self_attention(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train,
+                    rng):
+    """Quantized self-attention (quantized_bert.py:91-218)."""
+    B, T, H = h.shape
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+    a = layer["attn"]
+    q = quant_linear(ctx, prefix + "attn.q", h, a["q"]["kernel"], a["q"]["bias"])
+    k = quant_linear(ctx, prefix + "attn.k", h, a["k"]["kernel"], a["k"]["bias"])
+    v = quant_linear(ctx, prefix + "attn.v", h, a["v"]["kernel"], a["v"]["bias"])
+    q = q.reshape(B, T, nh, hd)
+    k = k.reshape(B, T, nh, hd)
+    v = v.reshape(B, T, nh, hd)
+
+    scores = jnp.einsum("bqnd,bknd->bnqk", q, k)
+    # quantize raw scores; 1/sqrt(d) is applied after and absorbed into the
+    # next quantizer's scale (quantized_bert.py:154, :189-190)
+    scores = ctx.act(prefix + "attn.scores", scores)
+    scores = scores / jnp.sqrt(jnp.asarray(hd, h.dtype))
+    if mask_bias is not None:
+        scores = scores + mask_bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = ctx.act(prefix + "attn.probs", probs)
+    probs = dropout(probs, cfg.attention_probs_dropout_prob, rng, not train)
+
+    context = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(B, T, H)
+    return ctx.act(prefix + "attn.context", context)
+
+
+def _layer(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train, rngs):
+    """One encoder layer (quantized_bert.py:221-372)."""
+    r0, r1, r2 = rngs if rngs is not None else (None, None, None)
+    context = _self_attention(ctx, layer, cfg, h, mask_bias, prefix, train, r0)
+
+    # self-output: dense -> dropout -> +residual -> quant -> LN
+    so = layer["attn_out"]
+    y = quant_linear(ctx, prefix + "attn_out.dense", context,
+                     so["dense"]["kernel"], so["dense"]["bias"])
+    y = dropout(y, cfg.hidden_dropout_prob, r1, not train)
+    y = y + h
+    y = ctx.act(prefix + "attn_out.res", y)
+    attn_out = quant_layernorm(ctx, prefix + "attn_out.ln", y,
+                               so["ln"]["scale"], so["ln"]["bias"],
+                               cfg.layer_norm_eps)
+
+    # FFN: dense+GELU fused -> dense -> dropout -> +residual -> quant -> LN
+    f = layer["ffn"]
+    inter = quant_linear(ctx, prefix + "ffn.inter", attn_out,
+                         f["inter"]["kernel"], f["inter"]["bias"],
+                         activation="gelu")
+    y = quant_linear(ctx, prefix + "ffn.dense", inter,
+                     f["dense"]["kernel"], f["dense"]["bias"])
+    y = dropout(y, cfg.hidden_dropout_prob, r2, not train)
+    y = y + attn_out
+    y = ctx.act(prefix + "ffn.res", y)
+    return quant_layernorm(ctx, prefix + "ffn.ln", y, f["ln"]["scale"],
+                           f["ln"]["bias"], cfg.layer_norm_eps)
+
+
+def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
+               qcfg: Optional[QuantModelConfig] = None,
+               qstate: Optional[Dict] = None,
+               mode: Optional[QuantMode] = None,
+               *, train: bool = False, dropout_rng: Optional[jax.Array] = None,
+               mse_session: Optional[Dict] = None,
+               capture_sites=None) -> Tuple[Dict, Dict]:
+    """Forward pass. Returns ``(outputs, new_qstate)``.
+
+    ``batch`` holds ``input_ids`` (B, T) plus optional ``attention_mask``,
+    ``token_type_ids``, ``position_ids``, ``labels``. With ``qcfg=None``
+    this is the FP32 baseline (main.py train/validate-baseline paths).
+    """
+    qcfg = qcfg if qcfg is not None else QuantModelConfig(())
+    mode = mode or QuantMode()
+    ctx = QuantCtx(qcfg, qstate or {}, mode, mse_session=mse_session)
+    if capture_sites:
+        ctx.capture_sites = set(capture_sites)
+
+    input_ids = batch["input_ids"]
+    B, T = input_ids.shape
+    attention_mask = batch.get("attention_mask")
+    token_type_ids = batch.get("token_type_ids")
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+    position_ids = batch.get("position_ids")
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(jnp.arange(T, dtype=input_ids.dtype),
+                                        (B, T))
+    mask_bias = None
+    if attention_mask is not None:
+        # HF-era extended attention mask: additive -10000 on padding
+        mask_bias = (1.0 - attention_mask[:, None, None, :].astype(
+            jnp.float32)) * -10000.0
+
+    if train and dropout_rng is not None:
+        n = 1 + 3 * cfg.num_hidden_layers + 1
+        rngs = list(jax.random.split(dropout_rng, n))
+    else:
+        rngs = None
+
+    h = _embeddings(ctx, params, cfg, input_ids, token_type_ids, position_ids,
+                    train, rngs[0] if rngs else None)
+    for i in range(cfg.num_hidden_layers):
+        layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
+        h = _layer(ctx, params["layers"][i], cfg, h, mask_bias, f"L{i}.",
+                   train, layer_rngs)
+
+    # pooler: first token -> dense+Tanh fused (quantized_bert.py:374-389)
+    pooled = quant_linear(ctx, "pooler.dense", h[:, 0],
+                          params["pooler"]["kernel"], params["pooler"]["bias"],
+                          activation="tanh")
+    pooled = dropout(pooled, cfg.hidden_dropout_prob,
+                     rngs[-1] if rngs else None, not train)
+    logits = quant_linear(ctx, "classifier", pooled,
+                          params["classifier"]["kernel"],
+                          params["classifier"]["bias"])
+    if cfg.num_labels == 1:
+        logits = jnp.clip(logits, 0.0, 5.0)  # STS-B (quantized_bert.py:599)
+
+    outputs = {"logits": logits, "pooled": pooled, "sequence_output": h}
+    labels = batch.get("labels")
+    if labels is not None:
+        if cfg.num_labels == 1:
+            outputs["loss"] = jnp.mean(
+                (logits.reshape(-1) - labels.reshape(-1).astype(jnp.float32))
+                ** 2)
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                                       axis=1)
+            outputs["loss"] = jnp.mean(nll)
+    if capture_sites:
+        outputs["captures"] = getattr(ctx, "captures", {})
+    return outputs, ctx.export()

@@ -1,0 +1,115 @@
+"""HuggingFace checkpoint ingestion (offline-capable).
+
+The reference wraps live HF ``nn.Module`` instances
+(reference: utils/hf_models.py:52-116, models/quantized_bert.py:525-560);
+here we ingest an HF checkpoint *directory* (config.json +
+pytorch_model.bin / model.safetensors) directly into a jnp parameter
+pytree — no torch module graph, no network. With no checkpoint available
+(this environment has zero egress), models initialize from config with
+random weights.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_quantization_tpu.models.bert import BertConfig
+
+
+def load_hf_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
+    """Read a local HF checkpoint into {name: np.ndarray}."""
+    st_path = os.path.join(model_dir, "model.safetensors")
+    pt_path = os.path.join(model_dir, "pytorch_model.bin")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file  # ships with transformers
+        return dict(load_file(st_path))
+    if os.path.exists(pt_path):
+        import torch  # CPU-only torch is available in this image
+        sd = torch.load(pt_path, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in sd.items()}
+    raise FileNotFoundError(f"no checkpoint found under {model_dir}")
+
+
+def load_bert_config(model_dir: str, num_labels: Optional[int] = None
+                     ) -> BertConfig:
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    return BertConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        intermediate_size=hf["intermediate_size"],
+        max_position_embeddings=hf["max_position_embeddings"],
+        type_vocab_size=hf.get("type_vocab_size", 2),
+        hidden_dropout_prob=hf.get("hidden_dropout_prob", 0.1),
+        attention_probs_dropout_prob=hf.get("attention_probs_dropout_prob",
+                                            0.1),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
+        num_labels=num_labels or len(hf.get("id2label", {0: 0, 1: 1})),
+    )
+
+
+def _lin(sd, prefix) -> Dict:
+    return {"kernel": jnp.asarray(sd[prefix + ".weight"]),
+            "bias": jnp.asarray(sd[prefix + ".bias"])}
+
+
+def _ln(sd, prefix) -> Dict:
+    return {"scale": jnp.asarray(sd[prefix + ".weight"]),
+            "bias": jnp.asarray(sd[prefix + ".bias"])}
+
+
+def bert_params_from_state_dict(sd: Dict[str, np.ndarray], cfg: BertConfig,
+                                backbone: str = "bert") -> Dict:
+    """Map HF BertForSequenceClassification names onto our pytree.
+
+    Kernels stay in the torch ``(out, in)`` layout — the forward contracts
+    accordingly — so per-channel quantization axes match the reference.
+    """
+    sd = {k[len("model."):] if k.startswith("model.") else k: v
+          for k, v in sd.items()}
+    e = f"{backbone}.embeddings"
+    params = {
+        "embeddings": {
+            "word": jnp.asarray(sd[f"{e}.word_embeddings.weight"]),
+            "position": jnp.asarray(sd[f"{e}.position_embeddings.weight"]),
+            "token_type": jnp.asarray(sd[f"{e}.token_type_embeddings.weight"]),
+            "ln": _ln(sd, f"{e}.LayerNorm"),
+        },
+        "layers": [],
+        "pooler": _lin(sd, f"{backbone}.pooler.dense"),
+        "classifier": _lin(sd, "classifier"),
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"{backbone}.encoder.layer.{i}"
+        params["layers"].append({
+            "attn": {
+                "q": _lin(sd, f"{p}.attention.self.query"),
+                "k": _lin(sd, f"{p}.attention.self.key"),
+                "v": _lin(sd, f"{p}.attention.self.value"),
+            },
+            "attn_out": {
+                "dense": _lin(sd, f"{p}.attention.output.dense"),
+                "ln": _ln(sd, f"{p}.attention.output.LayerNorm"),
+            },
+            "ffn": {
+                "inter": _lin(sd, f"{p}.intermediate.dense"),
+                "dense": _lin(sd, f"{p}.output.dense"),
+                "ln": _ln(sd, f"{p}.output.LayerNorm"),
+            },
+        })
+    return params
+
+
+def load_bert(model_dir: str, num_labels: Optional[int] = None
+              ) -> Tuple[BertConfig, Dict]:
+    """Load config + params from a local HF BERT checkpoint directory."""
+    cfg = load_bert_config(model_dir, num_labels)
+    sd = load_hf_state_dict(model_dir)
+    return cfg, bert_params_from_state_dict(sd, cfg)
