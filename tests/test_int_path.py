@@ -1,0 +1,156 @@
+"""Real-int execution path: parity with the fake-quant simulation.
+
+The reference has no integer kernels (all fake-quant, SURVEY.md fact 2);
+the int path is this framework's addition and must match the simulation's
+numerics (int32 accumulation is exact, so agreement should be tight).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_quantization_tpu.models import bert as B
+from transformer_quantization_tpu.ops import int_linear as IL
+from transformer_quantization_tpu.quant import quantizers as Q
+from transformer_quantization_tpu.quant.qconfig import QuantDefaults
+from transformer_quantization_tpu.quant.quantizers import QMethod
+from transformer_quantization_tpu.quant.ranges import RangeMethod
+from transformer_quantization_tpu.training.calibration import (
+    prepare_quantized_model,
+)
+
+CFG = B.BertConfig(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                   num_attention_heads=4, intermediate_size=64,
+                   max_position_embeddings=64, num_labels=2)
+
+
+def sym(bits):
+    return Q.QuantizerSpec(n_bits=bits, method=QMethod.symmetric_uniform)
+
+
+def asym(bits):
+    return Q.QuantizerSpec(n_bits=bits, method=QMethod.asymmetric_uniform)
+
+
+class TestIntLinear:
+    def test_int8_matches_fake_quant_linear(self):
+        rng = np.random.RandomState(0)
+        w = jnp.asarray(rng.normal(0, 0.1, (24, 16)), jnp.float32)
+        x = jnp.asarray(rng.normal(0, 1.0, (8, 16)), jnp.float32)
+        wspec, aspec = sym(8), asym(8)
+        wqp = Q.set_quant_range(wspec, jnp.min(w, 1), jnp.max(w, 1))
+        aqp = Q.set_quant_range(aspec, jnp.min(x), jnp.max(x))
+
+        x_fq = Q.fake_quant(aspec, aqp, x)
+        w_fq = Q.fake_quant(wspec, wqp, w, axis=0)
+        y_fake = x_fq @ w_fq.T
+
+        packed = IL.pack_weight_int8(wspec, wqp, w)
+        assert packed["w_int"].dtype == jnp.int8
+        x8, s, shift = IL.quantize_activation_int8(aspec, aqp, x_fq)
+        y_int = IL.int8_linear(x8, s, shift, packed, None)
+        np.testing.assert_allclose(np.asarray(y_int), np.asarray(y_fake),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_int4_pack_roundtrip(self):
+        rng = np.random.RandomState(1)
+        w = jnp.asarray(rng.normal(0, 0.1, (8, 16)), jnp.float32)
+        spec = sym(4)
+        qp = Q.set_quant_range(spec, jnp.min(w), jnp.max(w))
+        packed = IL.pack_weight_int4(spec, qp, w)
+        assert packed["w_packed"].dtype == jnp.uint8
+        assert packed["w_packed"].shape == (8, 8)  # two nibbles per byte
+        w_unpacked = IL.unpack_int4(packed["w_packed"], 16)
+        ref = IL.pack_weight_int8(spec, qp, w)["w_int"]
+        np.testing.assert_array_equal(np.asarray(w_unpacked), np.asarray(ref))
+
+    def test_int4_linear_matches_fake(self):
+        rng = np.random.RandomState(2)
+        w = jnp.asarray(rng.normal(0, 0.1, (24, 16)), jnp.float32)
+        x = jnp.asarray(rng.normal(0, 1.0, (8, 16)), jnp.float32)
+        wspec, aspec = sym(4), asym(8)
+        wqp = Q.set_quant_range(wspec, jnp.min(w, 1), jnp.max(w, 1))
+        aqp = Q.set_quant_range(aspec, jnp.min(x), jnp.max(x))
+        y_fake = Q.fake_quant(aspec, aqp, x) @ Q.fake_quant(
+            wspec, wqp, w, axis=0).T
+        packed = IL.pack_weight_int4(wspec, wqp, w)
+        x8, s, shift = IL.quantize_activation_int8(
+            aspec, aqp, Q.fake_quant(aspec, aqp, x))
+        y_int = IL.int8_linear(x8, s, shift, packed, None)
+        np.testing.assert_allclose(np.asarray(y_int), np.asarray(y_fake),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_embedding_pack(self):
+        rng = np.random.RandomState(3)
+        t = jnp.asarray(rng.normal(0, 0.05, (32, 8)), jnp.float32)
+        spec = sym(8)
+        qp = Q.set_quant_range(spec, jnp.min(t), jnp.max(t))
+        packed = IL.pack_embedding_int8(spec, qp, t)
+        ids = jnp.asarray([0, 5, 31])
+        got = IL.int8_embedding_lookup(ids, packed)
+        want = jnp.take(Q.fake_quant(spec, qp, t), ids, axis=0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestIntBert:
+    def test_engine_parity_with_fake_path(self):
+        params = B.init_bert_params(jax.random.PRNGKey(0), CFG)
+        d = QuantDefaults(method=QMethod.symmetric_uniform,
+                          act_method=QMethod.asymmetric_uniform, n_bits=8,
+                          weight_range_method=RangeMethod.current_minmax,
+                          act_range_method=RangeMethod.current_minmax)
+        qcfg = B.declare_bert_sites(d, CFG)
+        rng = np.random.RandomState(4)
+        batch = {
+            "input_ids": jnp.asarray(rng.randint(0, CFG.vocab_size, (4, 16))),
+            "attention_mask": jnp.ones((4, 16), jnp.float32),
+            "token_type_ids": jnp.zeros((4, 16), jnp.int32),
+        }
+        apply_fn = functools.partial(B.bert_apply, cfg=CFG)
+        qstate, mode = prepare_quantized_model(
+            apply_fn, params, qcfg, [batch],
+            weight_tensors=B.bert_weight_site_tensors(params))
+
+        int_params = B.build_bert_int_params(params, qcfg, qstate)
+        # the 6 matmul sites per layer + 3 embedding tables + pooler + clf
+        assert len(int_params) == 6 * CFG.num_hidden_layers + 5
+
+        out_fake, _ = B.bert_apply(params, batch, CFG, qcfg, qstate, mode)
+        out_int, _ = B.bert_apply(params, batch, CFG, qcfg, qstate, mode,
+                                  int_params=int_params)
+        np.testing.assert_allclose(np.asarray(out_int["logits"]),
+                                   np.asarray(out_fake["logits"]),
+                                   rtol=1e-3, atol=1e-4)
+        seq_err = float(jnp.max(jnp.abs(out_int["sequence_output"]
+                                        - out_fake["sequence_output"])))
+        assert seq_err < 1e-2, seq_err
+
+    def test_engine_jits(self):
+        params = B.init_bert_params(jax.random.PRNGKey(0), CFG)
+        d = QuantDefaults(method=QMethod.symmetric_uniform,
+                          act_method=QMethod.asymmetric_uniform, n_bits=8,
+                          weight_range_method=RangeMethod.current_minmax,
+                          act_range_method=RangeMethod.current_minmax)
+        qcfg = B.declare_bert_sites(d, CFG)
+        rng = np.random.RandomState(5)
+        batch = {
+            "input_ids": jnp.asarray(rng.randint(0, CFG.vocab_size, (2, 8))),
+            "attention_mask": jnp.ones((2, 8), jnp.float32),
+        }
+        apply_fn = functools.partial(B.bert_apply, cfg=CFG)
+        qstate, mode = prepare_quantized_model(
+            apply_fn, params, qcfg, [batch],
+            weight_tensors=B.bert_weight_site_tensors(params))
+        int_params = B.build_bert_int_params(params, qcfg, qstate)
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def step(batch, qstate, mode):
+            out, _ = B.bert_apply(params, batch, CFG, qcfg, qstate, mode,
+                                  int_params=int_params)
+            return out["logits"]
+
+        logits = step(batch, qstate, mode)
+        assert np.all(np.isfinite(np.asarray(logits)))

@@ -306,6 +306,40 @@ def shared_permutation_groups(n_layers: int) -> List[Tuple[str, Tuple[str, ...]]
     return out
 
 
+def build_bert_int_params(params: Dict, qcfg: QuantModelConfig,
+                          qstate: Mapping, use_int4: bool = False) -> Dict:
+    """Pack BERT's linear kernels and embedding tables into real int payloads.
+
+    Converts the calibrated fake-quant state into int8 (or packed-int4)
+    weight storage for the MXU execution path (ops/int_linear.py). LayerNorm
+    gammas stay in the fake-quant path (element-wise, not matmul-bound).
+    Sites whose weight spec is asymmetric or >8 bits are skipped and fall
+    back to fake quantization transparently.
+    """
+    from transformer_quantization_tpu.ops import int_linear as IL
+
+    tensors = bert_weight_site_tensors(params)
+    out: Dict = {}
+    for wname, w in tensors.items():
+        if wname.endswith("ln.w") or wname not in qcfg:
+            continue
+        site_cfg = qcfg[wname]
+        if not site_cfg.enabled or not IL.can_pack_weight(site_cfg.spec):
+            continue
+        if wname not in qstate:
+            continue
+        qp = qstate[wname]["qp"]
+        alpha = qstate[wname].get("alpha")
+        name = wname[:-len(".w")]
+        if name.startswith("emb."):
+            out[name] = IL.pack_embedding_int8(site_cfg.spec, qp, w)
+        elif use_int4 and site_cfg.spec.n_bits == 4 and alpha is None:
+            out[name] = IL.pack_weight_int4(site_cfg.spec, qp, w)
+        else:
+            out[name] = IL.pack_weight_int8(site_cfg.spec, qp, w, alpha=alpha)
+    return out
+
+
 def bert_weight_site_tensors(params: Dict) -> Dict[str, Array]:
     """Map weight-site names to their tensors (for range initialization)."""
     out = {
@@ -352,14 +386,17 @@ def _embeddings(ctx, params, cfg: BertConfig, input_ids, token_type_ids,
 
 
 def _self_attention(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train,
-                    rng):
+                    rng, h_site=None):
     """Quantized self-attention (quantized_bert.py:91-218)."""
     B, T, H = h.shape
     nh, hd = cfg.num_attention_heads, cfg.head_dim
     a = layer["attn"]
-    q = quant_linear(ctx, prefix + "attn.q", h, a["q"]["kernel"], a["q"]["bias"])
-    k = quant_linear(ctx, prefix + "attn.k", h, a["k"]["kernel"], a["k"]["bias"])
-    v = quant_linear(ctx, prefix + "attn.v", h, a["v"]["kernel"], a["v"]["bias"])
+    q = quant_linear(ctx, prefix + "attn.q", h, a["q"]["kernel"], a["q"]["bias"],
+                     input_site=h_site)
+    k = quant_linear(ctx, prefix + "attn.k", h, a["k"]["kernel"], a["k"]["bias"],
+                     input_site=h_site)
+    v = quant_linear(ctx, prefix + "attn.v", h, a["v"]["kernel"], a["v"]["bias"],
+                     input_site=h_site)
     q = q.reshape(B, T, nh, hd)
     k = k.reshape(B, T, nh, hd)
     v = v.reshape(B, T, nh, hd)
@@ -379,15 +416,18 @@ def _self_attention(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train,
     return ctx.act(prefix + "attn.context", context)
 
 
-def _layer(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train, rngs):
+def _layer(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train, rngs,
+           h_site=None):
     """One encoder layer (quantized_bert.py:221-372)."""
     r0, r1, r2 = rngs if rngs is not None else (None, None, None)
-    context = _self_attention(ctx, layer, cfg, h, mask_bias, prefix, train, r0)
+    context = _self_attention(ctx, layer, cfg, h, mask_bias, prefix, train, r0,
+                              h_site=h_site)
 
     # self-output: dense -> dropout -> +residual -> quant -> LN
     so = layer["attn_out"]
     y = quant_linear(ctx, prefix + "attn_out.dense", context,
-                     so["dense"]["kernel"], so["dense"]["bias"])
+                     so["dense"]["kernel"], so["dense"]["bias"],
+                     input_site=prefix + "attn.context")
     y = dropout(y, cfg.hidden_dropout_prob, r1, not train)
     y = y + h
     y = ctx.act(prefix + "attn_out.res", y)
@@ -399,9 +439,11 @@ def _layer(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train, rngs):
     f = layer["ffn"]
     inter = quant_linear(ctx, prefix + "ffn.inter", attn_out,
                          f["inter"]["kernel"], f["inter"]["bias"],
-                         activation="gelu")
+                         activation="gelu",
+                         input_site=prefix + "attn_out.ln.out")
     y = quant_linear(ctx, prefix + "ffn.dense", inter,
-                     f["dense"]["kernel"], f["dense"]["bias"])
+                     f["dense"]["kernel"], f["dense"]["bias"],
+                     input_site=prefix + "ffn.inter.out")
     y = dropout(y, cfg.hidden_dropout_prob, r2, not train)
     y = y + attn_out
     y = ctx.act(prefix + "ffn.res", y)
@@ -415,6 +457,7 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                mode: Optional[QuantMode] = None,
                *, train: bool = False, dropout_rng: Optional[jax.Array] = None,
                mse_session: Optional[Dict] = None,
+               int_params: Optional[Dict] = None,
                capture_sites=None) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``.
 
@@ -425,6 +468,8 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
     qcfg = qcfg if qcfg is not None else QuantModelConfig(())
     mode = mode or QuantMode()
     ctx = QuantCtx(qcfg, qstate or {}, mode, mse_session=mse_session)
+    if int_params:
+        ctx.int_params = int_params
     if capture_sites:
         ctx.capture_sites = set(capture_sites)
 
@@ -452,20 +497,23 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
 
     h = _embeddings(ctx, params, cfg, input_ids, token_type_ids, position_ids,
                     train, rngs[0] if rngs else None)
+    h_site = "emb.ln.out"
     for i in range(cfg.num_hidden_layers):
         layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
         h = _layer(ctx, params["layers"][i], cfg, h, mask_bias, f"L{i}.",
-                   train, layer_rngs)
+                   train, layer_rngs, h_site=h_site)
+        h_site = f"L{i}.ffn.ln.out"
 
     # pooler: first token -> dense+Tanh fused (quantized_bert.py:374-389)
     pooled = quant_linear(ctx, "pooler.dense", h[:, 0],
                           params["pooler"]["kernel"], params["pooler"]["bias"],
-                          activation="tanh")
+                          activation="tanh", input_site=h_site)
     pooled = dropout(pooled, cfg.hidden_dropout_prob,
                      rngs[-1] if rngs else None, not train)
     logits = quant_linear(ctx, "classifier", pooled,
                           params["classifier"]["kernel"],
-                          params["classifier"]["bias"])
+                          params["classifier"]["bias"],
+                          input_site="pooler.dense.out")
     if cfg.num_labels == 1:
         logits = jnp.clip(logits, 0.0, 5.0)  # STS-B (quantized_bert.py:599)
 

@@ -1,0 +1,186 @@
+"""Real-integer (INT8 / packed INT4) linear algebra.
+
+The reference only *simulates* quantization — every tensor stays float32 and
+each site does quantize->dequantize (reference: quantization/quantizers.py:
+189-211). This module provides the real execution path the TPU build adds on
+top: weights stored as int8 (or two int4 nibbles per byte), activations
+re-quantized to int8 on entry, and the matmul executed on the MXU in
+int8 x int8 -> int32 with the dequantization folded into the epilogue:
+
+    y = s_x * s_w * (x_q @ w_q^T + (128 - z_x) * colsum(w_q))
+
+where ``x_q`` is the (zero-point-shifted) int8 activation and ``colsum``
+pre-absorbs the asymmetric activation zero-point. This is numerically the
+same affine map the fake-quant path computes (exact int32 accumulation, so
+it is *more* faithful than the float GEMM), which the parity tests check.
+
+Supported fast path: symmetric int<=8 weights (per-tensor or per-channel
+over dim 0) with per-tensor activation quantization — the paper's W8A8
+recipe (README.md:148-156). Other configurations fall back to the
+fake-quant path transparently.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from transformer_quantization_tpu.quant import quantizers as Q
+
+Array = jax.Array
+
+
+def can_pack_weight(spec: Q.QuantizerSpec) -> bool:
+    return spec.symmetric and spec.n_bits <= 8
+
+
+def pack_weight_int8(spec: Q.QuantizerSpec, qp: Q.QuantParams,
+                     w: Array, alpha: Optional[Array] = None) -> Dict:
+    """Quantize a weight tensor to a real int8 (or int4-in-int8) payload.
+
+    Packs: ``w_int`` int8 ``(O, I)``, ``scale`` f32 ``()`` or ``(O,)``,
+    ``colsum`` f32 ``(O,)`` (sum over the contraction dim, for asymmetric
+    activation zero-point correction). ``alpha`` applies AdaRound's hard
+    up/down rounding decision instead of round-to-nearest
+    (reference: quantization/adaround/quantizer.py:74).
+    """
+    assert can_pack_weight(spec), "int8 packing needs symmetric <=8-bit weights"
+    qpe = Q.expand_qparams(qp, w.ndim, 0)
+    scale = Q.scale_of(spec, qpe)
+    int_min, int_max = Q.int_min_max(spec, qp.signed)
+    if alpha is not None:
+        w_round = jnp.floor(w / scale) + (alpha >= 0).astype(jnp.float32)
+    else:
+        w_round = jnp.round(w / scale)
+    w_int = jnp.clip(w_round, int_min, int_max).astype(jnp.int8)
+    return {
+        "w_int": w_int,
+        "scale": jnp.reshape(Q.scale_of(spec, qp), (-1,)).astype(jnp.float32),
+        "colsum": jnp.sum(w_int.astype(jnp.float32), axis=-1),
+        "n_bits": spec.n_bits,
+    }
+
+
+def quantize_activation_int8(spec: Q.QuantizerSpec, qp: Q.QuantParams,
+                             x: Array):
+    """Re-quantize a (fake-quantized) float activation to its int8 payload.
+
+    Asymmetric uint grids are shifted by -128 into int8; returns
+    ``(x_int8, scale, shift)`` with ``shift = 128 - zero_point`` such that
+    the true integer value is ``x_int8 + shift``. Symmetric grids pass
+    through with ``shift = -zero_point = 0``.
+    """
+    scale = Q.scale_of(spec, qp)
+    zp = Q.zero_point_of(spec, qp)
+    int_min, int_max = Q.int_min_max(spec, qp.signed)
+    x_int = jnp.clip(jnp.round(x / scale) + zp, int_min, int_max)
+    if not spec.symmetric:
+        x_int = x_int - 128.0
+        shift = 128.0 - zp
+    else:
+        shift = jnp.zeros_like(zp)
+    return x_int.astype(jnp.int8), scale.astype(jnp.float32), shift
+
+
+def int8_linear(x_int8: Array, x_scale: Array, x_shift: Array, packed: Dict,
+                bias: Optional[Array], activation=None,
+                matmul=None) -> Array:
+    """Fused dequantize-int8-matmul + bias + optional activation.
+
+    ``matmul`` lets callers swap in a Pallas kernel; default is XLA
+    ``dot_general`` with int32 accumulation on the MXU.
+    """
+    if "w_packed" in packed:
+        w_int = unpack_int4(packed["w_packed"], packed["in_features"])
+    else:
+        w_int = packed["w_int"]
+    if matmul is None:
+        acc = jax.lax.dot_general(
+            x_int8, w_int,
+            dimension_numbers=(((x_int8.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    else:
+        acc = matmul(x_int8, w_int)
+    acc = acc.astype(jnp.float32)
+    acc = acc + x_shift * packed["colsum"]
+    y = (x_scale * packed["scale"]) * acc
+    if bias is not None:
+        y = y + bias
+    if activation is not None:
+        y = activation(y)
+    return y
+
+
+def pack_embedding_int8(spec: Q.QuantizerSpec, qp: Q.QuantParams,
+                        table: Array) -> Dict:
+    """Int8 embedding table; dequantized per gathered row."""
+    qpe = Q.expand_qparams(qp, table.ndim, 0)
+    scale = Q.scale_of(spec, qpe)
+    zp = Q.zero_point_of(spec, qpe)
+    int_min, int_max = Q.int_min_max(spec, qp.signed)
+    t_int = jnp.clip(jnp.round(table / scale) + zp, int_min, int_max)
+    if spec.symmetric:
+        t_int8 = t_int.astype(jnp.int8)
+        zp8 = jnp.zeros_like(zp)
+    else:
+        t_int8 = (t_int - 128.0).astype(jnp.int8)
+        zp8 = zp - 128.0
+    return {
+        "t_int": t_int8,
+        "scale": jnp.broadcast_to(scale, (table.shape[0], 1)).astype(
+            jnp.float32) if scale.ndim else scale.astype(jnp.float32),
+        "zp": jnp.broadcast_to(zp8, (table.shape[0], 1)).astype(jnp.float32)
+        if zp8.ndim else zp8.astype(jnp.float32),
+    }
+
+
+def int8_embedding_lookup(ids: Array, packed: Dict) -> Array:
+    rows = jnp.take(packed["t_int"], ids, axis=0).astype(jnp.float32)
+    scale = packed["scale"]
+    zp = packed["zp"]
+    if getattr(scale, "ndim", 0):
+        scale = jnp.take(scale, ids, axis=0)
+        zp = jnp.take(zp, ids, axis=0)
+    return scale * (rows - zp)
+
+
+# ---------------------------------------------------------------------------
+# INT4 packing (two nibbles per byte) — unpacked in the consumer's prologue
+# ---------------------------------------------------------------------------
+
+
+def pack_weight_int4(spec: Q.QuantizerSpec, qp: Q.QuantParams,
+                     w: Array) -> Dict:
+    """Pack a symmetric 4-bit weight into nibbles: byte = lo | (hi << 4).
+
+    TPUs have no native int4 matmul; the Pallas kernel (ops/pallas) unpacks
+    to int8 in VMEM before feeding the MXU (SURVEY.md §7 'Int4 on TPU').
+    """
+    assert spec.symmetric and spec.n_bits == 4
+    qpe = Q.expand_qparams(qp, w.ndim, 0)
+    scale = Q.scale_of(spec, qpe)
+    int_min, int_max = Q.int_min_max(spec, qp.signed)
+    w_int = jnp.clip(jnp.round(w / scale), int_min, int_max).astype(jnp.int32)
+    o, i = w_int.shape
+    assert i % 2 == 0
+    u = jnp.asarray(w_int & 0xF, jnp.uint8).reshape(o, i // 2, 2)
+    packed = (u[..., 0] | (u[..., 1] << 4)).astype(jnp.uint8)
+    return {
+        "w_packed": packed,
+        "scale": jnp.reshape(Q.scale_of(spec, qp), (-1,)).astype(jnp.float32),
+        "colsum": jnp.sum(w_int.astype(jnp.float32), axis=-1),
+        "n_bits": 4,
+        "in_features": i,
+    }
+
+
+def unpack_int4(packed: Array, in_features: int) -> Array:
+    """uint8 nibbles -> int8 in [-8, 7] (sign-extended)."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    w = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], in_features)
+    return w.astype(jnp.int8)

@@ -49,16 +49,53 @@ def _maybe_capture(ctx, name: str, x: Array, y: Array) -> None:
         ctx.captures[name] = (x, y)
 
 
+def _int8_fast_path(ctx, name: str, input_site: Optional[str]):
+    """Packed int8 weights + per-tensor quantized input -> MXU int path."""
+    int_params = getattr(ctx, "int_params", None)
+    if not int_params or name not in int_params:
+        return None
+    if input_site is None or input_site not in ctx.cfg:
+        return None
+    in_cfg = ctx.cfg[input_site]
+    if not (in_cfg.enabled and ctx.mode.act_quant and ctx.mode.weight_quant):
+        return None
+    if in_cfg.axis is not None or in_cfg.per_channel:
+        return None  # per-axis input scales can't fold into one matmul scale
+    wname = f"{name}.w"
+    if wname in ctx.cfg and not ctx.cfg[wname].enabled:
+        return None
+    st = ctx.qstate.get(input_site)
+    if st is None:
+        return None
+    return in_cfg, st["qp"], int_params[name]
+
+
 def quant_linear(ctx, name: str, x: Array, w: Array, b: Optional[Array],
-                 activation=None) -> Array:
+                 activation=None, input_site: Optional[str] = None) -> Array:
     """Quantized affine layer with optional fused activation.
 
     Pipeline (hijacker.py:66-116): quantize weight -> x @ W^T + b ->
     activation fn -> quantize output activations. ``w`` is stored
     ``(out, in)`` (the torch convention) so per-channel weight quantization
     reduces over dim 0 exactly like the reference.
+
+    ``input_site`` names the activation site that produced ``x``; when the
+    ctx carries packed int weights (real-int execution) and the input site
+    is per-tensor, the matmul runs as int8 x int8 -> int32 on the MXU with
+    dequantization folded into the epilogue (ops/int_linear.py).
     """
+    from transformer_quantization_tpu.ops import int_linear as IL
+
     act = _resolve_act(activation)
+    fast = _int8_fast_path(ctx, name, input_site)
+    if fast is not None:
+        in_cfg, in_qp, packed = fast
+        x_int8, s_x, shift = IL.quantize_activation_int8(in_cfg.spec, in_qp, x)
+        y = IL.int8_linear(x_int8, s_x, shift, packed, b, act,
+                           matmul=getattr(ctx, "int_matmul", None))
+        _maybe_capture(ctx, name, x, y)
+        return ctx.act(f"{name}.out", y)
+
     w_q = ctx.weight(f"{name}.w", w)
     y = jnp.einsum("...i,oi->...o", x, w_q)
     if b is not None:
@@ -87,7 +124,14 @@ def quant_embedding(ctx, name: str, ids: Array, table: Array) -> Array:
 
     The output is *not* activation-quantized — the table itself is already
     quantized, so lookups are grid points (autoquant_utils.py:69-85).
+    With packed int params, the table is stored int8 and rows dequantize
+    after the gather (4x less HBM traffic on the gather).
     """
+    from transformer_quantization_tpu.ops import int_linear as IL
+
+    int_params = getattr(ctx, "int_params", None)
+    if int_params and name in int_params and ctx.mode.weight_quant:
+        return IL.int8_embedding_lookup(ids, int_params[name])
     table_q = ctx.weight(f"{name}.w", table)
     return jnp.take(table_q, ids, axis=0)
 

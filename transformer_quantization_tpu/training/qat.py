@@ -1,0 +1,146 @@
+"""Quantization-aware training.
+
+Functional re-design of the reference's QAT preparation and training loop
+(reference: utils/qat_utils.py:14-45, main.py:650-663):
+
+- ``learn_ranges`` (LSQ-style): scale / zero-point become trainable leaves.
+  The reference converts ``_delta``/``_zero_float`` to ``nn.Parameter``
+  (quantizers.py:284-288, 346-349); here the per-site ``QuantParams`` are
+  split out of the quant state into a trainable pytree differentiated
+  alongside the model weights. Symmetric quantizers expose no gradient path
+  to ``zero_float`` (their zero point is identically 0), reproducing the
+  reference's delta-only training without masking.
+- ``estimate_ranges_train``: ranges re-estimated from data during training
+  and frozen for eval (quantization_manager.py:12-16) — expressed as
+  ``act_phase=estimate`` inside the jitted train step (min-max estimators
+  are pure jit-friendly updates), with per-kind freezing via
+  ``fix_weight_ranges`` / ``fix_act_ranges`` flags (qat_utils.py:30-41).
+
+Gradients flow to FP32 master weights through the STE and to ranges through
+the scale/zero-point arithmetic, exactly as in the reference (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import optax
+
+from transformer_quantization_tpu.quant.qconfig import (
+    Phase,
+    QuantModelConfig,
+    QuantMode,
+)
+
+
+def split_learnable_ranges(qcfg: QuantModelConfig, qstate: Dict
+                           ) -> Tuple[Dict, Dict]:
+    """Split trainable QuantParams out of the quant state.
+
+    Returns ``(learnable, rest)`` where ``learnable[site] = QuantParams``.
+    Only initialized, enabled sites participate (the reference only converts
+    initialized quantizers, base_quantized_classes.py:11-16).
+    """
+    learnable, rest = {}, {}
+    for name, st in qstate.items():
+        if name in qcfg and qcfg[name].enabled and "qp" in st:
+            learnable[name] = st["qp"]
+            rest[name] = {k: v for k, v in st.items() if k != "qp"}
+        else:
+            rest[name] = st
+    return learnable, rest
+
+
+def merge_learnable_ranges(learnable: Dict, rest: Dict) -> Dict:
+    out = {}
+    for name, st in rest.items():
+        if name in learnable:
+            out[name] = dict(st, qp=learnable[name])
+        else:
+            out[name] = st
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class QATConfig:
+    """QAT options (reference: utils/quant_click_options.py:199-226)."""
+
+    learn_ranges: bool = False
+    fix_weight_ranges: bool = False
+    fix_act_ranges: bool = False
+    learning_rate: float = 5e-5
+    range_learning_rate: Optional[float] = None  # None -> same as lr
+    weight_decay: float = 0.0
+
+
+def qat_mode(qat: QATConfig, weight_quant: bool = True,
+             act_quant: bool = True) -> QuantMode:
+    """Translate QAT options into the train-step QuantMode
+    (qat_utils.py:27-41)."""
+    if qat.learn_ranges:
+        return QuantMode(weight_quant=weight_quant, act_quant=act_quant,
+                         weight_phase=Phase.learn, act_phase=Phase.learn)
+    return QuantMode(
+        weight_quant=weight_quant, act_quant=act_quant,
+        weight_phase=Phase.fix if qat.fix_weight_ranges else Phase.estimate,
+        act_phase=Phase.fix if qat.fix_act_ranges else Phase.estimate)
+
+
+def make_optimizer(qat: QATConfig) -> optax.GradientTransformation:
+    return optax.adamw(qat.learning_rate, weight_decay=qat.weight_decay)
+
+
+def make_qat_train_step(apply_fn: Callable, qcfg: QuantModelConfig,
+                        qat: QATConfig, tx: optax.GradientTransformation,
+                        donate: bool = True):
+    """Build a jitted QAT train step.
+
+    ``apply_fn(params, batch, qcfg=..., qstate=..., mode=..., train=...,
+    dropout_rng=...) -> (outputs with 'loss', new_qstate)``.
+
+    State layout: ``(params, learnable, rest_qstate, opt_state, rng)``;
+    ``learnable`` is empty unless ``learn_ranges``.
+    """
+    mode = qat_mode(qat)
+
+    def loss_fn(trainable, rest_qstate, batch, rng):
+        params = trainable["params"]
+        qstate = merge_learnable_ranges(trainable["ranges"], rest_qstate)
+        out, new_qstate = apply_fn(params, batch, qcfg=qcfg, qstate=qstate,
+                                   mode=mode, train=True, dropout_rng=rng)
+        return out["loss"], new_qstate
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3) if donate else ())
+    def step(params, learnable, rest_qstate, opt_state, batch, rng):
+        rng, dropout_rng = jax.random.split(rng)
+        trainable = {"params": params, "ranges": learnable}
+        (loss, new_qstate), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable, rest_qstate, batch, dropout_rng)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        new_learnable, new_rest = {}, new_qstate
+        if learnable:
+            # learnable ranges advance via the optimizer; keep them out of
+            # the threaded state so they aren't double-tracked
+            new_learnable = trainable["ranges"]
+            new_rest = {k: ({kk: vv for kk, vv in v.items() if kk != "qp"}
+                            if k in learnable else v)
+                        for k, v in new_qstate.items()}
+        return (trainable["params"], new_learnable, new_rest, opt_state, rng,
+                loss)
+
+    return step
+
+
+def init_qat_state(qcfg: QuantModelConfig, qat: QATConfig, params, qstate,
+                   tx: optax.GradientTransformation):
+    """Prepare (params, learnable, rest, opt_state) after calibration."""
+    if qat.learn_ranges:
+        learnable, rest = split_learnable_ranges(qcfg, qstate)
+    else:
+        learnable, rest = {}, dict(qstate)
+    opt_state = tx.init({"params": params, "ranges": learnable})
+    return params, learnable, rest, opt_state
