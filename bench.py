@@ -25,14 +25,22 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
+def _sync(out):
+    # Force a device->host transfer: on the remote TPU tunnel,
+    # block_until_ready can return before execution finishes; reading the
+    # value cannot. Execution is single-stream, so the last output's value
+    # implies all prior dispatches completed.
+    return float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+
+
 def timed(fn, *args, iters=20, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -56,8 +64,11 @@ def main():
     else:
         cfg = B.BertConfig()  # BERT-base
 
+    t_setup = time.perf_counter()
     params, qcfg, qstate = G._calibrated_bert(cfg, batch_size=2, seq=args.seq)
-    int_params = B.build_bert_int_params(params, qcfg, qstate)
+    int_params = jax.jit(
+        lambda p, qs: B.build_bert_int_params(p, qcfg, qs))(params, qstate)
+    print(f"# setup {time.perf_counter() - t_setup:.1f}s", file=sys.stderr)
 
     rng = np.random.RandomState(0)
     batch = {

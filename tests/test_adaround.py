@@ -1,0 +1,128 @@
+"""AdaRound: per-layer rounding optimization (SURVEY.md §7 stage 7)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_quantization_tpu.models import bert as B
+from transformer_quantization_tpu.quant import adaround as AR
+from transformer_quantization_tpu.quant import quantizers as Q
+from transformer_quantization_tpu.quant.qconfig import QuantDefaults
+from transformer_quantization_tpu.quant.quantizers import QMethod
+from transformer_quantization_tpu.quant.ranges import RangeMethod
+from transformer_quantization_tpu.training import adaround_driver as AD
+from transformer_quantization_tpu.training.calibration import (
+    prepare_quantized_model,
+)
+
+CFG = B.BertConfig(vocab_size=64, hidden_size=16, num_hidden_layers=1,
+                   num_attention_heads=2, intermediate_size=32,
+                   max_position_embeddings=32, num_labels=2)
+
+
+def test_temp_decay_schedules():
+    cfg = AR.AdaRoundConfig(iters=100, annealing=(20.0, 2.0), warmup=0.0)
+    for kind in AR.AdaRoundTempDecayType:
+        c = AR.AdaRoundConfig(iters=100, annealing=(20.0, 2.0), warmup=0.0,
+                              decay_type=kind)
+        b0 = float(AR.temp_decay(jnp.asarray(0.0), c))
+        b1 = float(AR.temp_decay(jnp.asarray(100.0), c))
+        assert abs(b0 - 20.0) < 0.5, (kind, b0)
+        assert abs(b1 - 2.0) < 0.5, (kind, b1)
+
+
+def test_optimize_reduces_layer_mse():
+    # a 3-bit quantized linear layer: learned rounding must beat nearest
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.normal(0, 0.3, (16, 16)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1.0, (64, 8, 16)), jnp.float32)
+    spec = Q.QuantizerSpec(n_bits=3, method=QMethod.symmetric_uniform)
+    qp = Q.set_quant_range(spec, jnp.min(w), jnp.max(w))
+
+    def layer_apply(w_q, inp):
+        return jnp.einsum("...i,oi->...o", inp, w_q)
+
+    out = layer_apply(w, x)
+    cfg = AR.AdaRoundConfig(iters=300, batch_size=16, warmup=0.2)
+    alpha, stats = AR.optimize_layer_rounding(layer_apply, spec, qp, w, x,
+                                              out, cfg)
+    assert stats["loss_hard_after"] < stats["loss_hard_before"], stats
+    # hard decisions should change at least some weights vs nearest
+    hard = Q.adaround_fake_quant(Q.AdaRoundMode.learned_hard_sigmoid, spec,
+                                 qp, w, alpha, soft=False)
+    nearest = Q.fake_quant(spec, qp, w)
+    assert float(jnp.mean(jnp.abs(hard - nearest) > 1e-8)) > 0.0
+
+
+def test_mse_grid_init():
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(np.concatenate([rng.normal(0, 0.05, 998), [1.0, -1.0]]),
+                    jnp.float32).reshape(100, 10)
+    spec = Q.QuantizerSpec(n_bits=4, method=QMethod.symmetric_uniform)
+    qp = AR.mse_grid_init(spec, w)
+    xmax = float(Q.x_min_max_of(spec, qp)[1])
+    assert xmax < 1.0  # shrunk below absmax
+
+
+def test_full_model_adaround_improves_w4():
+    params = B.init_bert_params(jax.random.PRNGKey(0), CFG)
+    d = QuantDefaults(method=QMethod.symmetric_uniform,
+                      act_method=QMethod.asymmetric_uniform,
+                      n_bits=4, n_bits_act=8,
+                      weight_range_method=RangeMethod.MSE,
+                      act_range_method=RangeMethod.current_minmax)
+    qcfg = B.declare_bert_sites(d, CFG)
+    rng = np.random.RandomState(2)
+
+    def make_batch(r, bsz=8, seq=8):
+        return {"input_ids": jnp.asarray(
+                    r.randint(0, CFG.vocab_size, (bsz, seq)), jnp.int32),
+                "attention_mask": jnp.ones((bsz, seq), jnp.float32),
+                "token_type_ids": jnp.zeros((bsz, seq), jnp.int32)}
+
+    batches = [make_batch(rng) for _ in range(4)]
+    apply_fn = functools.partial(B.bert_apply, cfg=CFG)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, batches,
+        weight_tensors=B.bert_weight_site_tensors(params), num_batches=1)
+
+    test_batch = make_batch(np.random.RandomState(9))
+    out_fp, _ = B.bert_apply(params, test_batch, CFG)
+    out_q, _ = B.bert_apply(params, test_batch, CFG, qcfg, qstate, mode)
+
+    ar_cfg = AR.AdaRoundConfig(num_samples=32, iters=150, batch_size=8,
+                               warmup=0.2)
+    qstate2 = AD.apply_adaround_to_model(
+        apply_fn, params, qcfg, qstate, B.bert_adaround_specs(params, CFG),
+        batches, ar_cfg, batch_size=8, act_quant=True,
+        range_est_batches=batches, num_est_batches=1)
+
+    # alphas stored on every weight site
+    n_alpha = sum(1 for k, v in qstate2.items()
+                  if k.endswith(".w") and v.get("alpha") is not None)
+    assert n_alpha == len([1 for n, c in qcfg.items() if c.kind == "weight"])
+
+    out_ar, _ = B.bert_apply(params, test_batch, CFG, qcfg, qstate2, mode)
+
+    def err(o):
+        return float(jnp.linalg.norm(o["sequence_output"]
+                                     - out_fp["sequence_output"]))
+
+    assert err(out_ar) < err(out_q), (err(out_ar), err(out_q))
+
+
+def test_int_packing_uses_alpha():
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.normal(0, 0.3, (8, 16)), jnp.float32)
+    spec = Q.QuantizerSpec(n_bits=4, method=QMethod.symmetric_uniform)
+    qp = Q.set_quant_range(spec, jnp.min(w), jnp.max(w))
+    alpha = Q.adaround_init_alpha(Q.AdaRoundMode.learned_hard_sigmoid, spec,
+                                  qp, w) + 5.0  # bias all decisions up
+    from transformer_quantization_tpu.ops import int_linear as IL
+
+    packed = IL.pack_weight_int8(spec, qp, w, alpha=alpha)
+    nearest = IL.pack_weight_int8(spec, qp, w)
+    assert not np.array_equal(np.asarray(packed["w_int"]),
+                              np.asarray(nearest["w_int"]))

@@ -1,0 +1,444 @@
+"""Command-line driver.
+
+Reproduces the reference's four commands and flag surface
+(reference: main.py:864-918, utils/{quant,transformer}_click_options.py):
+
+    python -m transformer_quantization_tpu.cli train-baseline    [opts]
+    python -m transformer_quantization_tpu.cli train-quantized   [opts]
+    python -m transformer_quantization_tpu.cli validate-baseline [opts]
+    python -m transformer_quantization_tpu.cli validate-quantized [opts]
+
+Differences by design:
+- ``--quant-dict`` is parsed with ``ast.literal_eval`` instead of ``eval``
+  (the reference evals arbitrary strings, transformer_click_options.py:436).
+- Zero-egress environment: ``--synthetic-data`` (or automatic fallback)
+  provides deterministic offline GLUE-shaped data; ``--model-path`` loads a
+  local HF checkpoint directory when present, else the model initializes
+  from config with random weights.
+
+Outputs match the reference's artifacts: ``config.out``, per-task
+``eval_results_<task>.txt``, ``final_score.txt``, and the macro-average
+incl./excl. WNLI (main.py:193-209, :736-784).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import functools
+import json
+import logging
+import os
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger("tq_tpu")
+logging.basicConfig(
+    level=os.environ.get("LOGLEVEL", "INFO"),
+    format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="transformer_quantization_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add_common(sp):
+        g = sp.add_argument_group("base")
+        g.add_argument("--seed", type=int, default=1000)
+        g.add_argument("--output-dir", default=None)
+        g = sp.add_argument_group("data")
+        g.add_argument("--task", action="append", default=None,
+                       help="GLUE task (repeatable) or 'all'")
+        g.add_argument("--max-seq-length", type=int, default=128)
+        g.add_argument("--num-train-samples", type=int, default=None)
+        g.add_argument("--num-val-samples", type=int, default=None)
+        g.add_argument("--synthetic-data", action="store_true",
+                       help="use deterministic offline synthetic data")
+        g.add_argument("--data-dir", default=None)
+        g = sp.add_argument_group("model")
+        g.add_argument("--model-name", default="bert_base_uncased",
+                       choices=["bert_base_uncased", "bert_large_uncased",
+                                "roberta_base", "distilroberta_base",
+                                "mobilebert_uncased"])
+        g.add_argument("--model-path", default=None,
+                       help="local HF checkpoint directory")
+        g.add_argument("--tiny-model", action="store_true",
+                       help="debug: 2-layer hidden-64 model")
+        g.add_argument("--attn-dropout", type=float, default=None)
+        g.add_argument("--hidden-dropout", type=float, default=None)
+        g = sp.add_argument_group("training")
+        g.add_argument("--learning-rate", type=float, default=5e-5)
+        g.add_argument("--batch-size", type=int, default=32)
+        g.add_argument("--num-epochs", type=int, default=3)
+        g.add_argument("--weight-decay", type=float, default=0.0)
+        g.add_argument("--max-grad-norm", type=float, default=1.0)
+        g.add_argument("--warmup-ratio", type=float, default=0.0)
+        g.add_argument("--eval-batch-size", type=int, default=32)
+
+    def add_quant(sp):
+        g = sp.add_argument_group("quantization")
+        g.add_argument("--qmethod", default="symmetric_uniform",
+                       choices=["symmetric_uniform", "asymmetric_uniform"])
+        g.add_argument("--qmethod-act", default="asymmetric_uniform",
+                       choices=["symmetric_uniform", "asymmetric_uniform"])
+        g.add_argument("--n-bits", type=int, default=8)
+        g.add_argument("--n-bits-act", type=int, default=8)
+        g.add_argument("--per-channel", action="store_true")
+        g.add_argument("--percentile", type=float, default=None)
+        g.add_argument("--quant-setup", default="all",
+                       choices=["all", "FP_logits", "MSE_logits"])
+        g.add_argument("--weight-quant-method", default="MSE",
+                       choices=["current_minmax", "allminmax",
+                                "running_minmax", "MSE", "cross_entropy"])
+        g.add_argument("--weight-opt-method", default="golden_section",
+                       choices=["grid", "golden_section"])
+        g.add_argument("--num-candidates", type=int, default=100)
+        g.add_argument("--act-quant-method", default="current_minmax",
+                       choices=["current_minmax", "allminmax",
+                                "running_minmax", "MSE", "cross_entropy"])
+        g.add_argument("--act-opt-method", default="golden_section",
+                       choices=["grid", "golden_section"])
+        g.add_argument("--act-momentum", type=float, default=0.9)
+        g.add_argument("--no-weight-quant", action="store_true")
+        g.add_argument("--no-act-quant", action="store_true")
+        g.add_argument("--num-est-batches", type=int, default=1)
+        g.add_argument("--est-ranges-batch-size", type=int, default=1)
+        g.add_argument("--cross-entropy-layer", default=None)
+        g.add_argument("--quant-dict", default=None,
+                       help="python-literal dict, e.g. \"{'y': 16, 'Et': 2}\"")
+        g.add_argument("--dynamic", action="store_true")
+        g.add_argument("--double", action="store_true",
+                       help="run quantizer math in float64")
+        g.add_argument("--per-token", action="store_true")
+        g.add_argument("--per-embd", action="store_true")
+        g.add_argument("--per-groups", type=int, default=None)
+        g.add_argument("--per-groups-permute", action="store_true")
+        g.add_argument("--per-groups-permute-shared-h", action="store_true")
+        g = sp.add_argument_group("qat")
+        g.add_argument("--learn-ranges", action="store_true")
+        g.add_argument("--fix-weight-ranges", action="store_true")
+        g.add_argument("--fix-act-ranges", action="store_true")
+        g = sp.add_argument_group("adaround")
+        g.add_argument("--adaround", action="append", default=None,
+                       help="layer name or 'all' (repeatable)")
+        g.add_argument("--adaround-num-samples", type=int, default=1024)
+        g.add_argument("--adaround-init", default="range_estimator",
+                       choices=["range_estimator", "mse", "mse_out",
+                                "mse_out_asym"])
+        g.add_argument("--adaround-mode", default="learned_hard_sigmoid",
+                       choices=["learned_sigmoid", "learned_hard_sigmoid",
+                                "sigmoid_temp_decay"])
+        g.add_argument("--adaround-asym", action="store_true", default=True)
+        g.add_argument("--no-adaround-asym", dest="adaround_asym",
+                       action="store_false")
+        g.add_argument("--adaround-include-act-func", action="store_true",
+                       default=True)
+        g.add_argument("--no-adaround-include-act-func",
+                       dest="adaround_include_act_func", action="store_false")
+        g.add_argument("--adaround-lr", type=float, default=1e-3)
+        g.add_argument("--adaround-iters", type=int, default=1000)
+        g.add_argument("--adaround-weight", type=float, default=0.01)
+        g.add_argument("--adaround-annealing", default="20,2")
+        g.add_argument("--adaround-decay-type", default="cosine",
+                       choices=["linear", "cosine", "sigmoid", "power",
+                                "exp", "log"])
+        g.add_argument("--adaround-decay-shape", type=float, default=1.0)
+        g.add_argument("--adaround-decay-start", type=float, default=0.0)
+        g.add_argument("--adaround-warmup", type=float, default=0.2)
+        g.add_argument("--adaround-act-quant-mode", default="post_adaround",
+                       choices=["no_act_quant", "post_adaround"])
+
+    for cmd in ("train-baseline", "validate-baseline"):
+        sp = sub.add_parser(cmd)
+        add_common(sp)
+    for cmd in ("train-quantized", "validate-quantized"):
+        sp = sub.add_parser(cmd)
+        add_common(sp)
+        add_quant(sp)
+    return p
+
+
+def make_quant_defaults(args):
+    from transformer_quantization_tpu.quant.qconfig import QuantDefaults
+    from transformer_quantization_tpu.quant.quantizers import QMethod
+    from transformer_quantization_tpu.quant.ranges import OptMethod, RangeMethod
+
+    return QuantDefaults(
+        method=QMethod[args.qmethod],
+        act_method=QMethod[args.qmethod_act],
+        n_bits=args.n_bits,
+        n_bits_act=args.n_bits_act,
+        per_channel_weights=args.per_channel,
+        percentile=args.percentile,
+        weight_range_method=RangeMethod[args.weight_quant_method],
+        weight_range_opt=OptMethod[args.weight_opt_method],
+        weight_num_candidates=args.num_candidates,
+        act_range_method=RangeMethod[args.act_quant_method],
+        act_range_opt=OptMethod[args.act_opt_method],
+        act_momentum=args.act_momentum,
+    )
+
+
+def parse_quant_dict(s: Optional[str]) -> Dict:
+    if not s:
+        return {}
+    d = ast.literal_eval(s)
+    if not isinstance(d, dict):
+        raise ValueError(f"--quant-dict must be a dict literal, got {s!r}")
+    return d
+
+
+def _load_model(args):
+    import jax
+
+    from transformer_quantization_tpu.models import bert as B
+    from transformer_quantization_tpu.models import hf_loader
+
+    family = ("roberta" if "roberta" in args.model_name
+              else "mobilebert" if "mobilebert" in args.model_name
+              else "bert")
+    if args.model_path and os.path.exists(
+            os.path.join(args.model_path, "config.json")):
+        if family != "bert":
+            raise NotImplementedError(
+                f"checkpoint loading for {family} lands with that family")
+        cfg, params = hf_loader.load_bert(args.model_path)
+        logger.info("Loaded checkpoint from %s", args.model_path)
+    else:
+        kw = {}
+        if args.model_name == "bert_large_uncased":
+            kw = dict(hidden_size=1024, num_hidden_layers=24,
+                      num_attention_heads=16, intermediate_size=4096)
+        if getattr(args, "tiny_model", False):
+            kw = dict(vocab_size=2048, hidden_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=128,
+                      max_position_embeddings=128)
+        cfg = B.BertConfig(**kw)
+        params = B.init_bert_params(jax.random.PRNGKey(args.seed), cfg)
+        logger.info("No local checkpoint; initialized %s from config",
+                    args.model_name)
+    if args.hidden_dropout is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, hidden_dropout_prob=args.hidden_dropout)
+    if args.attn_dropout is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, attention_probs_dropout_prob=args.attn_dropout)
+    return family, cfg, params
+
+
+def run_task(args, task, do_train: bool, quantized: bool) -> float:
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_quantization_tpu.models import bert as B
+    from transformer_quantization_tpu.quant import adaround as AR
+    from transformer_quantization_tpu.quant.qconfig import QuantMode, Phase
+    from transformer_quantization_tpu.training import adaround_driver as AD
+    from transformer_quantization_tpu.training import qat as QAT
+    from transformer_quantization_tpu.training import trainer as T
+    from transformer_quantization_tpu.training.calibration import (
+        prepare_quantized_model,
+    )
+    from transformer_quantization_tpu.utils import data as D
+    from transformer_quantization_tpu.utils import glue as G
+
+    family, cfg, params = _load_model(args)
+    cfg = dc.replace(cfg, num_labels=task.num_labels)
+    if not args.model_path:
+        params["classifier"] = B.init_bert_params(
+            jax.random.PRNGKey(args.seed + 1),
+            dc.replace(cfg, num_hidden_layers=0))["classifier"]
+
+    if getattr(args, "double", False):
+        jax.config.update("jax_enable_x64", True)
+
+    splits = G.load_task_data(task, data_dir=args.data_dir,
+                              synthetic=args.synthetic_data, seed=args.seed)
+    tok = D.load_tokenizer(args.model_path, cfg.vocab_size)
+    train_arr = D.encode_examples(tok, task, splits["train"],
+                                  args.max_seq_length)
+    val_arr = D.encode_examples(tok, task, splits["validation"],
+                                args.max_seq_length)
+    if args.num_train_samples:
+        train_arr = {k: v[:args.num_train_samples]
+                     for k, v in train_arr.items()}
+
+    apply_fn = functools.partial(B.bert_apply, cfg=cfg)
+    weight_quant = act_quant = False
+    qcfg = qstate = None
+    eval_mode = T.FP32_MODE
+
+    if quantized:
+        weight_quant = not args.no_weight_quant
+        act_quant = not args.no_act_quant
+        quant_dict = parse_quant_dict(args.quant_dict)
+        defaults = make_quant_defaults(args)
+        qcfg = B.declare_bert_sites(defaults, cfg,
+                                    quant_setup=args.quant_setup,
+                                    quant_dict=quant_dict)
+        qcfg = B.apply_peg_wiring(
+            qcfg, cfg.num_hidden_layers, per_token=args.per_token,
+            per_embd=args.per_embd, per_groups=args.per_groups,
+            permute=args.per_groups_permute
+            or args.per_groups_permute_shared_h)
+        qcfg = B.apply_bert_quant_dict(qcfg, quant_dict,
+                                       cfg.num_hidden_layers)
+
+        est_batches = list(D.batch_iterator(
+            train_arr, args.est_ranges_batch_size, drop_last=True))
+        for b in est_batches:
+            b.pop("example_mask", None)
+            b.pop("labels", None)
+        shared = (B.shared_permutation_groups(cfg.num_hidden_layers)
+                  if args.per_groups_permute_shared_h else None)
+        qstate, eval_mode = prepare_quantized_model(
+            apply_fn, params, qcfg, est_batches[:max(args.num_est_batches, 1)],
+            weight_tensors=B.bert_weight_site_tensors(params),
+            num_batches=args.num_est_batches, act_quant=act_quant,
+            weight_quant=weight_quant, dynamic=args.dynamic,
+            cross_entropy_layer=args.cross_entropy_layer,
+            permute_batches=est_batches[:10], shared_groups=shared)
+
+        # AdaRound (validate path only, like main.py:566-589)
+        if not do_train and weight_quant and args.adaround:
+            ann = tuple(float(x) for x in args.adaround_annealing.split(","))
+            ar_cfg = AR.AdaRoundConfig(
+                layers=tuple(args.adaround),
+                num_samples=args.adaround_num_samples,
+                init=AR.AdaRoundInitMode[args.adaround_init],
+                round_mode=__import__(
+                    "transformer_quantization_tpu.quant.quantizers",
+                    fromlist=["AdaRoundMode"]).AdaRoundMode[
+                        args.adaround_mode],
+                asym=args.adaround_asym,
+                include_act_func=args.adaround_include_act_func,
+                lr=args.adaround_lr, iters=args.adaround_iters,
+                weight=args.adaround_weight, annealing=ann,
+                decay_type=AR.AdaRoundTempDecayType[args.adaround_decay_type],
+                decay_shape=args.adaround_decay_shape,
+                decay_start=args.adaround_decay_start,
+                warmup=args.adaround_warmup,
+                act_quant_mode=AR.AdaRoundActQuantMode[
+                    args.adaround_act_quant_mode],
+                batch_size=args.batch_size)
+            data_batches = list(D.batch_iterator(train_arr, args.batch_size,
+                                                 drop_last=True))
+            qstate = AD.apply_adaround_to_model(
+                apply_fn, params, qcfg, qstate,
+                B.bert_adaround_specs(params, cfg), data_batches, ar_cfg,
+                batch_size=args.batch_size,
+                act_quant=act_quant and ar_cfg.act_quant_mode
+                == AR.AdaRoundActQuantMode.post_adaround,
+                range_est_batches=est_batches,
+                num_est_batches=args.num_est_batches,
+                cross_entropy_layer=args.cross_entropy_layer,
+                seed=args.seed)
+
+    if do_train:
+        tcfg = T.TrainConfig(learning_rate=args.learning_rate,
+                             num_epochs=args.num_epochs,
+                             batch_size=args.batch_size,
+                             weight_decay=args.weight_decay,
+                             max_grad_norm=args.max_grad_norm,
+                             warmup_ratio=args.warmup_ratio, seed=args.seed)
+        qat_cfg = None
+        if quantized:
+            qat_cfg = QAT.QATConfig(
+                learn_ranges=args.learn_ranges,
+                fix_weight_ranges=args.fix_weight_ranges,
+                fix_act_ranges=args.fix_act_ranges,
+                learning_rate=args.learning_rate)
+        params, qstate = T.train(apply_fn, params, task, train_arr, tcfg,
+                                 qcfg=qcfg, qstate=qstate, qat_cfg=qat_cfg,
+                                 log_fn=logger.info)
+        if quantized:
+            # fix ranges after training for final eval (main.py:659-663)
+            eval_mode = QuantMode(weight_quant=weight_quant,
+                                  act_quant=act_quant,
+                                  weight_phase=Phase.fix, act_phase=Phase.fix)
+
+    # evaluation (incl. MNLI matched+mismatched, main.py:748-784)
+    scores = []
+    results = {}
+    eval_splits = [("validation", val_arr)]
+    if task.name == "mnli" and "validation_mismatched" in splits:
+        mm = D.encode_examples(tok, task, splits["validation_mismatched"],
+                               args.max_seq_length)
+        eval_splits.append(("validation_mismatched", mm))
+    for split_name, arr in eval_splits:
+        m = T.evaluate(apply_fn, params, qstate, task, arr, qcfg=qcfg,
+                       mode=eval_mode, batch_size=args.eval_batch_size,
+                       num_val_samples=args.num_val_samples)
+        results[split_name] = m
+        scores.append(m.get(task.final_metric, m.get("combined_score")))
+        logger.info("Eval results %s/%s: %s", task.name, split_name, m)
+        if args.num_val_samples is not None:
+            break
+    final = float(np.mean(scores))
+
+    if args.output_dir:
+        os.makedirs(args.output_dir, exist_ok=True)
+        for split_name, m in results.items():
+            suffix = ("mnli-mm" if split_name == "validation_mismatched"
+                      else task.name)
+            with open(os.path.join(args.output_dir,
+                                   f"eval_results_{suffix}.txt"), "w") as f:
+                for k, v in m.items():
+                    f.write(f"{k} = {v}\n")
+    return final
+
+
+def _log_results(task_scores: Dict[str, float]):
+    """Macro-average incl./excl. WNLI (main.py:193-209)."""
+    for t, s in task_scores.items():
+        logger.info("GLUE task %s: %.2f", t, 100.0 * s)
+    vals = list(task_scores.values())
+    logger.info("GLUE macro-avg (incl. WNLI): %.2f",
+                100.0 * float(np.mean(vals)))
+    no_wnli = [s for t, s in task_scores.items() if t != "wnli"]
+    if no_wnli and "wnli" in task_scores:
+        logger.info("GLUE macro-avg (excl. WNLI): %.2f",
+                    100.0 * float(np.mean(no_wnli)))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from transformer_quantization_tpu.utils import glue as G
+    from transformer_quantization_tpu.utils.misc import seed_all
+
+    seed_all(args.seed)
+    do_train = args.command.startswith("train")
+    quantized = args.command.endswith("quantized")
+    tasks = G.resolve_tasks(args.task or ["rte"])
+
+    if args.output_dir:
+        os.makedirs(args.output_dir, exist_ok=True)
+        with open(os.path.join(args.output_dir, "config.out"), "w") as f:
+            f.write(json.dumps(vars(args), indent=2, default=str) + "\n")
+
+    task_scores = {}
+    for task in tasks:
+        logger.info("%s task %s", "Training" if do_train else "Validating",
+                    task.name)
+        task_scores[task.name] = run_task(args, task, do_train, quantized)
+        logger.info("Final score %s -> %.2f", task.name,
+                    100.0 * task_scores[task.name])
+
+    _log_results(task_scores)
+    final = float(np.mean(list(task_scores.values())))
+    if args.output_dir:
+        with open(os.path.join(args.output_dir, "final_score.txt"), "w") as f:
+            f.write(f"{final}\n")
+    print(json.dumps({"final_score": final,
+                      "tasks": {k: round(v, 4)
+                                for k, v in task_scores.items()}}))
+    return final
+
+
+if __name__ == "__main__":
+    main()

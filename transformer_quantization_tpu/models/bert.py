@@ -306,6 +306,55 @@ def shared_permutation_groups(n_layers: int) -> List[Tuple[str, Tuple[str, ...]]
     return out
 
 
+def bert_adaround_specs(params: Dict, cfg: BertConfig) -> List[Tuple[str, Dict]]:
+    """Ordered weighted-layer specs for AdaRound.
+
+    The reference enumerates every weighted QuantizedModule in module order
+    (utils/adaround_utils.py:58-76) — embeddings (incl. their LayerNorm),
+    then per encoder layer q/k/v, self-output dense + LN, intermediate
+    (dense+GELU), output dense + LN, then pooler and classifier. Each entry
+    carries what a functional re-run of the layer needs.
+    """
+    e = params["embeddings"]
+    specs: List[Tuple[str, Dict]] = [
+        ("emb.word", {"kind": "embedding", "w": e["word"]}),
+        ("emb.position", {"kind": "embedding", "w": e["position"]}),
+        ("emb.token_type", {"kind": "embedding", "w": e["token_type"]}),
+        ("emb.ln", {"kind": "layernorm", "w": e["ln"]["scale"],
+                    "b": e["ln"]["bias"], "eps": cfg.layer_norm_eps}),
+    ]
+    for i, layer in enumerate(params["layers"]):
+        p = f"L{i}."
+        a, so, f = layer["attn"], layer["attn_out"], layer["ffn"]
+        specs += [
+            (p + "attn.q", {"kind": "linear", "w": a["q"]["kernel"],
+                            "b": a["q"]["bias"], "act": None}),
+            (p + "attn.k", {"kind": "linear", "w": a["k"]["kernel"],
+                            "b": a["k"]["bias"], "act": None}),
+            (p + "attn.v", {"kind": "linear", "w": a["v"]["kernel"],
+                            "b": a["v"]["bias"], "act": None}),
+            (p + "attn_out.dense", {"kind": "linear",
+                                    "w": so["dense"]["kernel"],
+                                    "b": so["dense"]["bias"], "act": None}),
+            (p + "attn_out.ln", {"kind": "layernorm", "w": so["ln"]["scale"],
+                                 "b": so["ln"]["bias"],
+                                 "eps": cfg.layer_norm_eps}),
+            (p + "ffn.inter", {"kind": "linear", "w": f["inter"]["kernel"],
+                               "b": f["inter"]["bias"], "act": "gelu"}),
+            (p + "ffn.dense", {"kind": "linear", "w": f["dense"]["kernel"],
+                               "b": f["dense"]["bias"], "act": None}),
+            (p + "ffn.ln", {"kind": "layernorm", "w": f["ln"]["scale"],
+                            "b": f["ln"]["bias"], "eps": cfg.layer_norm_eps}),
+        ]
+    specs += [
+        ("pooler.dense", {"kind": "linear", "w": params["pooler"]["kernel"],
+                          "b": params["pooler"]["bias"], "act": "tanh"}),
+        ("classifier", {"kind": "linear", "w": params["classifier"]["kernel"],
+                        "b": params["classifier"]["bias"], "act": None}),
+    ]
+    return specs
+
+
 def build_bert_int_params(params: Dict, qcfg: QuantModelConfig,
                           qstate: Mapping, use_int4: bool = False) -> Dict:
     """Pack BERT's linear kernels and embedding tables into real int payloads.
@@ -458,7 +507,8 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                *, train: bool = False, dropout_rng: Optional[jax.Array] = None,
                mse_session: Optional[Dict] = None,
                int_params: Optional[Dict] = None,
-               capture_sites=None) -> Tuple[Dict, Dict]:
+               capture_sites=None,
+               capture_pre_act: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``.
 
     ``batch`` holds ``input_ids`` (B, T) plus optional ``attention_mask``,
@@ -472,6 +522,7 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
         ctx.int_params = int_params
     if capture_sites:
         ctx.capture_sites = set(capture_sites)
+        ctx.capture_pre_act = capture_pre_act
 
     input_ids = batch["input_ids"]
     B, T = input_ids.shape

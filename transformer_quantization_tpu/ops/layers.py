@@ -100,9 +100,15 @@ def quant_linear(ctx, name: str, x: Array, w: Array, b: Optional[Array],
     y = jnp.einsum("...i,oi->...o", x, w_q)
     if b is not None:
         y = y + b
-    if act is not None:
+    if act is not None and getattr(ctx, "capture_pre_act", False):
+        # AdaRound include_act_func=False: target the pre-activation output
+        # (adaround/adaround.py:47-49 temporarily strips the act fn)
+        _maybe_capture(ctx, name, x, y)
         y = act(y)
-    _maybe_capture(ctx, name, x, y)
+    else:
+        if act is not None:
+            y = act(y)
+        _maybe_capture(ctx, name, x, y)
     return ctx.act(f"{name}.out", y)
 
 
@@ -133,7 +139,9 @@ def quant_embedding(ctx, name: str, ids: Array, table: Array) -> Array:
     if int_params and name in int_params and ctx.mode.weight_quant:
         return IL.int8_embedding_lookup(ids, int_params[name])
     table_q = ctx.weight(f"{name}.w", table)
-    return jnp.take(table_q, ids, axis=0)
+    rows = jnp.take(table_q, ids, axis=0)
+    _maybe_capture(ctx, name, ids, rows)
+    return rows
 
 
 def dropout(x: Array, rate: float, rng: Optional[jax.Array],

@@ -206,6 +206,33 @@ class QuantCtx:
         return self.qstate
 
 
+def reset_act_ranges(cfg: QuantModelConfig,
+                     qstate: Mapping[str, SiteState]) -> Dict[str, SiteState]:
+    """Zero out activation range state so it can be re-estimated —
+    ``QuantizedModel.reset_act_ranges`` (base_quantized_model.py:96-102).
+    Permutation state (perm/ranges) is preserved."""
+    out = dict(qstate)
+    for name, site_cfg in cfg.items():
+        if site_cfg.kind != "act" or name not in out:
+            continue
+        st = dict(out[name])
+        rs = st["range_state"]
+        st["range_state"] = {
+            "xmin": jnp.zeros_like(rs["xmin"]),
+            "xmax": jnp.zeros_like(rs["xmax"]),
+            "initialized": jnp.zeros((), jnp.bool_),
+        }
+        st["qp"] = QuantParamsReset(st["qp"])
+        out[name] = st
+    return out
+
+
+def QuantParamsReset(qp: Q.QuantParams) -> Q.QuantParams:
+    return Q.QuantParams(delta=jnp.ones_like(qp.delta),
+                         zero_float=jnp.zeros_like(qp.zero_float),
+                         signed=jnp.zeros_like(qp.signed))
+
+
 def finalize_permutations(cfg: QuantModelConfig,
                           qstate: Mapping[str, SiteState]) -> Dict[str, SiteState]:
     """Convert recorded per-channel ranges into sort permutations.

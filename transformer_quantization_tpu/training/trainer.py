@@ -1,0 +1,133 @@
+"""Jitted train/eval loops (the reference's HF-Trainer role).
+
+The reference drives everything through ``transformers.Trainer``
+(reference: main.py:136-190, :650-663); here training and evaluation are
+explicit jitted steps over fixed-shape batches — one compiled program per
+phase, streamed from a host-side numpy pipeline (SURVEY.md §2.6 'Eval loop'
+row). Works for the FP32 baseline (qcfg=None), PTQ eval, and QAT.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from transformer_quantization_tpu.quant.qconfig import (
+    Phase,
+    QuantModelConfig,
+    QuantMode,
+)
+from transformer_quantization_tpu.training import qat as QAT
+from transformer_quantization_tpu.utils.data import batch_iterator
+from transformer_quantization_tpu.utils.glue import GlueTask, compute_metrics
+
+FP32_MODE = QuantMode(weight_quant=False, act_quant=False)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 5e-5
+    num_epochs: int = 3
+    batch_size: int = 32
+    weight_decay: float = 0.0
+    max_grad_norm: float = 1.0
+    warmup_ratio: float = 0.0
+    seed: int = 1000
+    log_every: int = 50
+
+
+def make_eval_step(apply_fn: Callable, qcfg: Optional[QuantModelConfig],
+                   mode: QuantMode):
+    """Jitted eval step returning logits (and updated qstate for --dynamic,
+    where act ranges re-estimate per eval batch)."""
+
+    @jax.jit
+    def step(params, qstate, batch):
+        model_batch = {k: v for k, v in batch.items()
+                       if k not in ("labels", "example_mask")}
+        out, new_qstate = apply_fn(params, model_batch, qcfg=qcfg,
+                                   qstate=qstate, mode=mode)
+        return out["logits"], new_qstate
+
+    return step
+
+
+def evaluate(apply_fn: Callable, params, qstate, task: GlueTask,
+             arrays: Dict[str, np.ndarray], *, qcfg=None,
+             mode: QuantMode = FP32_MODE, batch_size: int = 32,
+             num_val_samples: Optional[int] = None) -> Dict[str, float]:
+    """Full-split evaluation -> task metrics (main.py:748-784 without the
+    HF Trainer)."""
+    if num_val_samples is not None:
+        arrays = {k: v[:num_val_samples] for k, v in arrays.items()}
+    step = make_eval_step(apply_fn, qcfg, mode)
+    logits, labels = [], []
+    for batch in batch_iterator(arrays, batch_size, pad_final=True):
+        em = batch.pop("example_mask")
+        lg, qstate = step(params, qstate, batch)
+        keep = em > 0
+        logits.append(np.asarray(lg)[keep])
+        labels.append(np.asarray(batch["labels"])[keep])
+    return compute_metrics(task, np.concatenate(logits),
+                           np.concatenate(labels))
+
+
+def make_optimizer(tcfg: TrainConfig, steps_total: int
+                   ) -> optax.GradientTransformation:
+    """AdamW + linear warmup->linear decay (HF Trainer defaults the
+    reference relies on, main.py:92-133)."""
+    warmup = int(tcfg.warmup_ratio * steps_total)
+    lr = optax.join_schedules(
+        [optax.linear_schedule(0.0, tcfg.learning_rate, max(warmup, 1)),
+         optax.linear_schedule(tcfg.learning_rate, 0.0,
+                               max(steps_total - warmup, 1))],
+        [max(warmup, 1)])
+    return optax.chain(
+        optax.clip_by_global_norm(tcfg.max_grad_norm),
+        optax.adamw(lr, weight_decay=tcfg.weight_decay))
+
+
+def train(apply_fn: Callable, params, task: GlueTask,
+          train_arrays: Dict[str, np.ndarray], tcfg: TrainConfig, *,
+          qcfg: Optional[QuantModelConfig] = None, qstate: Optional[Dict] = None,
+          qat_cfg: Optional[QAT.QATConfig] = None,
+          eval_arrays: Optional[Dict[str, np.ndarray]] = None,
+          log_fn: Callable = print) -> Tuple:
+    """Train loop. Baseline mode (qcfg=None) or QAT (qcfg+qstate+qat_cfg).
+
+    Returns ``(params, qstate)`` with QAT ranges merged & ready to fix.
+    """
+    n = len(train_arrays["input_ids"])
+    steps_per_epoch = max(n // tcfg.batch_size, 1)
+    total = steps_per_epoch * tcfg.num_epochs
+    tx = make_optimizer(tcfg, total)
+    qat_cfg = qat_cfg or QAT.QATConfig()
+    qstate = qstate or {}
+
+    step_fn = QAT.make_qat_train_step(apply_fn, qcfg or
+                                      QuantModelConfig(()), qat_cfg, tx)
+    params, learnable, rest, opt_state = QAT.init_qat_state(
+        qcfg or QuantModelConfig(()), qat_cfg, params, qstate, tx)
+
+    rng = jax.random.PRNGKey(tcfg.seed)
+    data_rng = np.random.RandomState(tcfg.seed)
+    step_i = 0
+    for epoch in range(tcfg.num_epochs):
+        for batch in batch_iterator(train_arrays, tcfg.batch_size,
+                                    shuffle=True, rng=data_rng,
+                                    drop_last=True):
+            batch.pop("example_mask")
+            params, learnable, rest, opt_state, rng, loss = step_fn(
+                params, learnable, rest, opt_state, batch, rng)
+            step_i += 1
+            if step_i % tcfg.log_every == 0 or step_i == 1:
+                log_fn(f"epoch {epoch} step {step_i}/{total} "
+                       f"loss {float(loss):.4f}")
+    qstate = QAT.merge_learnable_ranges(learnable, rest)
+    return params, qstate
