@@ -507,6 +507,7 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                *, train: bool = False, dropout_rng: Optional[jax.Array] = None,
                mse_session: Optional[Dict] = None,
                int_params: Optional[Dict] = None,
+               use_pallas: bool = False,
                capture_sites=None,
                capture_pre_act: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``.
@@ -520,6 +521,7 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
     ctx = QuantCtx(qcfg, qstate or {}, mode, mse_session=mse_session)
     if int_params:
         ctx.int_params = int_params
+        ctx.use_pallas = use_pallas
     if capture_sites:
         ctx.capture_sites = set(capture_sites)
         ctx.capture_pre_act = capture_pre_act

@@ -90,6 +90,38 @@ def quant_linear(ctx, name: str, x: Array, w: Array, b: Optional[Array],
     fast = _int8_fast_path(ctx, name, input_site)
     if fast is not None:
         in_cfg, in_qp, packed = fast
+        out_site = f"{name}.out"
+        capturing = bool(getattr(ctx, "capture_sites", None))
+        if getattr(ctx, "use_pallas", False) and not capturing:
+            from transformer_quantization_tpu.ops.pallas import (
+                fused_int8_linear,
+            )
+            from transformer_quantization_tpu.quant.qconfig import Phase
+
+            # fold the output act site into the kernel epilogue when it is
+            # an enabled, fixed, per-tensor site
+            out_spec = out_qp = None
+            fold_out = False
+            if (out_site in ctx.cfg and ctx.cfg[out_site].enabled
+                    and ctx.mode.act_quant
+                    and ctx.mode.act_phase == Phase.fix
+                    and out_site in ctx.qstate
+                    and ctx.cfg[out_site].axis is None):
+                oq = ctx.qstate[out_site]["qp"]
+                if oq.delta.ndim == 0:
+                    out_spec = ctx.cfg[out_site].spec
+                    out_qp = oq
+                    fold_out = True
+            y = fused_int8_linear(
+                x, packed, in_cfg.spec, in_qp, bias=b,
+                activation=activation if isinstance(activation, str)
+                else None, out_spec=out_spec, out_qp=out_qp)
+            if y is not None:
+                if fold_out:
+                    return y  # output site already applied in-kernel
+                if act is not None and not isinstance(activation, str):
+                    y = act(y)
+                return ctx.act(out_site, y)
         x_int8, s_x, shift = IL.quantize_activation_int8(in_cfg.spec, in_qp, x)
         y = IL.int8_linear(x_int8, s_x, shift, packed, b, act,
                            matmul=getattr(ctx, "int_matmul", None))

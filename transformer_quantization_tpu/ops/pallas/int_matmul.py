@@ -1,0 +1,196 @@
+"""Pallas TPU kernel: fused quantize -> int8 matmul -> dequant epilogue.
+
+The XLA int8 path (ops/int_linear.py) materializes the quantized
+activation and the dequantized output as separate HBM tensors; at BERT's
+sizes the quantized forward is bandwidth-bound on exactly these elementwise
+passes, not on the matmuls. This kernel performs, in one pass over VMEM
+tiles (one HBM read of x, one HBM write of y):
+
+    x_int8 = clip(round(x / s_x) + zp_x)            # quantize-on-load
+    acc    = x_int8 @ w_int8^T                      # MXU, int32 accumulate
+    y      = s_x*s_w_n*(acc + shift*colsum_n) + b   # dequant fold + bias
+    y      = act(y)                                 # optional fused GELU/Tanh
+    y      = fake_quant(y; s_o, zp_o)               # optional output site
+
+Weights stay resident as int8 (N, K) — 4x less weight HBM traffic than
+f32. Per-channel weight scales supported. Grid over M only: BERT's K/N
+(768/3072) fit VMEM whole.
+
+No counterpart exists in the reference — it has no kernels at all
+(SURVEY.md §2.6); this is the TPU-native replacement for its fake-quant
+``forward`` hot path (quantization/quantizers.py:189-211 +
+hijacker.py:66-116 fused into one device program).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS = True
+except Exception:  # pragma: no cover
+    _PALLAS = False
+
+
+def pallas_available() -> bool:
+    return _PALLAS
+
+
+_ACTS = {
+    None: None,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "tanh": jnp.tanh,
+    "relu": jax.nn.relu,
+}
+
+
+def _kernel(x_ref, w_ref, wscale_ref, colsum_ref, bias_ref, scal_ref,
+            out_ref, *, activation, asym_in, out_bits, out_sym, has_bias):
+    """One (BM, K) x-tile against the full (N, K) weight."""
+    x = x_ref[:]
+    s_x = scal_ref[0, 0]
+    zp_x = scal_ref[0, 1]
+    # quantize-on-load (int_linear.quantize_activation_int8 semantics)
+    xq = jnp.round(x * pl.reciprocal(s_x, approx=False)) + (
+        zp_x if asym_in else 0.0)
+    if asym_in:
+        xq = jnp.clip(xq, 0.0, 255.0) - 128.0
+    else:
+        xq = jnp.clip(xq, -128.0, 127.0)
+    x_int8 = xq.astype(jnp.int8)
+
+    acc = jax.lax.dot_general(
+        x_int8, w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+
+    if asym_in:
+        acc = acc + (128.0 - zp_x) * colsum_ref[0, :]
+    y = (s_x * wscale_ref[0, :]) * acc
+    if has_bias:
+        y = y + bias_ref[0, :]
+    act = _ACTS[activation]
+    if act is not None:
+        y = act(y)
+    if out_bits:
+        s_o = scal_ref[0, 2]
+        zp_o = scal_ref[0, 3]
+        signed_o = scal_ref[0, 4]
+        if out_sym:
+            imax = jnp.where(signed_o > 0, 2.0 ** (out_bits - 1) - 1,
+                             2.0 ** out_bits - 1)
+            imin = jnp.where(signed_o > 0, -(2.0 ** (out_bits - 1)), 0.0)
+        else:
+            imin, imax = 0.0, 2.0 ** out_bits - 1
+        y_int = jnp.clip(jnp.round(y * pl.reciprocal(s_o, approx=False))
+                         + zp_o, imin, imax)
+        y = s_o * (y_int - zp_o)
+    out_ref[:] = y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "asym_in", "out_bits", "out_sym",
+                     "block_m", "interpret"))
+def _fused_call(x2d, w_int8, w_scale, colsum, bias, scalars, *, activation,
+                asym_in, out_bits, out_sym, block_m, interpret=False):
+    m, k = x2d.shape
+    n = w_int8.shape[0]
+    has_bias = bias is not None
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    w_scale = w_scale.reshape(1, n)
+    colsum = colsum.reshape(1, n)
+    bias = bias.reshape(1, n)
+    grid = (m // block_m,)
+    kernel = functools.partial(_kernel, activation=activation,
+                               asym_in=asym_in, out_bits=out_bits,
+                               out_sym=out_sym, has_bias=has_bias)
+    flops = 2 * m * n * k
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=m * k * 4 + n * k + m * n * 4,
+            transcendentals=m * n if activation else 0),
+        interpret=interpret,
+    )(x2d, w_int8, w_scale, colsum, bias, scalars)
+
+
+def fused_int8_linear(x, packed, in_spec, in_qp, bias=None, activation=None,
+                      out_spec=None, out_qp=None,
+                      block_m: int = 256,
+                      interpret: Optional[bool] = None) -> Optional[jax.Array]:
+    """Fused quantize+int8-matmul+dequant(+act)(+output fake-quant).
+
+    Returns None when the shape/config doesn't fit the fast path (caller
+    falls back to the XLA int path): requires f32 input, per-tensor input
+    quantization, int8 (not packed int4) weights, and a flattened batch
+    divisible by ``block_m`` after padding considerations.
+    """
+    if not _PALLAS or "w_int" not in packed:
+        return None
+    from transformer_quantization_tpu.quant import quantizers as Q
+
+    k = x.shape[-1]
+    n = packed["w_int"].shape[0]
+    if x.dtype != jnp.float32 or packed["w_int"].shape[1] != k:
+        return None
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+    bm = block_m
+    while bm > 8 and m % bm:
+        bm //= 2
+    if m % bm or m < 8:
+        return None
+
+    s_x = Q.scale_of(in_spec, in_qp).reshape(())
+    zp_x = Q.zero_point_of(in_spec, in_qp).reshape(())
+    asym_in = not in_spec.symmetric
+
+    out_bits = 0
+    out_sym = False
+    s_o = zp_o = signed_o = jnp.zeros(())
+    if out_spec is not None and out_qp is not None:
+        if out_qp.delta.ndim == 0:  # per-tensor output site only
+            out_bits = out_spec.n_bits
+            out_sym = out_spec.symmetric
+            s_o = Q.scale_of(out_spec, out_qp).reshape(())
+            zp_o = Q.zero_point_of(out_spec, out_qp).reshape(())
+            signed_o = out_qp.signed.reshape(())
+
+    scalars = jnp.stack([s_x, zp_x, s_o, zp_o, signed_o,
+                         jnp.zeros(()), jnp.zeros(()), jnp.zeros(())]
+                        ).reshape(1, 8).astype(jnp.float32)
+    w_scale = packed["scale"]
+    if w_scale.shape[0] == 1 and n > 1:
+        w_scale = jnp.broadcast_to(w_scale, (n,))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    y = _fused_call(x.reshape(m, k), packed["w_int"], w_scale,
+                    packed["colsum"],
+                    None if bias is None else bias.astype(jnp.float32),
+                    scalars, activation=activation, asym_in=asym_in,
+                    out_bits=out_bits, out_sym=out_sym, block_m=bm,
+                    interpret=interpret)
+    return y.reshape(*lead, n)
