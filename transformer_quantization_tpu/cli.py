@@ -190,43 +190,27 @@ def parse_quant_dict(s: Optional[str]) -> Dict:
     return d
 
 
-def _load_model(args):
-    import jax
+def _load_model(args, num_labels: int = 2):
+    import dataclasses
 
-    from transformer_quantization_tpu.models import bert as B
-    from transformer_quantization_tpu.models import hf_loader
+    from transformer_quantization_tpu.models.registry import build_model
 
-    family = ("roberta" if "roberta" in args.model_name
-              else "mobilebert" if "mobilebert" in args.model_name
-              else "bert")
+    fam, cfg, params = build_model(
+        args.model_name, seed=args.seed,
+        tiny=getattr(args, "tiny_model", False), num_labels=num_labels,
+        model_path=args.model_path)
     if args.model_path and os.path.exists(
             os.path.join(args.model_path, "config.json")):
-        if family != "bert":
-            raise NotImplementedError(
-                f"checkpoint loading for {family} lands with that family")
-        cfg, params = hf_loader.load_bert(args.model_path)
         logger.info("Loaded checkpoint from %s", args.model_path)
     else:
-        kw = {}
-        if args.model_name == "bert_large_uncased":
-            kw = dict(hidden_size=1024, num_hidden_layers=24,
-                      num_attention_heads=16, intermediate_size=4096)
-        if getattr(args, "tiny_model", False):
-            kw = dict(vocab_size=2048, hidden_size=64, num_hidden_layers=2,
-                      num_attention_heads=4, intermediate_size=128,
-                      max_position_embeddings=128)
-        cfg = B.BertConfig(**kw)
-        params = B.init_bert_params(jax.random.PRNGKey(args.seed), cfg)
         logger.info("No local checkpoint; initialized %s from config",
                     args.model_name)
     if args.hidden_dropout is not None:
-        import dataclasses
         cfg = dataclasses.replace(cfg, hidden_dropout_prob=args.hidden_dropout)
     if args.attn_dropout is not None:
-        import dataclasses
         cfg = dataclasses.replace(
             cfg, attention_probs_dropout_prob=args.attn_dropout)
-    return family, cfg, params
+    return fam, cfg, params
 
 
 def run_task(args, task, do_train: bool, quantized: bool) -> float:
@@ -235,7 +219,6 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
     import jax
     import jax.numpy as jnp
 
-    from transformer_quantization_tpu.models import bert as B
     from transformer_quantization_tpu.quant import adaround as AR
     from transformer_quantization_tpu.quant.qconfig import QuantMode, Phase
     from transformer_quantization_tpu.training import adaround_driver as AD
@@ -247,12 +230,11 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
     from transformer_quantization_tpu.utils import data as D
     from transformer_quantization_tpu.utils import glue as G
 
-    family, cfg, params = _load_model(args)
+    fam, cfg, params = _load_model(args, num_labels=task.num_labels)
     cfg = dc.replace(cfg, num_labels=task.num_labels)
     if not args.model_path:
-        params["classifier"] = B.init_bert_params(
-            jax.random.PRNGKey(args.seed + 1),
-            dc.replace(cfg, num_hidden_layers=0))["classifier"]
+        params[fam.head_key] = fam.init_head(
+            jax.random.PRNGKey(args.seed + 1), cfg)
 
     if getattr(args, "double", False):
         jax.config.update("jax_enable_x64", True)
@@ -268,7 +250,7 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
         train_arr = {k: v[:args.num_train_samples]
                      for k, v in train_arr.items()}
 
-    apply_fn = functools.partial(B.bert_apply, cfg=cfg)
+    apply_fn = functools.partial(fam.apply, cfg=cfg)
     weight_quant = act_quant = False
     qcfg = qstate = None
     eval_mode = T.FP32_MODE
@@ -278,27 +260,28 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
         act_quant = not args.no_act_quant
         quant_dict = parse_quant_dict(args.quant_dict)
         defaults = make_quant_defaults(args)
-        qcfg = B.declare_bert_sites(defaults, cfg,
-                                    quant_setup=args.quant_setup,
-                                    quant_dict=quant_dict)
-        qcfg = B.apply_peg_wiring(
+        qcfg = fam.declare_sites(defaults, cfg,
+                                 quant_setup=args.quant_setup,
+                                 quant_dict=quant_dict)
+        qcfg = fam.apply_peg(
             qcfg, cfg.num_hidden_layers, per_token=args.per_token,
             per_embd=args.per_embd, per_groups=args.per_groups,
             permute=args.per_groups_permute
             or args.per_groups_permute_shared_h)
-        qcfg = B.apply_bert_quant_dict(qcfg, quant_dict,
-                                       cfg.num_hidden_layers)
+        qcfg = fam.apply_quant_dict(qcfg, quant_dict,
+                                    cfg.num_hidden_layers)
 
         est_batches = list(D.batch_iterator(
             train_arr, args.est_ranges_batch_size, drop_last=True))
         for b in est_batches:
             b.pop("example_mask", None)
             b.pop("labels", None)
-        shared = (B.shared_permutation_groups(cfg.num_hidden_layers)
-                  if args.per_groups_permute_shared_h else None)
+        shared = (fam.shared_perm_groups(cfg.num_hidden_layers)
+                  if args.per_groups_permute_shared_h
+                  and fam.shared_perm_groups else None)
         qstate, eval_mode = prepare_quantized_model(
             apply_fn, params, qcfg, est_batches[:max(args.num_est_batches, 1)],
-            weight_tensors=B.bert_weight_site_tensors(params),
+            weight_tensors=fam.weight_site_tensors(params),
             num_batches=args.num_est_batches, act_quant=act_quant,
             weight_quant=weight_quant, dynamic=args.dynamic,
             cross_entropy_layer=args.cross_entropy_layer,
@@ -330,7 +313,7 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                                                  drop_last=True))
             qstate = AD.apply_adaround_to_model(
                 apply_fn, params, qcfg, qstate,
-                B.bert_adaround_specs(params, cfg), data_batches, ar_cfg,
+                fam.adaround_specs(params, cfg), data_batches, ar_cfg,
                 batch_size=args.batch_size,
                 act_quant=act_quant and ar_cfg.act_quant_mode
                 == AR.AdaRoundActQuantMode.post_adaround,

@@ -157,8 +157,16 @@ def declare_bert_sites(defaults: QuantDefaults, cfg: BertConfig,
     """
     quant_dict = quant_dict or {}
     b = QuantConfigBuilder(defaults)
+    declare_embedding_sites(b, quant_dict)
+    declare_encoder_sites(b, cfg.num_hidden_layers)
+    b.weight("pooler.dense.w")
+    b.act("pooler.dense.out")
+    declare_classifier_site(b, "classifier", quant_setup)
+    return b.build()
 
-    # Embeddings
+
+def declare_embedding_sites(b: QuantConfigBuilder, quant_dict: Mapping) -> None:
+    """BERT/RoBERTa embedding sites (quantized_bert.py:40-88)."""
     et_over = ({"range_method": RangeMethod.MSE,
                 "opt_method": OptMethod.golden_section}
                if "Et" in quant_dict else {})
@@ -170,7 +178,11 @@ def declare_bert_sites(defaults: QuantDefaults, cfg: BertConfig,
     b.weight("emb.ln.w")
     b.act("emb.ln.out")
 
-    for i in range(cfg.num_hidden_layers):
+
+def declare_encoder_sites(b: QuantConfigBuilder, n_layers: int) -> None:
+    """Per-layer encoder sites shared by BERT and RoBERTa
+    (quantized_bert.py:91-372)."""
+    for i in range(n_layers):
         p = f"L{i}."
         for lin in ("attn.q", "attn.k", "attn.v"):
             b.weight(p + lin + ".w")
@@ -191,19 +203,20 @@ def declare_bert_sites(defaults: QuantDefaults, cfg: BertConfig,
         b.weight(p + "ffn.ln.w")
         b.act(p + "ffn.ln.out")
 
-    b.weight("pooler.dense.w")
-    b.act("pooler.dense.out")
-    b.weight("classifier.w")
+
+def declare_classifier_site(b: QuantConfigBuilder, name: str,
+                            quant_setup: str) -> None:
+    """Logits-layer quant_setup handling (quantized_bert.py:526-555)."""
+    b.weight(f"{name}.w")
     if quant_setup == "MSE_logits":
-        b.act("classifier.out", range_method=RangeMethod.MSE,
+        b.act(f"{name}.out", range_method=RangeMethod.MSE,
               opt_method=OptMethod.golden_section)
     elif quant_setup == "FP_logits":
-        b.act("classifier.out", enabled=False)
+        b.act(f"{name}.out", enabled=False)
     elif quant_setup == "all":
-        b.act("classifier.out")
+        b.act(f"{name}.out")
     else:
         raise ValueError(f"Quantization setup '{quant_setup}' not supported.")
-    return b.build()
 
 
 def _layer_act_sites(i: int) -> Tuple[str, ...]:
@@ -229,27 +242,40 @@ def apply_bert_quant_dict(qcfg: QuantModelConfig, quant_dict: Mapping,
     (main.py:494 calls hijack_act_quant) — a bug; here ``wP`` addresses the
     pooler's weight quantizer as the name intends.
     """
-    letter_site = {
-        "s": "attn.scores", "p": "attn.probs", "c": "attn.context",
-        "g": "attn_out.dense.out", "u": "attn_out.res", "x": "attn_out.ln.out",
-        "h": "ffn.dense.out", "y": "ffn.res", "z": "ffn.ln.out",
-    }
-    ordered: List[Tuple[str, Tuple[str, ...]]] = [
-        ("e", ("emb.sum_tt", "emb.sum_pos")),
-        ("Et", ("emb.word.w",)),
-    ]
-    for i in range(n_layers):
-        for letter, site in letter_site.items():
-            ordered.append((f"{letter}{i}", (f"L{i}.{site}",)))
-            ordered.append((letter, (f"L{i}.{site}",)))
-        ordered.append((f"L{i}", _layer_act_sites(i)))
-        ordered.append(("L", _layer_act_sites(i)))
+    ordered = encoder_quant_dict_entries(n_layers)
     ordered += [
         ("P", ("pooler.dense.out",)),
         ("C", ("classifier.out",)),
         ("wP", ("pooler.dense.w",)),
         ("wC", ("classifier.w",)),
     ]
+    return _apply_ordered_quant_dict(qcfg, quant_dict, ordered)
+
+
+LETTER_SITE = {
+    "s": "attn.scores", "p": "attn.probs", "c": "attn.context",
+    "g": "attn_out.dense.out", "u": "attn_out.res", "x": "attn_out.ln.out",
+    "h": "ffn.dense.out", "y": "ffn.res", "z": "ffn.ln.out",
+}
+
+
+def encoder_quant_dict_entries(n_layers: int) -> List[Tuple[str, Tuple[str, ...]]]:
+    """Embedding + per-layer quant_dict key entries in hijack order."""
+    ordered: List[Tuple[str, Tuple[str, ...]]] = [
+        ("e", ("emb.sum_tt", "emb.sum_pos")),
+        ("Et", ("emb.word.w",)),
+    ]
+    for i in range(n_layers):
+        for letter, site in LETTER_SITE.items():
+            ordered.append((f"{letter}{i}", (f"L{i}.{site}",)))
+            ordered.append((letter, (f"L{i}.{site}",)))
+        ordered.append((f"L{i}", _layer_act_sites(i)))
+        ordered.append(("L", _layer_act_sites(i)))
+    return ordered
+
+
+def _apply_ordered_quant_dict(qcfg: QuantModelConfig, quant_dict: Mapping,
+                              ordered) -> QuantModelConfig:
     known = {k for k, _ in ordered}
     unknown = set(quant_dict) - known
     if unknown:
@@ -264,7 +290,8 @@ def apply_bert_quant_dict(qcfg: QuantModelConfig, quant_dict: Mapping,
 def apply_peg_wiring(qcfg: QuantModelConfig, n_layers: int,
                      per_token: bool = False, per_embd: bool = False,
                      per_groups: Optional[int] = None,
-                     permute: bool = False) -> QuantModelConfig:
+                     permute: bool = False,
+                     pooler_site: str = "pooler.dense.out") -> QuantModelConfig:
     """Per-token / per-embedding / per-group activation quantization wiring.
 
     Reproduces main.py:358-440: ``axis=2`` for per-embedding/per-group on
@@ -285,8 +312,8 @@ def apply_peg_wiring(qcfg: QuantModelConfig, n_layers: int,
             "attn_out.dense.out", "attn_out.res", "attn_out.ln.out",
             "ffn.dense.out", "ffn.res", "ffn.ln.out")]
     qcfg = qcfg.replace_sites({s: dict(changes) for s in sites})
-    if per_embd:
-        qcfg = qcfg.replace_site("pooler.dense.out", axis=1,
+    if per_embd and pooler_site in qcfg:
+        qcfg = qcfg.replace_site(pooler_site, axis=1,
                                  n_groups=per_groups, permute=permute)
     return qcfg
 
@@ -315,6 +342,18 @@ def bert_adaround_specs(params: Dict, cfg: BertConfig) -> List[Tuple[str, Dict]]
     (dense+GELU), output dense + LN, then pooler and classifier. Each entry
     carries what a functional re-run of the layer needs.
     """
+    specs = encoder_adaround_specs(params, cfg)
+    specs += [
+        ("pooler.dense", {"kind": "linear", "w": params["pooler"]["kernel"],
+                          "b": params["pooler"]["bias"], "act": "tanh"}),
+        ("classifier", {"kind": "linear", "w": params["classifier"]["kernel"],
+                        "b": params["classifier"]["bias"], "act": None}),
+    ]
+    return specs
+
+
+def encoder_adaround_specs(params: Dict, cfg) -> List[Tuple[str, Dict]]:
+    """Embedding + encoder-layer AdaRound specs shared by BERT/RoBERTa."""
     e = params["embeddings"]
     specs: List[Tuple[str, Dict]] = [
         ("emb.word", {"kind": "embedding", "w": e["word"]}),
@@ -346,12 +385,6 @@ def bert_adaround_specs(params: Dict, cfg: BertConfig) -> List[Tuple[str, Dict]]
             (p + "ffn.ln", {"kind": "layernorm", "w": f["ln"]["scale"],
                             "b": f["ln"]["bias"], "eps": cfg.layer_norm_eps}),
         ]
-    specs += [
-        ("pooler.dense", {"kind": "linear", "w": params["pooler"]["kernel"],
-                          "b": params["pooler"]["bias"], "act": "tanh"}),
-        ("classifier", {"kind": "linear", "w": params["classifier"]["kernel"],
-                        "b": params["classifier"]["bias"], "act": None}),
-    ]
     return specs
 
 
@@ -365,9 +398,15 @@ def build_bert_int_params(params: Dict, qcfg: QuantModelConfig,
     Sites whose weight spec is asymmetric or >8 bits are skipped and fall
     back to fake quantization transparently.
     """
+    return pack_int_params(bert_weight_site_tensors(params), qcfg, qstate,
+                           use_int4=use_int4)
+
+
+def pack_int_params(tensors: Dict[str, Array], qcfg: QuantModelConfig,
+                    qstate: Mapping, use_int4: bool = False) -> Dict:
+    """Model-agnostic int-payload packer over a weight-site tensor map."""
     from transformer_quantization_tpu.ops import int_linear as IL
 
-    tensors = bert_weight_site_tensors(params)
     out: Dict = {}
     for wname, w in tensors.items():
         if wname.endswith("ln.w") or wname not in qcfg:
@@ -391,13 +430,19 @@ def build_bert_int_params(params: Dict, qcfg: QuantModelConfig,
 
 def bert_weight_site_tensors(params: Dict) -> Dict[str, Array]:
     """Map weight-site names to their tensors (for range initialization)."""
+    out = encoder_weight_site_tensors(params)
+    out["pooler.dense.w"] = params["pooler"]["kernel"]
+    out["classifier.w"] = params["classifier"]["kernel"]
+    return out
+
+
+def encoder_weight_site_tensors(params: Dict) -> Dict[str, Array]:
+    """Embedding + encoder weight-site tensors shared by BERT/RoBERTa."""
     out = {
         "emb.word.w": params["embeddings"]["word"],
         "emb.position.w": params["embeddings"]["position"],
         "emb.token_type.w": params["embeddings"]["token_type"],
         "emb.ln.w": params["embeddings"]["ln"]["scale"],
-        "pooler.dense.w": params["pooler"]["kernel"],
-        "classifier.w": params["classifier"]["kernel"],
     }
     for i, layer in enumerate(params["layers"]):
         p = f"L{i}."
@@ -500,6 +545,62 @@ def _layer(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train, rngs,
                            f["ln"]["bias"], cfg.layer_norm_eps)
 
 
+def make_ctx(qcfg, qstate, mode, *, mse_session=None, int_params=None,
+             use_pallas=False, capture_sites=None,
+             capture_pre_act=False) -> QuantCtx:
+    """Build the per-forward quantization context (shared across families)."""
+    qcfg = qcfg if qcfg is not None else QuantModelConfig(())
+    mode = mode or QuantMode()
+    ctx = QuantCtx(qcfg, qstate or {}, mode, mse_session=mse_session)
+    if int_params:
+        ctx.int_params = int_params
+        ctx.use_pallas = use_pallas
+    if capture_sites:
+        ctx.capture_sites = set(capture_sites)
+        ctx.capture_pre_act = capture_pre_act
+    return ctx
+
+
+def prepare_inputs(batch: Mapping[str, Array], position_ids=None):
+    """Default token-type/position ids + HF extended attention-mask bias."""
+    input_ids = batch["input_ids"]
+    B, T = input_ids.shape
+    attention_mask = batch.get("attention_mask")
+    token_type_ids = batch.get("token_type_ids")
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+    if position_ids is None:
+        position_ids = batch.get("position_ids")
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(jnp.arange(T, dtype=input_ids.dtype),
+                                        (B, T))
+    mask_bias = None
+    if attention_mask is not None:
+        # HF-era extended attention mask: additive -10000 on padding
+        mask_bias = (1.0 - attention_mask[:, None, None, :].astype(
+            jnp.float32)) * -10000.0
+    return input_ids, token_type_ids, position_ids, mask_bias
+
+
+def make_dropout_rngs(cfg, train: bool, dropout_rng):
+    if train and dropout_rng is not None:
+        n = 1 + 3 * cfg.num_hidden_layers + 1
+        return list(jax.random.split(dropout_rng, n))
+    return None
+
+
+def run_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
+                first_site: str):
+    """Encoder-layer stack shared by BERT and RoBERTa."""
+    h_site = first_site
+    for i in range(cfg.num_hidden_layers):
+        layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
+        h = _layer(ctx, params["layers"][i], cfg, h, mask_bias, f"L{i}.",
+                   train, layer_rngs, h_site=h_site)
+        h_site = f"L{i}.ffn.ln.out"
+    return h, h_site
+
+
 def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                qcfg: Optional[QuantModelConfig] = None,
                qstate: Optional[Dict] = None,
@@ -516,46 +617,17 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
     ``token_type_ids``, ``position_ids``, ``labels``. With ``qcfg=None``
     this is the FP32 baseline (main.py train/validate-baseline paths).
     """
-    qcfg = qcfg if qcfg is not None else QuantModelConfig(())
-    mode = mode or QuantMode()
-    ctx = QuantCtx(qcfg, qstate or {}, mode, mse_session=mse_session)
-    if int_params:
-        ctx.int_params = int_params
-        ctx.use_pallas = use_pallas
-    if capture_sites:
-        ctx.capture_sites = set(capture_sites)
-        ctx.capture_pre_act = capture_pre_act
-
-    input_ids = batch["input_ids"]
-    B, T = input_ids.shape
-    attention_mask = batch.get("attention_mask")
-    token_type_ids = batch.get("token_type_ids")
-    if token_type_ids is None:
-        token_type_ids = jnp.zeros_like(input_ids)
-    position_ids = batch.get("position_ids")
-    if position_ids is None:
-        position_ids = jnp.broadcast_to(jnp.arange(T, dtype=input_ids.dtype),
-                                        (B, T))
-    mask_bias = None
-    if attention_mask is not None:
-        # HF-era extended attention mask: additive -10000 on padding
-        mask_bias = (1.0 - attention_mask[:, None, None, :].astype(
-            jnp.float32)) * -10000.0
-
-    if train and dropout_rng is not None:
-        n = 1 + 3 * cfg.num_hidden_layers + 1
-        rngs = list(jax.random.split(dropout_rng, n))
-    else:
-        rngs = None
+    ctx = make_ctx(qcfg, qstate, mode, mse_session=mse_session,
+                   int_params=int_params, use_pallas=use_pallas,
+                   capture_sites=capture_sites,
+                   capture_pre_act=capture_pre_act)
+    input_ids, token_type_ids, position_ids, mask_bias = prepare_inputs(batch)
+    rngs = make_dropout_rngs(cfg, train, dropout_rng)
 
     h = _embeddings(ctx, params, cfg, input_ids, token_type_ids, position_ids,
                     train, rngs[0] if rngs else None)
-    h_site = "emb.ln.out"
-    for i in range(cfg.num_hidden_layers):
-        layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
-        h = _layer(ctx, params["layers"][i], cfg, h, mask_bias, f"L{i}.",
-                   train, layer_rngs, h_site=h_site)
-        h_site = f"L{i}.ffn.ln.out"
+    h, h_site = run_encoder(ctx, params, cfg, h, mask_bias, train, rngs,
+                            first_site="emb.ln.out")
 
     # pooler: first token -> dense+Tanh fused (quantized_bert.py:374-389)
     pooled = quant_linear(ctx, "pooler.dense", h[:, 0],

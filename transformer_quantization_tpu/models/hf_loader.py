@@ -113,3 +113,51 @@ def load_bert(model_dir: str, num_labels: Optional[int] = None
     cfg = load_bert_config(model_dir, num_labels)
     sd = load_hf_state_dict(model_dir)
     return cfg, bert_params_from_state_dict(sd, cfg)
+
+
+def load_roberta_config(model_dir: str, num_labels: Optional[int] = None):
+    from transformer_quantization_tpu.models.roberta import RobertaConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    return RobertaConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        intermediate_size=hf["intermediate_size"],
+        max_position_embeddings=hf["max_position_embeddings"],
+        type_vocab_size=hf.get("type_vocab_size", 1),
+        hidden_dropout_prob=hf.get("hidden_dropout_prob", 0.1),
+        attention_probs_dropout_prob=hf.get("attention_probs_dropout_prob",
+                                            0.1),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
+        pad_token_id=hf.get("pad_token_id", 1),
+        num_labels=num_labels or len(hf.get("id2label", {0: 0, 1: 1})),
+    )
+
+
+def roberta_params_from_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """Map HF RobertaForSequenceClassification names onto our pytree."""
+    backbone_sd = {k: v for k, v in sd.items()
+                   if not k.startswith("classifier")}
+    # RobertaForSequenceClassification has no pooler and a two-layer head;
+    # satisfy the shared BERT mapper with placeholders, then replace
+    for k in ("roberta.pooler.dense.weight", "roberta.pooler.dense.bias",
+              "classifier.weight", "classifier.bias"):
+        backbone_sd.setdefault(k, np.zeros((1, 1) if k.endswith("weight")
+                                           else (1,), np.float32))
+    params = bert_params_from_state_dict(backbone_sd, cfg, backbone="roberta")
+    del params["pooler"]
+    params["classifier"] = {
+        "dense": _lin(sd, "classifier.dense"),
+        "out_proj": _lin(sd, "classifier.out_proj"),
+    }
+    return params
+
+
+def load_roberta(model_dir: str, num_labels: Optional[int] = None):
+    """Load config + params from a local HF RoBERTa checkpoint directory."""
+    cfg = load_roberta_config(model_dir, num_labels)
+    sd = load_hf_state_dict(model_dir)
+    return cfg, roberta_params_from_state_dict(sd, cfg)

@@ -44,9 +44,27 @@ def pallas_available() -> bool:
     return _PALLAS
 
 
+def _erf(x):
+    # Mosaic has no erf/erfc primitive; Abramowitz-Stegun 7.1.26 rational
+    # approximation (max abs error 1.5e-7) using only exp on the VPU
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    # jax.nn.gelu(approximate=False) lowers via erfc, which Mosaic lacks;
+    # the erf formulation is mathematically identical
+    return 0.5 * x * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
+
+
 _ACTS = {
     None: None,
-    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu": _gelu_exact,
     "tanh": jnp.tanh,
     "relu": jax.nn.relu,
 }
@@ -59,8 +77,7 @@ def _kernel(x_ref, w_ref, wscale_ref, colsum_ref, bias_ref, scal_ref,
     s_x = scal_ref[0, 0]
     zp_x = scal_ref[0, 1]
     # quantize-on-load (int_linear.quantize_activation_int8 semantics)
-    xq = jnp.round(x * pl.reciprocal(s_x, approx=False)) + (
-        zp_x if asym_in else 0.0)
+    xq = jnp.round(x * (1.0 / s_x)) + (zp_x if asym_in else 0.0)
     if asym_in:
         xq = jnp.clip(xq, 0.0, 255.0) - 128.0
     else:
@@ -90,8 +107,7 @@ def _kernel(x_ref, w_ref, wscale_ref, colsum_ref, bias_ref, scal_ref,
             imin = jnp.where(signed_o > 0, -(2.0 ** (out_bits - 1)), 0.0)
         else:
             imin, imax = 0.0, 2.0 ** out_bits - 1
-        y_int = jnp.clip(jnp.round(y * pl.reciprocal(s_o, approx=False))
-                         + zp_o, imin, imax)
+        y_int = jnp.clip(jnp.round(y * (1.0 / s_o)) + zp_o, imin, imax)
         y = s_o * (y_int - zp_o)
     out_ref[:] = y
 
