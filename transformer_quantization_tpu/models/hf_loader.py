@@ -161,3 +161,111 @@ def load_roberta(model_dir: str, num_labels: Optional[int] = None):
     cfg = load_roberta_config(model_dir, num_labels)
     sd = load_hf_state_dict(model_dir)
     return cfg, roberta_params_from_state_dict(sd, cfg)
+
+
+def load_mobilebert_config(model_dir: str, num_labels: Optional[int] = None):
+    from transformer_quantization_tpu.models.mobilebert import MobileBertConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    return MobileBertConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        intermediate_size=hf["intermediate_size"],
+        embedding_size=hf.get("embedding_size", 128),
+        intra_bottleneck_size=hf.get("intra_bottleneck_size", 128),
+        num_feedforward_networks=hf.get("num_feedforward_networks", 4),
+        use_bottleneck=hf.get("use_bottleneck", True),
+        use_bottleneck_attention=hf.get("use_bottleneck_attention", False),
+        key_query_shared_bottleneck=hf.get("key_query_shared_bottleneck",
+                                           True),
+        trigram_input=hf.get("trigram_input", True),
+        hidden_act=hf.get("hidden_act", "relu"),
+        classifier_activation=hf.get("classifier_activation", False),
+        max_position_embeddings=hf["max_position_embeddings"],
+        type_vocab_size=hf.get("type_vocab_size", 2),
+        hidden_dropout_prob=hf.get("hidden_dropout_prob", 0.0),
+        attention_probs_dropout_prob=hf.get("attention_probs_dropout_prob",
+                                            0.1),
+        num_labels=num_labels or len(hf.get("id2label", {0: 0, 1: 1})),
+    )
+
+
+def _nonorm(sd, prefix) -> Dict:
+    return {"weight": jnp.asarray(sd[prefix + ".weight"]),
+            "bias": jnp.asarray(sd[prefix + ".bias"])}
+
+
+def mobilebert_params_from_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """Map HF MobileBertForSequenceClassification names onto our pytree."""
+    sd = {k[len("model."):] if k.startswith("model.") else k: v
+          for k, v in sd.items()}
+    e = "mobilebert.embeddings"
+    params: Dict = {
+        "embeddings": {
+            "word": jnp.asarray(sd[f"{e}.word_embeddings.weight"]),
+            "position": jnp.asarray(sd[f"{e}.position_embeddings.weight"]),
+            "token_type": jnp.asarray(
+                sd[f"{e}.token_type_embeddings.weight"]),
+            "transform": _lin(sd, f"{e}.embedding_transformation"),
+            "norm": _nonorm(sd, f"{e}.LayerNorm"),
+        },
+        "layers": [],
+        "pooler": (_lin(sd, "mobilebert.pooler.dense")
+                   if "mobilebert.pooler.dense.weight" in sd
+                   else {"kernel": None, "bias": None}),
+        "classifier": _lin(sd, "classifier"),
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"mobilebert.encoder.layer.{i}"
+        layer: Dict = {
+            "attn": {
+                "q": _lin(sd, f"{p}.attention.self.query"),
+                "k": _lin(sd, f"{p}.attention.self.key"),
+                "v": _lin(sd, f"{p}.attention.self.value"),
+            },
+            "attn_out": {
+                "dense": _lin(sd, f"{p}.attention.output.dense"),
+                "norm": _nonorm(sd, f"{p}.attention.output.LayerNorm"),
+            },
+            "inter": _lin(sd, f"{p}.intermediate.dense"),
+            "out": {
+                "dense": _lin(sd, f"{p}.output.dense"),
+                "norm": _nonorm(sd, f"{p}.output.LayerNorm"),
+            },
+        }
+        if cfg.use_bottleneck:
+            layer["bottleneck"] = {
+                "input": {
+                    "dense": _lin(sd, f"{p}.bottleneck.input.dense"),
+                    "norm": _nonorm(sd, f"{p}.bottleneck.input.LayerNorm"),
+                },
+            }
+            if cfg.has_shared_kq_bottleneck:
+                layer["bottleneck"]["attention"] = {
+                    "dense": _lin(sd, f"{p}.bottleneck.attention.dense"),
+                    "norm": _nonorm(sd,
+                                    f"{p}.bottleneck.attention.LayerNorm"),
+                }
+            layer["out"]["bn_dense"] = _lin(sd, f"{p}.output.bottleneck.dense")
+            layer["out"]["bn_norm"] = _nonorm(
+                sd, f"{p}.output.bottleneck.LayerNorm")
+        ffns = []
+        for j in range(cfg.num_stacked_ffn):
+            ffns.append({
+                "inter": _lin(sd, f"{p}.ffn.{j}.intermediate.dense"),
+                "dense": _lin(sd, f"{p}.ffn.{j}.output.dense"),
+                "norm": _nonorm(sd, f"{p}.ffn.{j}.output.LayerNorm"),
+            })
+        layer["ffn"] = ffns
+        params["layers"].append(layer)
+    return params
+
+
+def load_mobilebert(model_dir: str, num_labels: Optional[int] = None):
+    """Load config + params from a local HF MobileBERT checkpoint dir."""
+    cfg = load_mobilebert_config(model_dir, num_labels)
+    sd = load_hf_state_dict(model_dir)
+    return cfg, mobilebert_params_from_state_dict(sd, cfg)

@@ -1,0 +1,713 @@
+"""Quantized MobileBERT for sequence classification, TPU-native.
+
+Functional re-design of the reference's
+``QuantizedMobileBertForSequenceClassification``
+(reference: models/quantized_mobilebert.py, 760 LoC — SURVEY.md C26).
+Structure (google/mobilebert-uncased):
+
+- trigram embeddings: 128-d word vectors concatenated with their left and
+  right neighbors into 384-d, then ``embedding_transformation`` to 512-d;
+  sum with position embeddings (quantized), then token-type embeddings
+  (quantized) — note the order differs from BERT
+  (quantized_mobilebert.py:117-166)
+- ``NoNorm`` layers (elementwise ``x*w+b``) everywhere LayerNorm would be;
+  both w and b are quantized through the layer's weight quantizer
+  (QuantNoNorm, quantized_mobilebert.py:58-72)
+- inverted-bottleneck encoder layers: bottleneck-in projections (shared
+  key/query bottleneck), 4 attention heads over 128-d true hidden size,
+  ``num_feedforward_networks - 1`` stacked FFNs each with its own residual
+  quantizer, then intermediate+output with a bottleneck-out back to 512-d
+  with two residual quantizers (quantized_mobilebert.py:405-545)
+- per-site static enable/disable + attn-probs overrides via the MobileBERT
+  ``quant_dict`` (DEFAULT_QUANT_DICT, quantized_mobilebert.py:31-55)
+- pooler is a pass-through when ``classifier_activation`` is false (the
+  released checkpoint's setting), else dense+Tanh fused
+  (quantized_mobilebert.py:549-569)
+- ``quant_setup`` supports only 'all'/'FP_logits'
+  (quantized_mobilebert.py:692-699)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from transformer_quantization_tpu.models import bert as B
+from transformer_quantization_tpu.ops.layers import (
+    dropout,
+    quant_embedding,
+    quant_linear,
+    quant_nonorm,
+)
+from transformer_quantization_tpu.quant.qconfig import (
+    QuantConfigBuilder,
+    QuantDefaults,
+    QuantModelConfig,
+    QuantMode,
+)
+from transformer_quantization_tpu.quant.ranges import OptMethod, RangeMethod
+
+Array = jax.Array
+
+# reference: quantized_mobilebert.py:31-49
+DEFAULT_QUANT_DICT = {
+    "sum_input_pos_embd": True,
+    "sum_token_type_embd": True,
+    "attn_scores": True,
+    "attn_probs": True,
+    "attn_probs_n_bits_act": None,
+    "attn_probs_act_range_method": None,
+    "attn_probs_act_range_options": None,
+    "attn_output": True,
+    "res_self_output": True,
+    "res_output": True,
+    "res_output_bottleneck": True,
+    "res_ffn_output": True,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class MobileBertConfig:
+    """HF ``MobileBertConfig`` subset (google/mobilebert-uncased defaults)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 512
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 4
+    intermediate_size: int = 512
+    embedding_size: int = 128
+    intra_bottleneck_size: int = 128
+    num_feedforward_networks: int = 4
+    use_bottleneck: bool = True
+    use_bottleneck_attention: bool = False
+    key_query_shared_bottleneck: bool = True
+    trigram_input: bool = True
+    hidden_act: str = "relu"
+    classifier_activation: bool = False
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout_prob: float = 0.0
+    attention_probs_dropout_prob: float = 0.1
+    num_labels: int = 2
+    initializer_range: float = 0.02
+
+    @property
+    def true_hidden_size(self) -> int:
+        return (self.intra_bottleneck_size if self.use_bottleneck
+                else self.hidden_size)
+
+    @property
+    def head_dim(self) -> int:
+        return self.true_hidden_size // self.num_attention_heads
+
+    @property
+    def num_stacked_ffn(self) -> int:
+        return self.num_feedforward_networks - 1
+
+    @property
+    def has_shared_kq_bottleneck(self) -> bool:
+        return (self.use_bottleneck and self.key_query_shared_bottleneck
+                and not self.use_bottleneck_attention)
+
+
+def make_quant_dict(partial: Optional[Mapping] = None) -> Dict:
+    """DEFAULT_QUANT_DICT overlaid with user overrides
+    (quantized_mobilebert.py:52-55)."""
+    qd = dict(DEFAULT_QUANT_DICT)
+    qd.update(partial or {})
+    return qd
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def _nonorm_init(dim):
+    return {"weight": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_mobilebert_params(rng: jax.Array, cfg: MobileBertConfig) -> Dict:
+    std = cfg.initializer_range
+    keys = jax.random.split(rng, 8 + cfg.num_hidden_layers)
+    H, TH, E, I = (cfg.hidden_size, cfg.true_hidden_size, cfg.embedding_size,
+                   cfg.intermediate_size)
+
+    def emb(k, n, d):
+        return (std * jax.random.normal(k, (n, d))).astype(jnp.float32)
+
+    trigram_in = 3 * E if cfg.trigram_input else E
+    params: Dict = {
+        "embeddings": {
+            "word": emb(keys[0], cfg.vocab_size, E),
+            "position": emb(keys[1], cfg.max_position_embeddings, H),
+            "token_type": emb(keys[2], cfg.type_vocab_size, H),
+            "transform": B._linear_init(keys[3], H, trigram_in, std),
+            "norm": _nonorm_init(H),
+        },
+        "layers": [],
+        "pooler": (B._linear_init(keys[4], H, H, std)
+                   if cfg.classifier_activation else
+                   {"kernel": None, "bias": None}),
+        "classifier": B._linear_init(keys[5], cfg.num_labels, H, std),
+    }
+    if not cfg.classifier_activation:
+        # HF checkpoints still carry pooler weights; keep a slot for loaders
+        params["pooler"] = B._linear_init(keys[4], H, H, std)
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[8 + i], 16)
+        layer: Dict = {
+            "attn": {
+                "q": B._linear_init(ks[0], TH, TH, std),
+                "k": B._linear_init(ks[1], TH, TH, std),
+                "v": B._linear_init(
+                    ks[2], TH,
+                    TH if cfg.use_bottleneck_attention else H, std),
+            },
+            "attn_out": {
+                "dense": B._linear_init(ks[3], TH, TH, std),
+                "norm": _nonorm_init(TH),
+            },
+            "inter": B._linear_init(ks[4], I, TH, std),
+            "out": {
+                "dense": B._linear_init(ks[5], TH, I, std),
+                "norm": _nonorm_init(TH),
+            },
+        }
+        if cfg.use_bottleneck:
+            layer["bottleneck"] = {
+                "input": {"dense": B._linear_init(ks[6], TH, H, std),
+                          "norm": _nonorm_init(TH)},
+            }
+            if cfg.has_shared_kq_bottleneck:
+                layer["bottleneck"]["attention"] = {
+                    "dense": B._linear_init(ks[7], TH, H, std),
+                    "norm": _nonorm_init(TH),
+                }
+            layer["out"]["bn_dense"] = B._linear_init(ks[8], H, TH, std)
+            layer["out"]["bn_norm"] = _nonorm_init(H)
+        ffns = []
+        for j in range(cfg.num_stacked_ffn):
+            ffns.append({
+                "inter": B._linear_init(ks[9 + 2 * j], I, TH, std),
+                "dense": B._linear_init(ks[10 + 2 * j], TH, I, std),
+                "norm": _nonorm_init(TH),
+            })
+        layer["ffn"] = ffns
+        params["layers"].append(layer)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Quant site inventory
+# ---------------------------------------------------------------------------
+
+
+def _declare_nonorm(b: QuantConfigBuilder, name: str) -> None:
+    b.weight(f"{name}.w")
+    b.act(f"{name}.out")
+
+
+def _declare_dense(b: QuantConfigBuilder, name: str) -> None:
+    b.weight(f"{name}.w")
+    b.act(f"{name}.out")
+
+
+def declare_mobilebert_sites(defaults: QuantDefaults, cfg: MobileBertConfig,
+                             quant_setup: str = "all",
+                             quant_dict: Optional[Mapping] = None
+                             ) -> QuantModelConfig:
+    """Declare every quantizer site, honoring the MobileBERT quant_dict's
+    static enables and attn-probs overrides
+    (quantized_mobilebert.py:77-207)."""
+    qd = make_quant_dict(quant_dict)
+    b = QuantConfigBuilder(defaults)
+
+    b.weight("emb.word.w")
+    b.weight("emb.position.w")
+    b.weight("emb.token_type.w")
+    _declare_dense(b, "emb.transform")
+    b.act("emb.sum_pos", enabled=bool(qd["sum_input_pos_embd"]))
+    b.act("emb.sum_tt", enabled=bool(qd["sum_token_type_embd"]))
+    _declare_nonorm(b, "emb.norm")
+
+    probs_over: Dict = {}
+    if qd["attn_probs_n_bits_act"] is not None:
+        probs_over["n_bits"] = int(qd["attn_probs_n_bits_act"])
+    if qd["attn_probs_act_range_method"] is not None:
+        probs_over["range_method"] = RangeMethod[
+            qd["attn_probs_act_range_method"]]
+    if qd["attn_probs_act_range_options"]:
+        # the only range option the reference recipes use here is
+        # opt_method (quantized_mobilebert.py:195-199)
+        opts = dict(qd["attn_probs_act_range_options"])
+        om = opts.get("opt_method")
+        if om is not None:
+            probs_over["opt_method"] = (om if isinstance(om, OptMethod)
+                                        else OptMethod[om])
+
+    for i in range(cfg.num_hidden_layers):
+        p = f"L{i}."
+        if cfg.use_bottleneck:
+            _declare_dense(b, p + "bn.in.dense")
+            _declare_nonorm(b, p + "bn.in.norm")
+            if cfg.has_shared_kq_bottleneck:
+                _declare_dense(b, p + "bn.attn.dense")
+                _declare_nonorm(b, p + "bn.attn.norm")
+        for lin in ("attn.q", "attn.k", "attn.v"):
+            _declare_dense(b, p + lin)
+        b.act(p + "attn.scores", enabled=bool(qd["attn_scores"]))
+        b.act(p + "attn.probs", enabled=bool(qd["attn_probs"]), **probs_over)
+        b.act(p + "attn.context", enabled=bool(qd["attn_output"]))
+        _declare_dense(b, p + "attn_out.dense")
+        b.act(p + "attn_out.res", enabled=bool(qd["res_self_output"]))
+        _declare_nonorm(b, p + "attn_out.norm")
+        for j in range(cfg.num_stacked_ffn):
+            _declare_dense(b, p + f"ffn{j}.inter")
+            _declare_dense(b, p + f"ffn{j}.dense")
+            b.act(p + f"ffn{j}.res", enabled=bool(qd["res_ffn_output"]))
+            _declare_nonorm(b, p + f"ffn{j}.norm")
+        _declare_dense(b, p + "ffn.inter")
+        _declare_dense(b, p + "out.dense")
+        b.act(p + "out.res", enabled=bool(qd["res_output"]))
+        _declare_nonorm(b, p + "out.norm")
+        if cfg.use_bottleneck:
+            _declare_dense(b, p + "out.bn.dense")
+            b.act(p + "out.bn.res",
+                  enabled=bool(qd["res_output_bottleneck"]))
+            _declare_nonorm(b, p + "out.bn.norm")
+
+    if cfg.classifier_activation:
+        _declare_dense(b, "pooler.dense")
+    b.weight("classifier.w")
+    if quant_setup == "FP_logits":
+        b.act("classifier.out", enabled=False)
+    elif quant_setup in ("all", None):
+        b.act("classifier.out")
+    else:
+        raise ValueError(f"Quantization setup '{quant_setup}' not supported.")
+    return b.build()
+
+
+def apply_mobilebert_quant_dict(qcfg: QuantModelConfig, quant_dict: Mapping,
+                                n_layers: int) -> QuantModelConfig:
+    """MobileBERT consumes its quant_dict at declaration time
+    (the boolean/override language above), not through BERT's letter
+    language (main.py:446 wires letters only for bert_base/large)."""
+    return qcfg
+
+
+def apply_peg_wiring(qcfg: QuantModelConfig, n_layers: int,
+                     **_kw) -> QuantModelConfig:
+    """The reference applies per-embedding/per-group wiring only to BERT
+    (main.py:366-369); MobileBERT passes through unchanged."""
+    return qcfg
+
+
+# ---------------------------------------------------------------------------
+# Weight tensors / AdaRound / int packing
+# ---------------------------------------------------------------------------
+
+
+def _nonorm_range_tensor(p: Dict) -> Array:
+    # shared-quantizer semantic: range covers both w and b (ops/layers.py
+    # quant_nonorm)
+    return jnp.concatenate([p["weight"], p["bias"]])
+
+
+def mobilebert_weight_site_tensors(params: Dict) -> Dict[str, Array]:
+    e = params["embeddings"]
+    out = {
+        "emb.word.w": e["word"],
+        "emb.position.w": e["position"],
+        "emb.token_type.w": e["token_type"],
+        "emb.transform.w": e["transform"]["kernel"],
+        "emb.norm.w": _nonorm_range_tensor(e["norm"]),
+        "classifier.w": params["classifier"]["kernel"],
+    }
+    if params["pooler"].get("kernel") is not None:
+        out["pooler.dense.w"] = params["pooler"]["kernel"]
+    for i, layer in enumerate(params["layers"]):
+        p = f"L{i}."
+        if "bottleneck" in layer:
+            bn = layer["bottleneck"]
+            out[p + "bn.in.dense.w"] = bn["input"]["dense"]["kernel"]
+            out[p + "bn.in.norm.w"] = _nonorm_range_tensor(bn["input"]["norm"])
+            if "attention" in bn:
+                out[p + "bn.attn.dense.w"] = bn["attention"]["dense"]["kernel"]
+                out[p + "bn.attn.norm.w"] = _nonorm_range_tensor(
+                    bn["attention"]["norm"])
+        out[p + "attn.q.w"] = layer["attn"]["q"]["kernel"]
+        out[p + "attn.k.w"] = layer["attn"]["k"]["kernel"]
+        out[p + "attn.v.w"] = layer["attn"]["v"]["kernel"]
+        out[p + "attn_out.dense.w"] = layer["attn_out"]["dense"]["kernel"]
+        out[p + "attn_out.norm.w"] = _nonorm_range_tensor(
+            layer["attn_out"]["norm"])
+        for j, f in enumerate(layer["ffn"]):
+            out[p + f"ffn{j}.inter.w"] = f["inter"]["kernel"]
+            out[p + f"ffn{j}.dense.w"] = f["dense"]["kernel"]
+            out[p + f"ffn{j}.norm.w"] = _nonorm_range_tensor(f["norm"])
+        out[p + "ffn.inter.w"] = layer["inter"]["kernel"]
+        out[p + "out.dense.w"] = layer["out"]["dense"]["kernel"]
+        out[p + "out.norm.w"] = _nonorm_range_tensor(layer["out"]["norm"])
+        if "bn_dense" in layer["out"]:
+            out[p + "out.bn.dense.w"] = layer["out"]["bn_dense"]["kernel"]
+            out[p + "out.bn.norm.w"] = _nonorm_range_tensor(
+                layer["out"]["bn_norm"])
+    return out
+
+
+def mobilebert_adaround_specs(params: Dict, cfg: MobileBertConfig
+                              ) -> List[Tuple[str, Dict]]:
+    """Every weighted module in module order
+    (utils/adaround_utils.py:58-76 enumerates the tree recursively)."""
+    e = params["embeddings"]
+    specs: List[Tuple[str, Dict]] = [
+        ("emb.word", {"kind": "embedding", "w": e["word"]}),
+        ("emb.position", {"kind": "embedding", "w": e["position"]}),
+        ("emb.token_type", {"kind": "embedding", "w": e["token_type"]}),
+        ("emb.transform", {"kind": "linear", "w": e["transform"]["kernel"],
+                           "b": e["transform"]["bias"], "act": None}),
+        ("emb.norm", {"kind": "nonorm",
+                      "w": _nonorm_range_tensor(e["norm"])}),
+    ]
+    act = cfg.hidden_act
+    for i, layer in enumerate(params["layers"]):
+        p = f"L{i}."
+        if "bottleneck" in layer:
+            bn = layer["bottleneck"]
+            specs += [
+                (p + "bn.in.dense",
+                 {"kind": "linear", "w": bn["input"]["dense"]["kernel"],
+                  "b": bn["input"]["dense"]["bias"], "act": None}),
+                (p + "bn.in.norm",
+                 {"kind": "nonorm",
+                  "w": _nonorm_range_tensor(bn["input"]["norm"])}),
+            ]
+            if "attention" in bn:
+                specs += [
+                    (p + "bn.attn.dense",
+                     {"kind": "linear", "w": bn["attention"]["dense"]["kernel"],
+                      "b": bn["attention"]["dense"]["bias"], "act": None}),
+                    (p + "bn.attn.norm",
+                     {"kind": "nonorm",
+                      "w": _nonorm_range_tensor(bn["attention"]["norm"])}),
+                ]
+        a, so = layer["attn"], layer["attn_out"]
+        specs += [
+            (p + "attn.q", {"kind": "linear", "w": a["q"]["kernel"],
+                            "b": a["q"]["bias"], "act": None}),
+            (p + "attn.k", {"kind": "linear", "w": a["k"]["kernel"],
+                            "b": a["k"]["bias"], "act": None}),
+            (p + "attn.v", {"kind": "linear", "w": a["v"]["kernel"],
+                            "b": a["v"]["bias"], "act": None}),
+            (p + "attn_out.dense", {"kind": "linear",
+                                    "w": so["dense"]["kernel"],
+                                    "b": so["dense"]["bias"], "act": None}),
+            (p + "attn_out.norm", {"kind": "nonorm",
+                                   "w": _nonorm_range_tensor(so["norm"])}),
+        ]
+        for j, f in enumerate(layer["ffn"]):
+            specs += [
+                (p + f"ffn{j}.inter", {"kind": "linear",
+                                       "w": f["inter"]["kernel"],
+                                       "b": f["inter"]["bias"], "act": act}),
+                (p + f"ffn{j}.dense", {"kind": "linear",
+                                       "w": f["dense"]["kernel"],
+                                       "b": f["dense"]["bias"], "act": None}),
+                (p + f"ffn{j}.norm", {"kind": "nonorm",
+                                      "w": _nonorm_range_tensor(f["norm"])}),
+            ]
+        o = layer["out"]
+        specs += [
+            (p + "ffn.inter", {"kind": "linear", "w": layer["inter"]["kernel"],
+                               "b": layer["inter"]["bias"], "act": act}),
+            (p + "out.dense", {"kind": "linear", "w": o["dense"]["kernel"],
+                               "b": o["dense"]["bias"], "act": None}),
+            (p + "out.norm", {"kind": "nonorm",
+                              "w": _nonorm_range_tensor(o["norm"])}),
+        ]
+        if "bn_dense" in o:
+            specs += [
+                (p + "out.bn.dense", {"kind": "linear",
+                                      "w": o["bn_dense"]["kernel"],
+                                      "b": o["bn_dense"]["bias"],
+                                      "act": None}),
+                (p + "out.bn.norm", {"kind": "nonorm",
+                                     "w": _nonorm_range_tensor(o["bn_norm"])}),
+            ]
+    if cfg.classifier_activation:
+        specs.append(("pooler.dense",
+                      {"kind": "linear", "w": params["pooler"]["kernel"],
+                       "b": params["pooler"]["bias"], "act": "tanh"}))
+    specs.append(("classifier",
+                  {"kind": "linear", "w": params["classifier"]["kernel"],
+                   "b": params["classifier"]["bias"], "act": None}))
+    return specs
+
+
+def build_mobilebert_int_params(params: Dict, qcfg: QuantModelConfig,
+                                qstate: Mapping,
+                                use_int4: bool = False) -> Dict:
+    tensors = {k: v for k, v in mobilebert_weight_site_tensors(params).items()
+               if not k.endswith("norm.w")}
+    return B.pack_int_params(tensors, qcfg, qstate, use_int4=use_int4)
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+
+def _embeddings(ctx, params, cfg: MobileBertConfig, input_ids, token_type_ids,
+                position_ids, train, rng):
+    e = params["embeddings"]
+    x = quant_embedding(ctx, "emb.word", input_ids, e["word"])  # (B, T, E)
+    if cfg.trigram_input:
+        # cat(x_{t+1}, x_t, x_{t-1}) along features, zero-padded at the ends
+        # (quantized_mobilebert.py:141-156)
+        nxt = jnp.pad(x[:, 1:], ((0, 0), (0, 1), (0, 0)))
+        prv = jnp.pad(x[:, :-1], ((0, 0), (1, 0), (0, 0)))
+        x = jnp.concatenate([nxt, x, prv], axis=2)
+    if cfg.trigram_input or cfg.embedding_size != cfg.hidden_size:
+        x = quant_linear(ctx, "emb.transform", x,
+                         e["transform"]["kernel"], e["transform"]["bias"])
+    pos = quant_embedding(ctx, "emb.position", position_ids, e["position"])
+    tok = quant_embedding(ctx, "emb.token_type", token_type_ids,
+                          e["token_type"])
+    x = ctx.act("emb.sum_pos", x + pos)
+    x = ctx.act("emb.sum_tt", x + tok)
+    x = quant_nonorm(ctx, "emb.norm", x, e["norm"]["weight"],
+                     e["norm"]["bias"])
+    return dropout(x, cfg.hidden_dropout_prob, rng, not train)
+
+
+def _attention(ctx, layer, cfg: MobileBertConfig, q_in, k_in, v_in,
+               layer_input, mask_bias, prefix, train, rng,
+               qk_site=None, v_site=None):
+    """Self-attention + self-output (quantized_mobilebert.py:168-305)."""
+    B_, T, _ = q_in.shape
+    nh, hd, TH = cfg.num_attention_heads, cfg.head_dim, cfg.true_hidden_size
+    a = layer["attn"]
+    q = quant_linear(ctx, prefix + "attn.q", q_in, a["q"]["kernel"],
+                     a["q"]["bias"], input_site=qk_site)
+    k = quant_linear(ctx, prefix + "attn.k", k_in, a["k"]["kernel"],
+                     a["k"]["bias"], input_site=qk_site)
+    v = quant_linear(ctx, prefix + "attn.v", v_in, a["v"]["kernel"],
+                     a["v"]["bias"], input_site=v_site)
+    q = q.reshape(B_, T, nh, hd)
+    k = k.reshape(B_, T, nh, hd)
+    v = v.reshape(B_, T, nh, hd)
+
+    scores = jnp.einsum("bqnd,bknd->bnqk", q, k)
+    scores = ctx.act(prefix + "attn.scores", scores)
+    scores = scores / jnp.sqrt(jnp.asarray(hd, q_in.dtype))
+    if mask_bias is not None:
+        scores = scores + mask_bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = ctx.act(prefix + "attn.probs", probs)
+    probs = dropout(probs, cfg.attention_probs_dropout_prob, rng, not train)
+    context = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(B_, T, TH)
+    context = ctx.act(prefix + "attn.context", context)
+
+    # self-output: dense -> +layer_input residual -> quant -> NoNorm
+    # (no dropout in bottleneck mode, quantized_mobilebert.py:265-305)
+    so = layer["attn_out"]
+    y = quant_linear(ctx, prefix + "attn_out.dense", context,
+                     so["dense"]["kernel"], so["dense"]["bias"],
+                     input_site=prefix + "attn.context")
+    if not cfg.use_bottleneck:
+        y = dropout(y, cfg.hidden_dropout_prob, rng, not train)
+    y = y + layer_input
+    y = ctx.act(prefix + "attn_out.res", y)
+    return quant_nonorm(ctx, prefix + "attn_out.norm", y,
+                        so["norm"]["weight"], so["norm"]["bias"])
+
+
+def _layer(ctx, layer, cfg: MobileBertConfig, h, mask_bias, prefix, train,
+           rng, h_site=None):
+    """One inverted-bottleneck layer (quantized_mobilebert.py:465-545)."""
+    if cfg.use_bottleneck:
+        bn = layer["bottleneck"]
+        bi = bn["input"]
+        layer_input = quant_linear(ctx, prefix + "bn.in.dense", h,
+                                   bi["dense"]["kernel"], bi["dense"]["bias"],
+                                   input_site=h_site)
+        layer_input = quant_nonorm(ctx, prefix + "bn.in.norm", layer_input,
+                                   bi["norm"]["weight"], bi["norm"]["bias"])
+        if cfg.use_bottleneck_attention:
+            q_in = k_in = v_in = layer_input
+            qk_site = v_site = prefix + "bn.in.norm.out"
+        elif cfg.key_query_shared_bottleneck:
+            ba = bn["attention"]
+            shared = quant_linear(ctx, prefix + "bn.attn.dense", h,
+                                  ba["dense"]["kernel"], ba["dense"]["bias"],
+                                  input_site=h_site)
+            shared = quant_nonorm(ctx, prefix + "bn.attn.norm", shared,
+                                  ba["norm"]["weight"], ba["norm"]["bias"])
+            q_in, k_in, v_in = shared, shared, h
+            qk_site, v_site = prefix + "bn.attn.norm.out", h_site
+        else:
+            q_in, k_in, v_in = h, h, h
+            qk_site = v_site = h_site
+    else:
+        q_in = k_in = v_in = layer_input = h
+        qk_site = v_site = h_site
+
+    x = _attention(ctx, layer, cfg, q_in, k_in, v_in, layer_input, mask_bias,
+                   prefix, train, rng, qk_site=qk_site, v_site=v_site)
+
+    # stacked FFNs (quantized_mobilebert.py:446-462, :520-526)
+    x_site = prefix + "attn_out.norm.out"
+    for j, f in enumerate(layer["ffn"]):
+        inter = quant_linear(ctx, prefix + f"ffn{j}.inter", x,
+                             f["inter"]["kernel"], f["inter"]["bias"],
+                             activation=cfg.hidden_act, input_site=x_site)
+        y = quant_linear(ctx, prefix + f"ffn{j}.dense", inter,
+                         f["dense"]["kernel"], f["dense"]["bias"],
+                         input_site=prefix + f"ffn{j}.inter.out")
+        y = y + x
+        y = ctx.act(prefix + f"ffn{j}.res", y)
+        x = quant_nonorm(ctx, prefix + f"ffn{j}.norm", y,
+                         f["norm"]["weight"], f["norm"]["bias"])
+        x_site = prefix + f"ffn{j}.norm.out"
+
+    # intermediate + output (+ bottleneck-out) (quantized_mobilebert.py:
+    # 361-404, :528-545)
+    o = layer["out"]
+    inter = quant_linear(ctx, prefix + "ffn.inter", x,
+                         layer["inter"]["kernel"], layer["inter"]["bias"],
+                         activation=cfg.hidden_act, input_site=x_site)
+    y = quant_linear(ctx, prefix + "out.dense", inter, o["dense"]["kernel"],
+                     o["dense"]["bias"], input_site=prefix + "ffn.inter.out")
+    if not cfg.use_bottleneck:
+        y = dropout(y, cfg.hidden_dropout_prob, rng, not train)
+        y = y + x
+        y = ctx.act(prefix + "out.res", y)
+        return quant_nonorm(ctx, prefix + "out.norm", y, o["norm"]["weight"],
+                            o["norm"]["bias"])
+    y = y + x
+    y = ctx.act(prefix + "out.res", y)
+    y = quant_nonorm(ctx, prefix + "out.norm", y, o["norm"]["weight"],
+                     o["norm"]["bias"])
+    y = quant_linear(ctx, prefix + "out.bn.dense", y, o["bn_dense"]["kernel"],
+                     o["bn_dense"]["bias"],
+                     input_site=prefix + "out.norm.out")
+    y = dropout(y, cfg.hidden_dropout_prob, rng, not train)
+    y = y + h
+    y = ctx.act(prefix + "out.bn.res", y)
+    return quant_nonorm(ctx, prefix + "out.bn.norm", y,
+                        o["bn_norm"]["weight"], o["bn_norm"]["bias"])
+
+
+def mobilebert_apply(params: Dict, batch: Mapping[str, Array],
+                     cfg: MobileBertConfig,
+                     qcfg: Optional[QuantModelConfig] = None,
+                     qstate: Optional[Dict] = None,
+                     mode: Optional[QuantMode] = None,
+                     *, train: bool = False,
+                     dropout_rng: Optional[jax.Array] = None,
+                     mse_session: Optional[Dict] = None,
+                     int_params: Optional[Dict] = None,
+                     use_pallas: bool = False,
+                     capture_sites=None,
+                     capture_pre_act: bool = False) -> Tuple[Dict, Dict]:
+    """Forward pass. Returns ``(outputs, new_qstate)``."""
+    ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
+                     int_params=int_params, use_pallas=use_pallas,
+                     capture_sites=capture_sites,
+                     capture_pre_act=capture_pre_act)
+    input_ids, token_type_ids, position_ids, mask_bias = B.prepare_inputs(
+        batch)
+    if train and dropout_rng is not None:
+        rngs = list(jax.random.split(dropout_rng,
+                                     1 + cfg.num_hidden_layers + 1))
+    else:
+        rngs = None
+
+    h = _embeddings(ctx, params, cfg, input_ids, token_type_ids, position_ids,
+                    train, rngs[0] if rngs else None)
+    h_site = "emb.norm.out"
+    for i in range(cfg.num_hidden_layers):
+        h = _layer(ctx, params["layers"][i], cfg, h, mask_bias, f"L{i}.",
+                   train, rngs[1 + i] if rngs else None, h_site=h_site)
+        h_site = (f"L{i}.out.bn.norm.out" if cfg.use_bottleneck
+                  else f"L{i}.out.norm.out")
+
+    # pooler: first token; pass-through unless classifier_activation
+    # (quantized_mobilebert.py:549-569)
+    pooled = h[:, 0]
+    clf_site = h_site
+    if cfg.classifier_activation:
+        pooled = quant_linear(ctx, "pooler.dense", pooled,
+                              params["pooler"]["kernel"],
+                              params["pooler"]["bias"], activation="tanh",
+                              input_site=h_site)
+        clf_site = "pooler.dense.out"
+    pooled_do = dropout(pooled, cfg.hidden_dropout_prob,
+                        rngs[-1] if rngs else None, not train)
+    logits = quant_linear(ctx, "classifier", pooled_do,
+                          params["classifier"]["kernel"],
+                          params["classifier"]["bias"],
+                          input_site=clf_site)
+
+    outputs = {"logits": logits, "pooled": pooled, "sequence_output": h}
+    labels = batch.get("labels")
+    if labels is not None:
+        if cfg.num_labels == 1:
+            outputs["loss"] = jnp.mean(
+                (logits.reshape(-1) - labels.reshape(-1).astype(jnp.float32))
+                ** 2)
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                                       axis=1)
+            outputs["loss"] = jnp.mean(nll)
+    if capture_sites:
+        outputs["captures"] = getattr(ctx, "captures", {})
+    return outputs, ctx.export()
+
+
+# ---------------------------------------------------------------------------
+# Registry entry
+# ---------------------------------------------------------------------------
+
+
+def family():
+    from transformer_quantization_tpu.models.registry import ModelFamily
+
+    def init_head(rng, cfg):
+        return B._linear_init(rng, cfg.num_labels, cfg.hidden_size,
+                              cfg.initializer_range)
+
+    def load_checkpoint(model_dir, num_labels=None):
+        from transformer_quantization_tpu.models import hf_loader as L
+
+        return L.load_mobilebert(model_dir, num_labels)
+
+    return ModelFamily(
+        name="mobilebert",
+        config_cls=MobileBertConfig,
+        init_params=init_mobilebert_params,
+        init_head=init_head,
+        head_key="classifier",
+        apply=mobilebert_apply,
+        declare_sites=declare_mobilebert_sites,
+        apply_quant_dict=apply_mobilebert_quant_dict,
+        apply_peg=apply_peg_wiring,
+        weight_site_tensors=mobilebert_weight_site_tensors,
+        adaround_specs=mobilebert_adaround_specs,
+        build_int_params=build_mobilebert_int_params,
+        shared_perm_groups=None,
+        load_checkpoint=load_checkpoint,
+        config_presets={"mobilebert_uncased": {}},
+        tiny_preset=dict(vocab_size=2048, hidden_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         intermediate_size=64, embedding_size=16,
+                         intra_bottleneck_size=32,
+                         max_position_embeddings=128),
+    )

@@ -157,6 +157,25 @@ def quant_layernorm(ctx, name: str, x: Array, scale: Array, bias: Array,
     return ctx.act(f"{name}.out", y)
 
 
+def quant_nonorm(ctx, name: str, x: Array, weight: Array,
+                 bias: Array) -> Array:
+    """MobileBERT NoNorm replacement: ``x * w + b`` with w AND b pushed
+    through the same weight-quantizer site, then output act quant
+    (quantized_mobilebert.py:58-72 QuantNoNorm).
+
+    The reference runs weight and bias through one shared quantizer
+    instance; here the stacked ``concat(w, b)`` quantizes through the one
+    site — same grid for both tensors, one range (initialized from the
+    concat), and AdaRound alphas that cover both, exactly like the shared
+    AdaRound quantizer instance does in the reference.
+    """
+    wb_q = ctx.weight(f"{name}.w", jnp.concatenate([weight, bias]))
+    w_q, b_q = jnp.split(wb_q, 2)
+    y = x * w_q + b_q
+    _maybe_capture(ctx, name, x, y)
+    return ctx.act(f"{name}.out", y)
+
+
 def quant_embedding(ctx, name: str, ids: Array, table: Array) -> Array:
     """Embedding lookup from a quantized table.
 

@@ -64,6 +64,14 @@ def make_layer_apply(spec: Dict) -> Callable:
         def apply(t_q, ids, with_act=True):
             return jnp.take(t_q, ids, axis=0)
         return apply
+    if kind == "nonorm":
+        # MobileBERT QuantNoNorm: the optimized "weight" is the stacked
+        # [w; b] so one alpha covers both, like the reference's shared
+        # AdaRound quantizer instance (quantized_mobilebert.py:58-72)
+        def apply(wb_q, x, with_act=True):
+            w_q, b_q = jnp.split(wb_q, 2)
+            return x * w_q + b_q
+        return apply
     raise ValueError(kind)
 
 
@@ -119,7 +127,8 @@ def apply_adaround_to_model(apply_fn, params, qcfg: QuantModelConfig,
                             range_est_batches=None,
                             num_est_batches: int = 1,
                             cross_entropy_layer: Optional[str] = None,
-                            seed: int = 0) -> Dict:
+                            seed: int = 0,
+                            stats_out: Optional[List] = None) -> Dict:
     """Apply AdaRound layer-by-layer; returns qstate with alphas stored.
 
     ``layer_specs`` comes from the model family (e.g.
@@ -191,6 +200,8 @@ def apply_adaround_to_model(apply_fn, params, qcfg: QuantModelConfig,
         st["alpha"] = alpha
         qstate[wsite] = st
         logger.info("Done AdaRound for layer %s: %s", name, stats)
+        if stats_out is not None:
+            stats_out.append((name, stats))
 
     # post_adaround: re-enable act quant and (re-)estimate ranges
     # (utils/adaround_utils.py:116-137)
