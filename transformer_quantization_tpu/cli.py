@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                                 "mobilebert_uncased"])
         g.add_argument("--model-path", default=None,
                        help="local HF checkpoint directory")
+        g.add_argument("--quant-model-path", default=None,
+                       help="framework checkpoint dir (params + calibrated "
+                            "quant state); the reference declares this flag "
+                            "but never consumes it — here it loads/resumes")
         g.add_argument("--tiny-model", action="store_true",
                        help="debug: 2-layer hidden-64 model")
         g.add_argument("--attn-dropout", type=float, default=None)
@@ -276,16 +280,34 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
         for b in est_batches:
             b.pop("example_mask", None)
             b.pop("labels", None)
-        shared = (fam.shared_perm_groups(cfg.num_hidden_layers)
-                  if args.per_groups_permute_shared_h
-                  and fam.shared_perm_groups else None)
-        qstate, eval_mode = prepare_quantized_model(
-            apply_fn, params, qcfg, est_batches[:max(args.num_est_batches, 1)],
-            weight_tensors=fam.weight_site_tensors(params),
-            num_batches=args.num_est_batches, act_quant=act_quant,
-            weight_quant=weight_quant, dynamic=args.dynamic,
-            cross_entropy_layer=args.cross_entropy_layer,
-            permute_batches=est_batches[:10], shared_groups=shared)
+        from transformer_quantization_tpu.utils import checkpoint as CK
+        from transformer_quantization_tpu.quant.qconfig import (
+            Phase as _Phase, QuantMode as _QM)
+
+        if CK.is_checkpoint(args.quant_model_path):
+            # resume a calibrated quant state (reference's --quant-model-path
+            # is declared but dead, transformer_click_options.py:143-147)
+            ck = CK.load_checkpoint(args.quant_model_path)
+            params = ck["params"]
+            qstate = ck.get("qstate", {})
+            eval_mode = _QM(weight_quant=weight_quant, act_quant=act_quant,
+                            weight_phase=_Phase.fix,
+                            act_phase=(_Phase.estimate if args.dynamic
+                                       else _Phase.fix))
+            logger.info("Loaded quantized checkpoint from %s",
+                        args.quant_model_path)
+        else:
+            shared = (fam.shared_perm_groups(cfg.num_hidden_layers)
+                      if args.per_groups_permute_shared_h
+                      and fam.shared_perm_groups else None)
+            qstate, eval_mode = prepare_quantized_model(
+                apply_fn, params, qcfg,
+                est_batches[:max(args.num_est_batches, 1)],
+                weight_tensors=fam.weight_site_tensors(params),
+                num_batches=args.num_est_batches, act_quant=act_quant,
+                weight_quant=weight_quant, dynamic=args.dynamic,
+                cross_entropy_layer=args.cross_entropy_layer,
+                permute_batches=est_batches[:10], shared_groups=shared)
 
         # AdaRound (validate path only, like main.py:566-589)
         if not do_train and weight_quant and args.adaround:
@@ -344,6 +366,17 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
             eval_mode = QuantMode(weight_quant=weight_quant,
                                   act_quant=act_quant,
                                   weight_phase=Phase.fix, act_phase=Phase.fix)
+
+    if args.output_dir:
+        # persist the model (+ calibrated quant state) like Trainer.save_model
+        # + state_dict_adaround.pth (main.py:586-588, :654-656)
+        from transformer_quantization_tpu.utils import checkpoint as CK
+
+        CK.save_checkpoint(
+            os.path.join(args.output_dir, f"checkpoint_{task.name}"),
+            params=params, family=fam.name, cfg=cfg,
+            qstate=qstate if quantized else None,
+            extra={"command": args.command, "seed": args.seed})
 
     # evaluation (incl. MNLI matched+mismatched, main.py:748-784)
     scores = []

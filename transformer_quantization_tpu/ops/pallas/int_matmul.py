@@ -202,7 +202,9 @@ def fused_int8_linear(x, packed, in_spec, in_qp, bias=None, activation=None,
     if w_scale.shape[0] == 1 and n > 1:
         w_scale = jnp.broadcast_to(w_scale, (n,))
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        # interpret only where Mosaic can't compile (CPU tests); the TPU
+        # backend here may be named 'tpu' or 'axon' (remote tunnel)
+        interpret = jax.default_backend() == "cpu"
     y = _fused_call(x.reshape(m, k), packed["w_int"], w_scale,
                     packed["colsum"],
                     None if bias is None else bias.astype(jnp.float32),
