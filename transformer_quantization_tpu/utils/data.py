@@ -46,8 +46,21 @@ class SyntheticTokenizer:
 
 
 def load_tokenizer(model_path: Optional[str], vocab_size: int = 30522):
-    """Local HF tokenizer if available, else the synthetic stand-in."""
+    """Native WordPiece over a local vocab.txt when present, else a local
+    HF tokenizer, else the synthetic stand-in."""
     if model_path:
+        import os
+
+        vocab = os.path.join(model_path, "vocab.txt")
+        if os.path.exists(vocab):
+            try:
+                from transformer_quantization_tpu.utils.native import (
+                    WordPieceTokenizer,
+                )
+
+                return WordPieceTokenizer(vocab)
+            except Exception:
+                pass
         try:
             from transformers import AutoTokenizer
 
