@@ -172,6 +172,8 @@ def fused_int8_linear(x, packed, in_spec, in_qp, bias=None, activation=None,
     n = packed["w_int"].shape[0]
     if x.dtype != jnp.float32 or packed["w_int"].shape[1] != k:
         return None
+    if n % 128 or k % 128:
+        return None  # sub-MXU-tile layers (classifier head): XLA path wins
     lead = x.shape[:-1]
     m = int(np.prod(lead)) if lead else 1
     bm = block_m
