@@ -87,6 +87,18 @@ class TestFusedKernel:
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_int4_matches_xla_int_path(self):
+        x, w, b, wspec, aspec, wqp, aqp = _setup(seed=5)
+        wspec4 = Q.QuantizerSpec(n_bits=4, method=QMethod.symmetric_uniform)
+        wqp4 = Q.set_quant_range(wspec4, jnp.min(w, 1), jnp.max(w, 1))
+        packed = IL.pack_weight_int4(wspec4, wqp4, w)
+        y = fused_int8_linear(x, packed, aspec, aqp, bias=b, interpret=True)
+        assert y is not None
+        x8, s, shift = IL.quantize_activation_int8(aspec, aqp, x)
+        y_ref = IL.int8_linear(x8, s, shift, packed, b, None)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_rejects_unsupported(self):
         x, w, b, wspec, aspec, wqp, aqp = _setup(m=3)  # m too small/odd
         packed = IL.pack_weight_int8(wspec, wqp, w)

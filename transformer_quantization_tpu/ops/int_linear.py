@@ -153,10 +153,13 @@ def int8_embedding_lookup(ids: Array, packed: Dict) -> Array:
 
 def pack_weight_int4(spec: Q.QuantizerSpec, qp: Q.QuantParams,
                      w: Array) -> Dict:
-    """Pack a symmetric 4-bit weight into nibbles: byte = lo | (hi << 4).
+    """Pack a symmetric 4-bit weight into nibbles, split-half layout:
+    ``byte[:, j] = w[:, j] | (w[:, j + K/2] << 4)``.
 
-    TPUs have no native int4 matmul; the Pallas kernel (ops/pallas) unpacks
-    to int8 in VMEM before feeding the MXU (SURVEY.md §7 'Int4 on TPU').
+    TPUs have no native int4 matmul; consumers unpack to int8 before the
+    MXU (SURVEY.md §7 'Int4 on TPU'). The split-half layout makes the
+    in-kernel unpack a major-axis concat (two contraction halves) instead
+    of a minor-axis interleave, which Mosaic vectorizes cleanly.
     """
     assert spec.symmetric and spec.n_bits == 4
     qpe = Q.expand_qparams(qp, w.ndim, 0)
@@ -165,8 +168,10 @@ def pack_weight_int4(spec: Q.QuantizerSpec, qp: Q.QuantParams,
     w_int = jnp.clip(jnp.round(w / scale), int_min, int_max).astype(jnp.int32)
     o, i = w_int.shape
     assert i % 2 == 0
-    u = jnp.asarray(w_int & 0xF, jnp.uint8).reshape(o, i // 2, 2)
-    packed = (u[..., 0] | (u[..., 1] << 4)).astype(jnp.uint8)
+    k2 = i // 2
+    lo = jnp.asarray(w_int[:, :k2] & 0xF, jnp.uint8)
+    hi = jnp.asarray(w_int[:, k2:] & 0xF, jnp.uint8)
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
     return {
         "w_packed": packed,
         "scale": jnp.reshape(Q.scale_of(spec, qp), (-1,)).astype(jnp.float32),
@@ -177,10 +182,9 @@ def pack_weight_int4(spec: Q.QuantizerSpec, qp: Q.QuantParams,
 
 
 def unpack_int4(packed: Array, in_features: int) -> Array:
-    """uint8 nibbles -> int8 in [-8, 7] (sign-extended)."""
+    """Split-half uint8 nibbles -> int8 in [-8, 7] (sign-extended)."""
     lo = (packed & 0xF).astype(jnp.int8)
     hi = (packed >> 4).astype(jnp.int8)
     lo = jnp.where(lo >= 8, lo - 16, lo)
     hi = jnp.where(hi >= 8, hi - 16, hi)
-    w = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], in_features)
-    return w.astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=1).astype(jnp.int8)

@@ -71,8 +71,15 @@ _ACTS = {
 
 
 def _kernel(x_ref, w_ref, wscale_ref, colsum_ref, bias_ref, scal_ref,
-            out_ref, *, activation, asym_in, out_bits, out_sym, has_bias):
-    """One (BM, K) x-tile against the full (N, K) weight."""
+            out_ref, *, activation, asym_in, out_bits, out_sym, has_bias,
+            w4):
+    """One (BM, K) x-tile against the full (N, K) weight.
+
+    ``w4``: the weight ref holds split-half packed int4 nibbles
+    (N, K/2) uint8 — byte j carries columns j (lo) and j + K/2 (hi)
+    (int_linear.pack_weight_int4); unpacked in VMEM, contracted as two
+    int8 halves on the MXU.
+    """
     x = x_ref[:]
     s_x = scal_ref[0, 0]
     zp_x = scal_ref[0, 1]
@@ -84,10 +91,24 @@ def _kernel(x_ref, w_ref, wscale_ref, colsum_ref, bias_ref, scal_ref,
         xq = jnp.clip(xq, -128.0, 127.0)
     x_int8 = xq.astype(jnp.int8)
 
-    acc = jax.lax.dot_general(
-        x_int8, w_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32).astype(jnp.float32)
+    dims = (((1,), (1,)), ((), ()))
+    if w4:
+        p = w_ref[:].astype(jnp.int32)
+        lo = p & 0xF
+        hi = p >> 4
+        lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.int8)
+        hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.int8)
+        k2 = x_int8.shape[1] // 2
+        acc = (jax.lax.dot_general(
+                   x_int8[:, :k2], lo, dimension_numbers=dims,
+                   preferred_element_type=jnp.int32)
+               + jax.lax.dot_general(
+                   x_int8[:, k2:], hi, dimension_numbers=dims,
+                   preferred_element_type=jnp.int32)).astype(jnp.float32)
+    else:
+        acc = jax.lax.dot_general(
+            x_int8, w_ref[:], dimension_numbers=dims,
+            preferred_element_type=jnp.int32).astype(jnp.float32)
 
     if asym_in:
         acc = acc + (128.0 - zp_x) * colsum_ref[0, :]
@@ -115,11 +136,13 @@ def _kernel(x_ref, w_ref, wscale_ref, colsum_ref, bias_ref, scal_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("activation", "asym_in", "out_bits", "out_sym",
-                     "block_m", "interpret"))
+                     "block_m", "interpret", "w4"))
 def _fused_call(x2d, w_int8, w_scale, colsum, bias, scalars, *, activation,
-                asym_in, out_bits, out_sym, block_m, interpret=False):
+                asym_in, out_bits, out_sym, block_m, interpret=False,
+                w4=False):
     m, k = x2d.shape
     n = w_int8.shape[0]
+    kw = w_int8.shape[1]  # k for int8, k/2 for packed int4
     has_bias = bias is not None
     if bias is None:
         bias = jnp.zeros((n,), jnp.float32)
@@ -129,7 +152,7 @@ def _fused_call(x2d, w_int8, w_scale, colsum, bias, scalars, *, activation,
     grid = (m // block_m,)
     kernel = functools.partial(_kernel, activation=activation,
                                asym_in=asym_in, out_bits=out_bits,
-                               out_sym=out_sym, has_bias=has_bias)
+                               out_sym=out_sym, has_bias=has_bias, w4=w4)
     flops = 2 * m * n * k
     return pl.pallas_call(
         kernel,
@@ -137,7 +160,7 @@ def _fused_call(x2d, w_int8, w_scale, colsum, bias, scalars, *, activation,
         in_specs=[
             pl.BlockSpec((block_m, k), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, kw), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -161,18 +184,26 @@ def fused_int8_linear(x, packed, in_spec, in_qp, bias=None, activation=None,
 
     Returns None when the shape/config doesn't fit the fast path (caller
     falls back to the XLA int path): requires f32 input, per-tensor input
-    quantization, int8 (not packed int4) weights, and a flattened batch
-    divisible by ``block_m`` after padding considerations.
+    quantization, int8 or split-half packed int4 weights, and a flattened
+    batch divisible by ``block_m`` after padding considerations.
     """
-    if not _PALLAS or "w_int" not in packed:
+    if not _PALLAS:
         return None
     from transformer_quantization_tpu.quant import quantizers as Q
 
-    k = x.shape[-1]
-    n = packed["w_int"].shape[0]
-    if x.dtype != jnp.float32 or packed["w_int"].shape[1] != k:
+    w4 = "w_packed" in packed
+    w_arr = packed["w_packed"] if w4 else packed.get("w_int")
+    if w_arr is None:
         return None
-    if n % 128 or k % 128:
+    k = x.shape[-1]
+    n = w_arr.shape[0]
+    if x.dtype != jnp.float32 or w_arr.shape[1] * (2 if w4 else 1) != k:
+        return None
+    if interpret is None:
+        # interpret only where Mosaic can't compile (CPU tests); the TPU
+        # backend here may be named 'tpu' or 'axon' (remote tunnel)
+        interpret = jax.default_backend() == "cpu"
+    if not interpret and (n % 128 or k % 128):
         return None  # sub-MXU-tile layers (classifier head): XLA path wins
     lead = x.shape[:-1]
     m = int(np.prod(lead)) if lead else 1
@@ -203,14 +234,10 @@ def fused_int8_linear(x, packed, in_spec, in_qp, bias=None, activation=None,
     w_scale = packed["scale"]
     if w_scale.shape[0] == 1 and n > 1:
         w_scale = jnp.broadcast_to(w_scale, (n,))
-    if interpret is None:
-        # interpret only where Mosaic can't compile (CPU tests); the TPU
-        # backend here may be named 'tpu' or 'axon' (remote tunnel)
-        interpret = jax.default_backend() == "cpu"
-    y = _fused_call(x.reshape(m, k), packed["w_int"], w_scale,
+    y = _fused_call(x.reshape(m, k), w_arr, w_scale,
                     packed["colsum"],
                     None if bias is None else bias.astype(jnp.float32),
                     scalars, activation=activation, asym_in=asym_in,
                     out_bits=out_bits, out_sym=out_sym, block_m=bm,
-                    interpret=interpret)
+                    interpret=interpret, w4=w4)
     return y.reshape(*lead, n)
