@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--task", action="append", default=None,
                        help="GLUE task (repeatable) or 'all'")
         g.add_argument("--max-seq-length", type=int, default=128)
+        g.add_argument("--pad-to-max-length", dest="pad_to_max_length",
+                       action="store_true", default=True)
+        g.add_argument("--no-pad-to-max-length", dest="pad_to_max_length",
+                       action="store_false")
         g.add_argument("--num-train-samples", type=int, default=None)
         g.add_argument("--num-val-samples", type=int, default=None)
         g.add_argument("--synthetic-data", action="store_true",
@@ -109,6 +113,13 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--no-act-quant", action="store_true")
         g.add_argument("--num-est-batches", type=int, default=1)
         g.add_argument("--est-ranges-batch-size", type=int, default=1)
+        g.add_argument("--est-ranges-pad", dest="est_ranges_pad",
+                       action="store_true", default=None)
+        g.add_argument("--est-ranges-no-pad", dest="est_ranges_pad",
+                       action="store_false",
+                       help="trim calibration batches to their longest real "
+                            "sequence so PAD tokens never enter range "
+                            "estimation; default inherits --pad-to-max-length")
         g.add_argument("--cross-entropy-layer", default=None)
         g.add_argument("--quant-dict", default=None,
                        help="python-literal dict, e.g. \"{'y': 16, 'Et': 2}\"")
@@ -277,9 +288,13 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
 
         est_batches = list(D.batch_iterator(
             train_arr, args.est_ranges_batch_size, drop_last=True))
-        for b in est_batches:
+        est_pad = (args.est_ranges_pad if args.est_ranges_pad is not None
+                   else args.pad_to_max_length)
+        for i, b in enumerate(est_batches):
             b.pop("example_mask", None)
             b.pop("labels", None)
+            if not est_pad:
+                est_batches[i] = D.trim_to_real_length(b)
         from transformer_quantization_tpu.utils import checkpoint as CK
         from transformer_quantization_tpu.quant.qconfig import (
             Phase as _Phase, QuantMode as _QM)

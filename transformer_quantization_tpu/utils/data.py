@@ -105,6 +105,28 @@ def encode_examples(tokenizer, task: GlueTask, examples: List[Dict],
     }
 
 
+def trim_to_real_length(batch: Dict[str, np.ndarray],
+                        multiple: int = 1) -> Dict[str, np.ndarray]:
+    """Trim (B, T) arrays to the batch's longest real sequence.
+
+    The reference's ``--est-ranges-no-pad`` tokenizes calibration batches
+    with dynamic padding so PAD tokens never enter range estimation
+    (transformer_click_options.py:405-410, main.py:504-510). Calibration
+    here is eager, so per-batch shapes are fine; ``multiple`` optionally
+    rounds the length up (e.g. to 8) to bound the shape count.
+    """
+    mask = batch.get("attention_mask")
+    if mask is None:
+        return batch
+    t = int(np.max(np.sum(np.asarray(mask) > 0, axis=1)))
+    t = max(1, -(-t // multiple) * multiple)
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        out[k] = v[:, :t] if v.ndim == 2 and v.shape[1] == mask.shape[1] else v
+    return out
+
+
 def batch_iterator(arrays: Dict[str, np.ndarray], batch_size: int,
                    shuffle: bool = False, rng: Optional[np.random.RandomState]
                    = None, drop_last: bool = False,
