@@ -499,10 +499,12 @@ def _self_attention(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train,
     # quantize raw scores; 1/sqrt(d) is applied after and absorbed into the
     # next quantizer's scale (quantized_bert.py:154, :189-190)
     scores = ctx.act(prefix + "attn.scores", scores)
-    scores = scores / jnp.sqrt(jnp.asarray(hd, h.dtype))
+    scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
     if mask_bias is not None:
-        scores = scores + mask_bias
-    probs = jax.nn.softmax(scores, axis=-1)
+        scores = scores + mask_bias.astype(scores.dtype)
+    # softmax reductions in f32 even when activations ride bf16
+    probs = jax.nn.softmax(scores.astype(jnp.float32),
+                           axis=-1).astype(scores.dtype)
     probs = ctx.act(prefix + "attn.probs", probs)
     probs = dropout(probs, cfg.attention_probs_dropout_prob, rng, not train)
 
@@ -547,7 +549,7 @@ def _layer(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train, rngs,
 
 def make_ctx(qcfg, qstate, mode, *, mse_session=None, int_params=None,
              use_pallas=False, capture_sites=None,
-             capture_pre_act=False) -> QuantCtx:
+             capture_pre_act=False, compute_dtype=None) -> QuantCtx:
     """Build the per-forward quantization context (shared across families)."""
     qcfg = qcfg if qcfg is not None else QuantModelConfig(())
     mode = mode or QuantMode()
@@ -558,6 +560,7 @@ def make_ctx(qcfg, qstate, mode, *, mse_session=None, int_params=None,
     if capture_sites:
         ctx.capture_sites = set(capture_sites)
         ctx.capture_pre_act = capture_pre_act
+    ctx.compute_dtype = compute_dtype
     return ctx
 
 
@@ -610,18 +613,26 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                int_params: Optional[Dict] = None,
                use_pallas: bool = False,
                capture_sites=None,
-               capture_pre_act: bool = False) -> Tuple[Dict, Dict]:
+               capture_pre_act: bool = False,
+               compute_dtype=None) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``.
 
     ``batch`` holds ``input_ids`` (B, T) plus optional ``attention_mask``,
     ``token_type_ids``, ``position_ids``, ``labels``. With ``qcfg=None``
     this is the FP32 baseline (main.py train/validate-baseline paths).
+    ``compute_dtype=jnp.bfloat16`` runs the inference engine with bf16
+    activation storage (quant math stays f32 inside fused chains) —
+    halves the elementwise HBM traffic that dominates the quantized
+    forward on TPU.
     """
     ctx = make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                    int_params=int_params, use_pallas=use_pallas,
                    capture_sites=capture_sites,
-                   capture_pre_act=capture_pre_act)
+                   capture_pre_act=capture_pre_act,
+                   compute_dtype=compute_dtype)
     input_ids, token_type_ids, position_ids, mask_bias = prepare_inputs(batch)
+    if compute_dtype is not None and mask_bias is not None:
+        mask_bias = mask_bias.astype(compute_dtype)
     rngs = make_dropout_rngs(cfg, train, dropout_rng)
 
     h = _embeddings(ctx, params, cfg, input_ids, token_type_ids, position_ids,

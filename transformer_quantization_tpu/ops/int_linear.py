@@ -75,6 +75,8 @@ def quantize_activation_int8(spec: Q.QuantizerSpec, qp: Q.QuantParams,
     scale = Q.scale_of(spec, qp)
     zp = Q.zero_point_of(spec, qp)
     int_min, int_max = Q.int_min_max(spec, qp.signed)
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        x = x.astype(jnp.float32)  # grid arithmetic needs f32 mantissa
     x_int = jnp.clip(jnp.round(x / scale) + zp, int_min, int_max)
     if not spec.symmetric:
         x_int = x_int - 128.0

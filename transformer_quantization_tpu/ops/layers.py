@@ -125,13 +125,17 @@ def quant_linear(ctx, name: str, x: Array, w: Array, b: Optional[Array],
         x_int8, s_x, shift = IL.quantize_activation_int8(in_cfg.spec, in_qp, x)
         y = IL.int8_linear(x_int8, s_x, shift, packed, b, act,
                            matmul=getattr(ctx, "int_matmul", None))
+        y = y.astype(x.dtype)  # bf16 engine: epilogue math f32, storage bf16
         _maybe_capture(ctx, name, x, y)
         return ctx.act(f"{name}.out", y)
 
     w_q = ctx.weight(f"{name}.w", w)
+    if getattr(ctx, "compute_dtype", None) is not None:
+        w_q = w_q.astype(ctx.compute_dtype)
+        x = x.astype(ctx.compute_dtype)
     y = jnp.einsum("...i,oi->...o", x, w_q)
     if b is not None:
-        y = y + b
+        y = (y + b).astype(y.dtype)
     if act is not None and getattr(ctx, "capture_pre_act", False):
         # AdaRound include_act_func=False: target the pre-activation output
         # (adaround/adaround.py:47-49 temporarily strips the act fn)
@@ -149,10 +153,11 @@ def quant_layernorm(ctx, name: str, x: Array, scale: Array, bias: Array,
     """LayerNorm with quantized gamma and quantized output
     (autoquant_utils.py:55-66)."""
     scale_q = ctx.weight(f"{name}.w", scale)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    y = y * scale_q + bias
+    x32 = x.astype(jnp.float32)  # stats in f32 even on the bf16 engine
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * scale_q + bias).astype(x.dtype)
     _maybe_capture(ctx, name, x, y)
     return ctx.act(f"{name}.out", y)
 
@@ -187,12 +192,14 @@ def quant_embedding(ctx, name: str, ids: Array, table: Array) -> Array:
     from transformer_quantization_tpu.ops import int_linear as IL
 
     int_params = getattr(ctx, "int_params", None)
+    cdt = getattr(ctx, "compute_dtype", None)
     if int_params and name in int_params and ctx.mode.weight_quant:
-        return IL.int8_embedding_lookup(ids, int_params[name])
+        rows = IL.int8_embedding_lookup(ids, int_params[name])
+        return rows.astype(cdt) if cdt is not None else rows
     table_q = ctx.weight(f"{name}.w", table)
     rows = jnp.take(table_q, ids, axis=0)
     _maybe_capture(ctx, name, ids, rows)
-    return rows
+    return rows.astype(cdt) if cdt is not None else rows
 
 
 def dropout(x: Array, rate: float, rng: Optional[jax.Array],

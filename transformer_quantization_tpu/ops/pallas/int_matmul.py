@@ -80,7 +80,7 @@ def _kernel(x_ref, w_ref, wscale_ref, colsum_ref, bias_ref, scal_ref,
     (int_linear.pack_weight_int4); unpacked in VMEM, contracted as two
     int8 halves on the MXU.
     """
-    x = x_ref[:]
+    x = x_ref[:].astype(jnp.float32)  # bf16 engine: f32 math in VMEM
     s_x = scal_ref[0, 0]
     zp_x = scal_ref[0, 1]
     # quantize-on-load (int_linear.quantize_activation_int8 semantics)
@@ -130,7 +130,7 @@ def _kernel(x_ref, w_ref, wscale_ref, colsum_ref, bias_ref, scal_ref,
             imin, imax = 0.0, 2.0 ** out_bits - 1
         y_int = jnp.clip(jnp.round(y * (1.0 / s_o)) + zp_o, imin, imax)
         y = s_o * (y_int - zp_o)
-    out_ref[:] = y
+    out_ref[:] = y.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -168,7 +168,7 @@ def _fused_call(x2d, w_int8, w_scale, colsum, bias, scalars, *, activation,
         ],
         out_specs=pl.BlockSpec((block_m, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, n), x2d.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=m * k * 4 + n * k + m * n * 4,
             transcendentals=m * n if activation else 0),
@@ -197,7 +197,9 @@ def fused_int8_linear(x, packed, in_spec, in_qp, bias=None, activation=None,
         return None
     k = x.shape[-1]
     n = w_arr.shape[0]
-    if x.dtype != jnp.float32 or w_arr.shape[1] * (2 if w4 else 1) != k:
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    if w_arr.shape[1] * (2 if w4 else 1) != k:
         return None
     if interpret is None:
         # interpret only where Mosaic can't compile (CPU tests); the TPU

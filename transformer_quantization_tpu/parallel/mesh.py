@@ -76,6 +76,68 @@ def bert_param_pspecs(cfg: BertConfig) -> Dict:
     }
 
 
+def roberta_param_pspecs(cfg) -> Dict:
+    """TP layout for RoBERTa: BERT encoder + two-layer head (replicated)."""
+    base = bert_param_pspecs(cfg)
+    del base["pooler"]
+    base["classifier"] = {"dense": _lin_rep(), "out_proj": _lin_rep()}
+    return base
+
+
+def _nonorm_p() -> Dict:
+    return {"weight": P(), "bias": P()}
+
+
+def mobilebert_param_pspecs(cfg) -> Dict:
+    """TP layout for MobileBERT's inverted-bottleneck layers.
+
+    q/k/v and both intermediates are column-parallel; self-output and FFN
+    output denses row-parallel; bottleneck-in projections column-parallel
+    and bottleneck-out row-parallel, so each block closes with one psum.
+    NoNorm vectors replicate (elementwise, tiny).
+    """
+    def layer():
+        d: Dict = {
+            "attn": {"q": _lin_col(), "k": _lin_col(), "v": _lin_col()},
+            "attn_out": {"dense": _lin_row(), "norm": _nonorm_p()},
+            "inter": _lin_col(),
+            "out": {"dense": _lin_row(), "norm": _nonorm_p()},
+            "ffn": [{"inter": _lin_col(), "dense": _lin_row(),
+                     "norm": _nonorm_p()}
+                    for _ in range(cfg.num_stacked_ffn)],
+        }
+        if cfg.use_bottleneck:
+            d["bottleneck"] = {"input": {"dense": _lin_col(),
+                                         "norm": _nonorm_p()}}
+            if cfg.has_shared_kq_bottleneck:
+                d["bottleneck"]["attention"] = {"dense": _lin_col(),
+                                                "norm": _nonorm_p()}
+            d["out"]["bn_dense"] = _lin_row()
+            d["out"]["bn_norm"] = _nonorm_p()
+        return d
+
+    return {
+        "embeddings": {
+            "word": P(), "position": P(), "token_type": P(),
+            "transform": _lin_rep(), "norm": _nonorm_p(),
+        },
+        "layers": [layer() for _ in range(cfg.num_hidden_layers)],
+        "pooler": _lin_rep(),
+        "classifier": _lin_rep(),
+    }
+
+
+def family_param_pspecs(family: str, cfg) -> Dict:
+    """Dispatch TP parameter layouts by model family."""
+    if family == "bert":
+        return bert_param_pspecs(cfg)
+    if family == "roberta":
+        return roberta_param_pspecs(cfg)
+    if family == "mobilebert":
+        return mobilebert_param_pspecs(cfg)
+    raise KeyError(family)
+
+
 def batch_pspec() -> Dict:
     return P("dp")
 

@@ -261,9 +261,19 @@ def fake_quant(spec: QuantizerSpec, qp: QuantParams, x: Array,
     ``SymmetricUniformQuantizer.forward`` (quantizers.py:189-211). If ``qp``
     holds per-channel params in reduced ``(C,)`` shape, ``axis`` selects the
     channel dimension of ``x`` (default 0, matching per-channel weights).
+
+    Low-precision float inputs (bf16/f16 — the TPU inference engine keeps
+    activations bf16 between ops) upcast to f32 for the grid arithmetic
+    (8-bit grids need more mantissa than bf16 carries) and return in the
+    input dtype; XLA fuses the casts into the surrounding elementwise chain
+    so HBM traffic stays at the narrow width.
     """
     qp = expand_qparams(qp, x.ndim, axis)
-    return from_int(spec, qp, to_int(spec, qp, x))
+    orig_dtype = x.dtype
+    if orig_dtype in (jnp.bfloat16, jnp.float16):
+        x = x.astype(jnp.float32)
+    y = from_int(spec, qp, to_int(spec, qp, x))
+    return y.astype(orig_dtype) if y.dtype != orig_dtype else y
 
 
 def clamped_fraction(spec: QuantizerSpec, qp: QuantParams, x: Array,
