@@ -223,3 +223,53 @@ class TestCapture:
                              approximate=False)
         np.testing.assert_allclose(np.asarray(y), np.asarray(expect),
                                    atol=1e-5)
+
+
+class TestDynamicQuantization:
+    """--dynamic / --per-token: ranges estimated per batch inside the jitted
+    eval step, never fixed (transformer_click_options.py:438-443; the
+    per-token axis wiring is main.py:358-376)."""
+
+    def test_dynamic_eval_jits_and_adapts(self, params):
+        from transformer_quantization_tpu.quant.manager import (
+            init_weight_qstate,
+        )
+
+        qcfg = B.declare_bert_sites(defaults(), CFG)
+        qstate = init_weight_qstate(qcfg, B.bert_weight_site_tensors(params))
+        mode = QuantMode(weight_quant=True, act_quant=True,
+                         weight_phase=Phase.fix, act_phase=Phase.estimate)
+        rng = np.random.RandomState(0)
+        b1, b2 = make_batch(rng, labels=False), make_batch(rng, labels=False)
+        # seed act state eagerly on one batch (shapes), then jit
+        _, qstate = B.bert_apply(params, b1, CFG, qcfg, qstate, mode)
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def step(batch, qstate, mode):
+            out, qs = B.bert_apply(params, batch, CFG, qcfg, qstate, mode)
+            return out["logits"], qs
+
+        l1, qs1 = step(b1, qstate, mode)
+        l2, qs2 = step(b2, qstate, mode)
+        assert np.all(np.isfinite(np.asarray(l1)))
+        # per-batch ranges: the dynamic state actually moved between batches
+        d1 = qs1["L0.ffn.res"]["qp"].delta
+        d2 = qs2["L0.ffn.res"]["qp"].delta
+        assert not np.allclose(np.asarray(d1), np.asarray(d2))
+
+    def test_per_token_dynamic(self, params):
+        from transformer_quantization_tpu.quant.manager import (
+            init_weight_qstate,
+        )
+
+        qcfg = B.declare_bert_sites(defaults(), CFG)
+        qcfg = B.apply_peg_wiring(qcfg, CFG.num_hidden_layers, per_token=True)
+        assert qcfg["L0.ffn.res"].axis == 1
+        qstate = init_weight_qstate(qcfg, B.bert_weight_site_tensors(params))
+        mode = QuantMode(weight_quant=True, act_quant=True,
+                         weight_phase=Phase.fix, act_phase=Phase.estimate)
+        batch = make_batch(np.random.RandomState(1), labels=False)
+        out, qs = B.bert_apply(params, batch, CFG, qcfg, qstate, mode)
+        assert np.all(np.isfinite(np.asarray(out["logits"])))
+        # per-token quantization: one range per sequence position
+        assert qs["L0.ffn.res"]["qp"].delta.shape == (16,)
