@@ -1,0 +1,75 @@
+"""Serving-engine benchmark: tokens/s + latency for quantized BERT-base.
+
+Runs the continuous-batching engine (serving/engine.py) over a synthetic
+request stream against the int8 engine on the current device. Prints one
+JSON line. Usage:
+
+    python scripts/serve_bench.py [--requests 512] [--concurrency 64]
+        [--small] [--bf16]
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=512)
+    ap.add_argument("--concurrency", type=int, default=64)
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 activation engine")
+    args = ap.parse_args()
+
+    from transformer_quantization_tpu.models import bert as B
+    from transformer_quantization_tpu.serving import ServeConfig, ServingEngine
+    import __graft_entry__ as G
+
+    if args.small:
+        cfg = B.BertConfig(vocab_size=512, hidden_size=128,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           intermediate_size=256, max_position_embeddings=128)
+    else:
+        cfg = B.BertConfig()
+
+    params, qcfg, qstate = G._calibrated_bert(cfg, batch_size=2, seq=128)
+    int_params = jax.jit(
+        lambda p, qs: B.build_bert_int_params(p, qcfg, qs))(params, qstate)
+    cdt = jnp.bfloat16 if args.bf16 else None
+
+    @jax.jit
+    def forward(batch):
+        out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate,
+                              int_params=int_params, compute_dtype=cdt)
+        return out["logits"]
+
+    scfg = ServeConfig(max_batch=32, max_wait_ms=2.0,
+                       seq_buckets=(32, 64, 128),
+                       batch_buckets=(1, 2, 4, 8, 16, 32), precompile=True)
+    eng = ServingEngine(forward, scfg)
+
+    rng = np.random.RandomState(0)
+    reqs = [rng.randint(4, cfg.vocab_size,
+                        rng.randint(8, 128)).astype(np.int32)
+            for _ in range(args.requests)]
+    with eng:
+        snap = eng.run_closed_loop(reqs, concurrency=args.concurrency)
+
+    print(json.dumps({
+        "metric": "bert_base_w8a8_serving_tokens_per_sec_per_chip",
+        "value": round(snap["tokens_per_sec"], 1),
+        "unit": "tokens/s",
+        "detail": {k: (round(v, 3) if isinstance(v, float) else v)
+                   for k, v in snap.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

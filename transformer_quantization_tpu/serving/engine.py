@@ -227,6 +227,7 @@ class ServingEngine:
                         concurrency: int = 64) -> Dict:
         """Feed a fixed request list with bounded in-flight concurrency;
         returns the metrics snapshot."""
+        self.metrics = Metrics()  # exclude engine warmup/compiles
         sem = threading.Semaphore(concurrency)
         futures = []
         for ids in requests:
