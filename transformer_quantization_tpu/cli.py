@@ -64,8 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
         g = sp.add_argument_group("model")
         g.add_argument("--model-name", default="bert_base_uncased",
                        choices=["bert_base_uncased", "bert_large_uncased",
-                                "roberta_base", "distilroberta_base",
-                                "mobilebert_uncased"])
+                                "bert_base_cased", "roberta_base",
+                                "distilroberta_base", "mobilebert_uncased"])
         g.add_argument("--model-path", default=None,
                        help="local HF checkpoint directory")
         g.add_argument("--quant-model-path", default=None,

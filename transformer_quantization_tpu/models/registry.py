@@ -65,6 +65,7 @@ def _bert_family() -> ModelFamily:
         load_checkpoint=L.load_bert,
         config_presets={
             "bert_base_uncased": {},
+            "bert_base_cased": dict(vocab_size=28996),
             "bert_large_uncased": dict(hidden_size=1024,
                                        num_hidden_layers=24,
                                        num_attention_heads=16,
@@ -127,6 +128,7 @@ _FAMILIES = {
 # model-name -> family (HF_Models quantizable subset, main.py:216-225)
 MODEL_NAME_TO_FAMILY = {
     "bert_base_uncased": "bert",
+    "bert_base_cased": "bert",
     "bert_large_uncased": "bert",
     "roberta_base": "roberta",
     "distilroberta_base": "roberta",
