@@ -1,0 +1,95 @@
+"""DistilBERT + ALBERT families — capability superset (the reference can
+only run these as FP32 baselines; here they are quantizable too)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformer_quantization_tpu.models.registry import build_model
+from transformer_quantization_tpu.quant.qconfig import QuantDefaults
+from transformer_quantization_tpu.quant.quantizers import QMethod
+from transformer_quantization_tpu.quant.ranges import RangeMethod
+from transformer_quantization_tpu.training.calibration import (
+    prepare_quantized_model,
+)
+
+
+def sym_defaults():
+    return QuantDefaults(method=QMethod.symmetric_uniform,
+                         act_method=QMethod.asymmetric_uniform, n_bits=8,
+                         weight_range_method=RangeMethod.current_minmax,
+                         act_range_method=RangeMethod.current_minmax)
+
+
+@pytest.mark.parametrize("model_name", ["distilbert_base_uncased",
+                                        "albert_base_v2"])
+def test_fp32_and_ptq_and_int_parity(model_name):
+    fam, cfg, params = build_model(model_name, tiny=True, seed=0)
+    rng = np.random.RandomState(0)
+    batch = {"input_ids": jnp.asarray(rng.randint(0, cfg.vocab_size, (4, 16)),
+                                      jnp.int32),
+             "attention_mask": jnp.ones((4, 16), jnp.float32),
+             "labels": jnp.asarray([0, 1, 1, 0], jnp.int32)}
+    out, _ = fam.apply(params, batch, cfg)
+    assert out["logits"].shape == (4, 2)
+    assert np.isfinite(float(out["loss"]))
+
+    qcfg = fam.declare_sites(sym_defaults(), cfg)
+    model_batch = {k: v for k, v in batch.items() if k != "labels"}
+    apply_fn = functools.partial(fam.apply, cfg=cfg)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [model_batch],
+        weight_tensors=fam.weight_site_tensors(params))
+    out_q, _ = fam.apply(params, model_batch, cfg, qcfg, qstate, mode)
+    dq = float(jnp.max(jnp.abs(out_q["logits"] - out["logits"])))
+    assert 0.0 < dq < 5.0
+
+    int_params = fam.build_int_params(params, qcfg, qstate, False)
+    assert int_params
+    out_i, _ = fam.apply(params, model_batch, cfg, qcfg, qstate, mode,
+                         int_params=int_params)
+    np.testing.assert_allclose(np.asarray(out_i["logits"]),
+                               np.asarray(out_q["logits"]),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_albert_weight_sharing():
+    fam, cfg, params = build_model("albert_base_v2", tiny=True, seed=1)
+    qcfg = fam.declare_sites(sym_defaults(), cfg)
+    # one shared set of layer sites, regardless of depth
+    assert "shared.attn.q.w" in qcfg
+    assert "L0.attn.q.w" not in qcfg
+    n_weight = len([1 for n, c in qcfg.items() if c.kind == "weight"])
+    # 4 embedding (3 tables + LN) + proj + 8 shared (6 linear + 2 LN)
+    # + pooler + classifier = 15
+    assert n_weight == 15
+
+
+def test_albert_quant_dict_collapses_layers():
+    fam, cfg, params = build_model("albert_base_v2", tiny=True)
+    qcfg = fam.declare_sites(sym_defaults(), cfg)
+    qcfg = fam.apply_quant_dict(qcfg, {"y1": 16, "C": "fp32"},
+                                cfg.num_hidden_layers)
+    assert qcfg["shared.ffn.res"].spec.n_bits == 16
+    assert not qcfg["classifier.out"].enabled
+
+
+def test_distilbert_no_token_type_site():
+    fam, cfg, params = build_model("distilbert_base_uncased", tiny=True)
+    qcfg = fam.declare_sites(sym_defaults(), cfg)
+    assert not qcfg["emb.token_type.w"].enabled
+    assert "clf.pre.w" in qcfg and "pooler.dense.w" not in qcfg
+
+
+def test_adaround_specs_match_weight_sites():
+    for name in ("distilbert_base_uncased", "albert_base_v2"):
+        fam, cfg, params = build_model(name, tiny=True)
+        qcfg = fam.declare_sites(sym_defaults(), cfg)
+        spec_names = {n for n, _ in fam.adaround_specs(params, cfg)}
+        weight_sites = {n[:-2] for n, c in qcfg.items()
+                        if c.kind == "weight" and c.enabled}
+        assert weight_sites <= spec_names, (name,
+                                            weight_sites - spec_names)

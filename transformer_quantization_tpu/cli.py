@@ -65,7 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--model-name", default="bert_base_uncased",
                        choices=["bert_base_uncased", "bert_large_uncased",
                                 "bert_base_cased", "roberta_base",
-                                "distilroberta_base", "mobilebert_uncased"])
+                                "distilroberta_base", "mobilebert_uncased",
+                                "distilbert_base_uncased", "albert_base_v2",
+                                "albert_large_v2"])
         g.add_argument("--model-path", default=None,
                        help="local HF checkpoint directory")
         g.add_argument("--quant-model-path", default=None,

@@ -69,6 +69,7 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     num_labels: int = 2
     initializer_range: float = 0.02
+    hidden_act: str = "gelu"
 
     @property
     def head_dim(self) -> int:
@@ -535,7 +536,7 @@ def _layer(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train, rngs,
     f = layer["ffn"]
     inter = quant_linear(ctx, prefix + "ffn.inter", attn_out,
                          f["inter"]["kernel"], f["inter"]["bias"],
-                         activation="gelu",
+                         activation=cfg.hidden_act,
                          input_site=prefix + "attn_out.ln.out")
     y = quant_linear(ctx, prefix + "ffn.dense", inter,
                      f["dense"]["kernel"], f["dense"]["bias"],

@@ -1,0 +1,211 @@
+"""Quantized DistilBERT for sequence classification, TPU-native.
+
+The reference lists ``distilbert_base_uncased`` in its model zoo but can
+only run it as an FP32 *baseline* — its quantized model classes cover
+BERT/RoBERTa/MobileBERT only (reference: utils/hf_models.py:26,
+main.py:216-240 raises for anything else). Here DistilBERT is a full
+family: baseline AND quantizable (a capability superset).
+
+Architecture vs BERT (HF ``DistilBertForSequenceClassification``):
+- embeddings have no token-type table (modeled as a disabled site over a
+  zero table so the BERT embedding code is reused verbatim)
+- 6 post-LN encoder layers identical in shape to BERT's
+- no pooler; head = pre_classifier (dense+ReLU) -> dropout -> classifier
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from transformer_quantization_tpu.models import bert as B
+from transformer_quantization_tpu.ops.layers import dropout, quant_linear
+from transformer_quantization_tpu.quant.qconfig import (
+    QuantConfigBuilder,
+    QuantDefaults,
+    QuantModelConfig,
+    QuantMode,
+)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class DistilBertConfig(B.BertConfig):
+    num_hidden_layers: int = 6
+    type_vocab_size: int = 1  # zero table, site disabled
+
+
+def init_distilbert_params(rng: jax.Array, cfg: DistilBertConfig) -> Dict:
+    kb, kh1, kh2 = jax.random.split(rng, 3)
+    params = B.init_bert_params(kb, cfg)
+    params["embeddings"]["token_type"] = jnp.zeros(
+        (cfg.type_vocab_size, cfg.hidden_size), jnp.float32)
+    del params["pooler"]
+    std = cfg.initializer_range
+    params["classifier"] = {
+        "pre": B._linear_init(kh1, cfg.hidden_size, cfg.hidden_size, std),
+        "out": B._linear_init(kh2, cfg.num_labels, cfg.hidden_size, std),
+    }
+    return params
+
+
+def declare_distilbert_sites(defaults: QuantDefaults, cfg: DistilBertConfig,
+                             quant_setup: str = "all",
+                             quant_dict: Optional[Mapping] = None
+                             ) -> QuantModelConfig:
+    quant_dict = quant_dict or {}
+    b = QuantConfigBuilder(defaults)
+    B.declare_embedding_sites(b, quant_dict)
+    B.declare_encoder_sites(b, cfg.num_hidden_layers)
+    b.weight("clf.pre.w")
+    b.act("clf.pre.out")
+    B.declare_classifier_site(b, "clf.out", quant_setup)
+    cfg_tree = b.build()
+    # token-type table is a zero placeholder: never quantize it
+    return cfg_tree.replace_site("emb.token_type.w", enabled=False)
+
+
+def apply_distilbert_quant_dict(qcfg: QuantModelConfig, quant_dict: Mapping,
+                                n_layers: int) -> QuantModelConfig:
+    """BERT letter language with the head keys on pre_classifier/classifier."""
+    ordered = B.encoder_quant_dict_entries(n_layers)
+    ordered += [
+        ("P", ("clf.pre.out",)),
+        ("C", ("clf.out.out",)),
+        ("wP", ("clf.pre.w",)),
+        ("wC", ("clf.out.w",)),
+    ]
+    return B._apply_ordered_quant_dict(qcfg, quant_dict, ordered)
+
+
+def apply_peg_wiring(qcfg: QuantModelConfig, n_layers: int,
+                     per_token: bool = False, per_embd: bool = False,
+                     per_groups: Optional[int] = None,
+                     permute: bool = False) -> QuantModelConfig:
+    return B.apply_peg_wiring(qcfg, n_layers, per_token=per_token,
+                              per_embd=per_embd, per_groups=per_groups,
+                              permute=permute, pooler_site="clf.pre.out")
+
+
+def distilbert_weight_site_tensors(params: Dict) -> Dict[str, Array]:
+    out = B.encoder_weight_site_tensors(params)
+    out.pop("emb.token_type.w", None)
+    out["clf.pre.w"] = params["classifier"]["pre"]["kernel"]
+    out["clf.out.w"] = params["classifier"]["out"]["kernel"]
+    return out
+
+
+def distilbert_adaround_specs(params: Dict, cfg: DistilBertConfig
+                              ) -> List[Tuple[str, Dict]]:
+    specs = [s for s in B.encoder_adaround_specs(params, cfg)
+             if s[0] != "emb.token_type"]
+    c = params["classifier"]
+    specs += [
+        ("clf.pre", {"kind": "linear", "w": c["pre"]["kernel"],
+                     "b": c["pre"]["bias"], "act": "relu"}),
+        ("clf.out", {"kind": "linear", "w": c["out"]["kernel"],
+                     "b": c["out"]["bias"], "act": None}),
+    ]
+    return specs
+
+
+def build_distilbert_int_params(params: Dict, qcfg: QuantModelConfig,
+                                qstate: Mapping,
+                                use_int4: bool = False) -> Dict:
+    return B.pack_int_params(distilbert_weight_site_tensors(params), qcfg,
+                             qstate, use_int4=use_int4)
+
+
+def distilbert_apply(params: Dict, batch: Mapping[str, Array],
+                     cfg: DistilBertConfig,
+                     qcfg: Optional[QuantModelConfig] = None,
+                     qstate: Optional[Dict] = None,
+                     mode: Optional[QuantMode] = None,
+                     *, train: bool = False,
+                     dropout_rng: Optional[jax.Array] = None,
+                     mse_session: Optional[Dict] = None,
+                     int_params: Optional[Dict] = None,
+                     use_pallas: bool = False,
+                     capture_sites=None,
+                     capture_pre_act: bool = False,
+                     compute_dtype=None) -> Tuple[Dict, Dict]:
+    """Forward pass. Returns ``(outputs, new_qstate)``."""
+    ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
+                     int_params=int_params, use_pallas=use_pallas,
+                     capture_sites=capture_sites,
+                     capture_pre_act=capture_pre_act,
+                     compute_dtype=compute_dtype)
+    input_ids, _, position_ids, mask_bias = B.prepare_inputs(batch)
+    token_type_ids = jnp.zeros_like(input_ids)
+    if compute_dtype is not None and mask_bias is not None:
+        mask_bias = mask_bias.astype(compute_dtype)
+    rngs = B.make_dropout_rngs(cfg, train, dropout_rng)
+
+    h = B._embeddings(ctx, params, cfg, input_ids, token_type_ids,
+                      position_ids, train, rngs[0] if rngs else None)
+    h, h_site = B.run_encoder(ctx, params, cfg, h, mask_bias, train, rngs,
+                              first_site="emb.ln.out")
+
+    c = params["classifier"]
+    x = quant_linear(ctx, "clf.pre", h[:, 0], c["pre"]["kernel"],
+                     c["pre"]["bias"], activation="relu",
+                     input_site=h_site)
+    x = dropout(x, cfg.hidden_dropout_prob, rngs[-1] if rngs else None,
+                not train)
+    logits = quant_linear(ctx, "clf.out", x, c["out"]["kernel"],
+                          c["out"]["bias"], input_site="clf.pre.out")
+
+    outputs = {"logits": logits, "sequence_output": h}
+    labels = batch.get("labels")
+    if labels is not None:
+        if cfg.num_labels == 1:
+            outputs["loss"] = jnp.mean(
+                (logits.reshape(-1) - labels.reshape(-1).astype(jnp.float32))
+                ** 2)
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                                       axis=1)
+            outputs["loss"] = jnp.mean(nll)
+    if capture_sites:
+        outputs["captures"] = getattr(ctx, "captures", {})
+    return outputs, ctx.export()
+
+
+def family():
+    from transformer_quantization_tpu.models.registry import ModelFamily
+
+    def init_head(rng, cfg):
+        return init_distilbert_params(
+            rng, dataclasses.replace(cfg, num_hidden_layers=0))["classifier"]
+
+    def load_checkpoint(model_dir, num_labels=None):
+        from transformer_quantization_tpu.models import hf_loader as L
+
+        return L.load_distilbert(model_dir, num_labels)
+
+    return ModelFamily(
+        name="distilbert",
+        config_cls=DistilBertConfig,
+        init_params=init_distilbert_params,
+        init_head=init_head,
+        head_key="classifier",
+        apply=distilbert_apply,
+        declare_sites=declare_distilbert_sites,
+        apply_quant_dict=apply_distilbert_quant_dict,
+        apply_peg=apply_peg_wiring,
+        weight_site_tensors=distilbert_weight_site_tensors,
+        adaround_specs=distilbert_adaround_specs,
+        build_int_params=build_distilbert_int_params,
+        shared_perm_groups=B.shared_permutation_groups,
+        load_checkpoint=load_checkpoint,
+        config_presets={"distilbert_base_uncased": {}},
+        tiny_preset=dict(vocab_size=2048, hidden_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         intermediate_size=128,
+                         max_position_embeddings=128),
+    )

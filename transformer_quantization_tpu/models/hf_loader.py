@@ -269,3 +269,122 @@ def load_mobilebert(model_dir: str, num_labels: Optional[int] = None):
     cfg = load_mobilebert_config(model_dir, num_labels)
     sd = load_hf_state_dict(model_dir)
     return cfg, mobilebert_params_from_state_dict(sd, cfg)
+
+
+def load_albert(model_dir: str, num_labels: Optional[int] = None):
+    """Load a local HF AlbertForSequenceClassification checkpoint
+    (1 hidden group / 1 inner layer — the released v2 configs)."""
+    from transformer_quantization_tpu.models.albert import AlbertConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    assert hf.get("num_hidden_groups", 1) == 1
+    assert hf.get("inner_group_num", 1) == 1
+    cfg = AlbertConfig(
+        vocab_size=hf["vocab_size"],
+        embedding_size=hf.get("embedding_size", 128),
+        hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        intermediate_size=hf["intermediate_size"],
+        max_position_embeddings=hf["max_position_embeddings"],
+        type_vocab_size=hf.get("type_vocab_size", 2),
+        hidden_dropout_prob=hf.get("hidden_dropout_prob", 0.0),
+        attention_probs_dropout_prob=hf.get(
+            "attention_probs_dropout_prob", 0.0),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
+        hidden_act=hf.get("hidden_act", "gelu_new"),
+        num_labels=num_labels or len(hf.get("id2label", {0: 0, 1: 1})),
+    )
+    sd = load_hf_state_dict(model_dir)
+    e = "albert.embeddings"
+    lyr = "albert.encoder.albert_layer_groups.0.albert_layers.0"
+    params = {
+        "embeddings": {
+            "word": jnp.asarray(sd[f"{e}.word_embeddings.weight"]),
+            "position": jnp.asarray(sd[f"{e}.position_embeddings.weight"]),
+            "token_type": jnp.asarray(
+                sd[f"{e}.token_type_embeddings.weight"]),
+            "ln": _ln(sd, f"{e}.LayerNorm"),
+        },
+        "emb_proj": _lin(sd, "albert.encoder.embedding_hidden_mapping_in"),
+        "shared": {
+            "attn": {
+                "q": _lin(sd, f"{lyr}.attention.query"),
+                "k": _lin(sd, f"{lyr}.attention.key"),
+                "v": _lin(sd, f"{lyr}.attention.value"),
+            },
+            "attn_out": {
+                "dense": _lin(sd, f"{lyr}.attention.dense"),
+                "ln": _ln(sd, f"{lyr}.attention.LayerNorm"),
+            },
+            "ffn": {
+                "inter": _lin(sd, f"{lyr}.ffn"),
+                "dense": _lin(sd, f"{lyr}.ffn_output"),
+                "ln": _ln(sd, f"{lyr}.full_layer_layer_norm"),
+            },
+        },
+        "pooler": _lin(sd, "albert.pooler"),
+        "classifier": _lin(sd, "classifier"),
+    }
+    return cfg, params
+
+
+def load_distilbert(model_dir: str, num_labels: Optional[int] = None):
+    """Load a local HF DistilBertForSequenceClassification checkpoint.
+
+    HF name mapping: ``distilbert.transformer.layer.{i}`` with
+    q_lin/k_lin/v_lin/out_lin, sa_layer_norm, ffn.lin1/lin2,
+    output_layer_norm; head = pre_classifier + classifier.
+    """
+    from transformer_quantization_tpu.models.distilbert import (
+        DistilBertConfig,
+    )
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    cfg = DistilBertConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf.get("dim", 768),
+        num_hidden_layers=hf.get("n_layers", 6),
+        num_attention_heads=hf.get("n_heads", 12),
+        intermediate_size=hf.get("hidden_dim", 3072),
+        max_position_embeddings=hf.get("max_position_embeddings", 512),
+        hidden_dropout_prob=hf.get("dropout", 0.1),
+        attention_probs_dropout_prob=hf.get("attention_dropout", 0.1),
+        num_labels=num_labels or len(hf.get("id2label", {0: 0, 1: 1})),
+    )
+    sd = load_hf_state_dict(model_dir)
+    e = "distilbert.embeddings"
+    params = {
+        "embeddings": {
+            "word": jnp.asarray(sd[f"{e}.word_embeddings.weight"]),
+            "position": jnp.asarray(sd[f"{e}.position_embeddings.weight"]),
+            "token_type": jnp.zeros((1, cfg.hidden_size), jnp.float32),
+            "ln": _ln(sd, f"{e}.LayerNorm"),
+        },
+        "layers": [],
+        "classifier": {
+            "pre": _lin(sd, "pre_classifier"),
+            "out": _lin(sd, "classifier"),
+        },
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"distilbert.transformer.layer.{i}"
+        params["layers"].append({
+            "attn": {
+                "q": _lin(sd, f"{p}.attention.q_lin"),
+                "k": _lin(sd, f"{p}.attention.k_lin"),
+                "v": _lin(sd, f"{p}.attention.v_lin"),
+            },
+            "attn_out": {
+                "dense": _lin(sd, f"{p}.attention.out_lin"),
+                "ln": _ln(sd, f"{p}.sa_layer_norm"),
+            },
+            "ffn": {
+                "inter": _lin(sd, f"{p}.ffn.lin1"),
+                "dense": _lin(sd, f"{p}.ffn.lin2"),
+                "ln": _ln(sd, f"{p}.output_layer_norm"),
+            },
+        })
+    return cfg, params

@@ -119,10 +119,24 @@ def _mobilebert_family() -> ModelFamily:
     return M.family()
 
 
+def _distilbert_family() -> ModelFamily:
+    from transformer_quantization_tpu.models import distilbert as D
+
+    return D.family()
+
+
+def _albert_family() -> ModelFamily:
+    from transformer_quantization_tpu.models import albert as A
+
+    return A.family()
+
+
 _FAMILIES = {
     "bert": _bert_family,
     "roberta": _roberta_family,
     "mobilebert": _mobilebert_family,
+    "distilbert": _distilbert_family,
+    "albert": _albert_family,
 }
 
 # model-name -> family (HF_Models quantizable subset, main.py:216-225)
@@ -133,6 +147,9 @@ MODEL_NAME_TO_FAMILY = {
     "roberta_base": "roberta",
     "distilroberta_base": "roberta",
     "mobilebert_uncased": "mobilebert",
+    "distilbert_base_uncased": "distilbert",
+    "albert_base_v2": "albert",
+    "albert_large_v2": "albert",
 }
 
 

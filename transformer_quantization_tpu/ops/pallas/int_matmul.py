@@ -62,9 +62,16 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
+def _gelu_new(x):
+    # tanh-approximate gelu (ALBERT's gelu_new)
+    c = np.float32(np.sqrt(2.0 / np.pi))
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
 _ACTS = {
     None: None,
     "gelu": _gelu_exact,
+    "gelu_new": _gelu_new,
     "tanh": jnp.tanh,
     "relu": jax.nn.relu,
 }
