@@ -93,3 +93,47 @@ def test_adaround_specs_match_weight_sites():
                         if c.kind == "weight" and c.enabled}
         assert weight_sites <= spec_names, (name,
                                             weight_sites - spec_names)
+
+
+def test_squeezebert_family():
+    fam, cfg, params = build_model("squeezebert_uncased", tiny=True, seed=3)
+    rng = np.random.RandomState(3)
+    batch = {"input_ids": jnp.asarray(
+                 rng.randint(0, cfg.vocab_size, (4, 16)), jnp.int32),
+             "attention_mask": jnp.ones((4, 16), jnp.float32)}
+    out, _ = fam.apply(params, batch, cfg)
+    qcfg = fam.declare_sites(sym_defaults(), cfg)
+    apply_fn = functools.partial(fam.apply, cfg=cfg)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [batch],
+        weight_tensors=fam.weight_site_tensors(params))
+    out_q, _ = fam.apply(params, batch, cfg, qcfg, qstate, mode)
+    dq = float(jnp.max(jnp.abs(out_q["logits"] - out["logits"])))
+    assert 0.0 < dq < 5.0
+    # grouped kernels are (out, in/groups)
+    k = params["layers"][0]["attn"]["q"]["kernel"]
+    assert k.shape == (cfg.hidden_size, cfg.hidden_size // cfg.q_groups)
+
+
+def test_grouped_linear_matches_blockdiag_dense():
+    from transformer_quantization_tpu.models import bert as B
+    from transformer_quantization_tpu.ops.layers import quant_grouped_linear
+    from transformer_quantization_tpu.quant.qconfig import (
+        QuantModelConfig, QuantMode)
+
+    rng = np.random.RandomState(4)
+    g, out_f, in_f = 4, 16, 8
+    w = jnp.asarray(rng.normal(0, 0.2, (out_f, in_f // g)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (out_f,)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (3, in_f)), jnp.float32)
+    ctx = B.make_ctx(QuantModelConfig(()), {}, QuantMode())
+    y = quant_grouped_linear(ctx, "t", x, w, b, g)
+    # dense equivalent: block-diagonal weight
+    wd = np.zeros((out_f, in_f), np.float32)
+    og, ig = out_f // g, in_f // g
+    for j in range(g):
+        wd[j * og:(j + 1) * og, j * ig:(j + 1) * ig] = \
+            np.asarray(w)[j * og:(j + 1) * og]
+    y_ref = x @ wd.T + b
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)

@@ -67,7 +67,7 @@ def build_parser() -> argparse.ArgumentParser:
                                 "bert_base_cased", "roberta_base",
                                 "distilroberta_base", "mobilebert_uncased",
                                 "distilbert_base_uncased", "albert_base_v2",
-                                "albert_large_v2"])
+                                "albert_large_v2", "squeezebert_uncased"])
         g.add_argument("--model-path", default=None,
                        help="local HF checkpoint directory")
         g.add_argument("--quant-model-path", default=None,

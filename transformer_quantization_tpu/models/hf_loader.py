@@ -330,6 +330,81 @@ def load_albert(model_dir: str, num_labels: Optional[int] = None):
     return cfg, params
 
 
+def load_squeezebert(model_dir: str, num_labels: Optional[int] = None):
+    """Load a local HF SqueezeBertForSequenceClassification checkpoint.
+
+    Kernel-size-1 conv weights ``(O, I/g, 1)`` squeeze to the grouped
+    kernel layout ``(O, I/g)``.
+    """
+    from transformer_quantization_tpu.models.squeezebert import (
+        SqueezeBertConfig,
+    )
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    cfg = SqueezeBertConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        intermediate_size=hf["intermediate_size"],
+        max_position_embeddings=hf["max_position_embeddings"],
+        type_vocab_size=hf.get("type_vocab_size", 2),
+        hidden_dropout_prob=hf.get("hidden_dropout_prob", 0.1),
+        attention_probs_dropout_prob=hf.get("attention_probs_dropout_prob",
+                                            0.1),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
+        hidden_act=hf.get("hidden_act", "gelu"),
+        q_groups=hf.get("q_groups", 4),
+        k_groups=hf.get("k_groups", 4),
+        v_groups=hf.get("v_groups", 4),
+        post_attention_groups=hf.get("post_attention_groups", 1),
+        intermediate_groups=hf.get("intermediate_groups", 4),
+        output_groups=hf.get("output_groups", 4),
+        num_labels=num_labels or len(hf.get("id2label", {0: 0, 1: 1})),
+    )
+    sd = load_hf_state_dict(model_dir)
+
+    def _conv(prefix):
+        return {"kernel": jnp.asarray(sd[prefix + ".weight"]).squeeze(-1),
+                "bias": jnp.asarray(sd[prefix + ".bias"])}
+
+    e = "transformer.embeddings" if "transformer.embeddings." \
+        "word_embeddings.weight" in sd else "squeezebert.embeddings"
+    root = e.rsplit(".", 1)[0]
+    params = {
+        "embeddings": {
+            "word": jnp.asarray(sd[f"{e}.word_embeddings.weight"]),
+            "position": jnp.asarray(sd[f"{e}.position_embeddings.weight"]),
+            "token_type": jnp.asarray(
+                sd[f"{e}.token_type_embeddings.weight"]),
+            "ln": _ln(sd, f"{e}.LayerNorm"),
+        },
+        "layers": [],
+        "pooler": _lin(sd, f"{root}.pooler.dense"),
+        "classifier": _lin(sd, "classifier"),
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"{root}.encoder.layers.{i}"
+        params["layers"].append({
+            "attn": {
+                "q": _conv(f"{p}.attention.query"),
+                "k": _conv(f"{p}.attention.key"),
+                "v": _conv(f"{p}.attention.value"),
+            },
+            "attn_out": {
+                "dense": _conv(f"{p}.post_attention.conv1d"),
+                "ln": _ln(sd, f"{p}.post_attention.layernorm"),
+            },
+            "ffn": {
+                "inter": _conv(f"{p}.intermediate.conv1d"),
+                "dense": _conv(f"{p}.output.conv1d"),
+                "ln": _ln(sd, f"{p}.output.layernorm"),
+            },
+        })
+    return cfg, params
+
+
 def load_distilbert(model_dir: str, num_labels: Optional[int] = None):
     """Load a local HF DistilBertForSequenceClassification checkpoint.
 

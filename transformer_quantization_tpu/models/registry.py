@@ -131,12 +131,19 @@ def _albert_family() -> ModelFamily:
     return A.family()
 
 
+def _squeezebert_family() -> ModelFamily:
+    from transformer_quantization_tpu.models import squeezebert as S
+
+    return S.family()
+
+
 _FAMILIES = {
     "bert": _bert_family,
     "roberta": _roberta_family,
     "mobilebert": _mobilebert_family,
     "distilbert": _distilbert_family,
     "albert": _albert_family,
+    "squeezebert": _squeezebert_family,
 }
 
 # model-name -> family (HF_Models quantizable subset, main.py:216-225)
@@ -150,6 +157,7 @@ MODEL_NAME_TO_FAMILY = {
     "distilbert_base_uncased": "distilbert",
     "albert_base_v2": "albert",
     "albert_large_v2": "albert",
+    "squeezebert_uncased": "squeezebert",
 }
 
 

@@ -1,0 +1,308 @@
+"""Quantized SqueezeBERT for sequence classification, TPU-native.
+
+The reference lists ``squeezebert_uncased`` in its model zoo but supports
+it only as an FP32 baseline (reference: utils/hf_models.py:31,
+main.py:216-240). Here it is a full, quantizable family.
+
+Architecture (HF ``SqueezeBertForSequenceClassification``): BERT-shaped
+embeddings + encoder whose denses are kernel-size-1 *grouped* Conv1ds —
+block-diagonal linears. The HF implementation runs layers in (B, C, T)
+conv layout; kernel-size-1 convs are layout-independent, so this
+implementation stays in (B, T, C) with a grouped-linear primitive
+(ops/layers.py: quant_grouped_linear) — identical math, and XLA keeps the
+activations in one layout instead of transposing around every layer.
+Group counts follow the HF config: q/k/v and FFN convs grouped (default
+4), post-attention conv grouped, and the pooler/classifier are plain
+denses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from transformer_quantization_tpu.models import bert as B
+from transformer_quantization_tpu.ops.layers import (
+    dropout,
+    quant_grouped_linear,
+    quant_layernorm,
+    quant_linear,
+)
+from transformer_quantization_tpu.quant.qconfig import (
+    QuantConfigBuilder,
+    QuantDefaults,
+    QuantModelConfig,
+    QuantMode,
+)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SqueezeBertConfig(B.BertConfig):
+    q_groups: int = 4
+    k_groups: int = 4
+    v_groups: int = 4
+    post_attention_groups: int = 1
+    intermediate_groups: int = 4
+    output_groups: int = 4
+
+
+def _grouped_init(rng, n_out, n_in, groups, std):
+    k, _ = jax.random.split(rng)
+    return {"kernel": (std * jax.random.normal(
+                k, (n_out, n_in // groups))).astype(jnp.float32),
+            "bias": jnp.zeros((n_out,), jnp.float32)}
+
+
+def init_squeezebert_params(rng: jax.Array, cfg: SqueezeBertConfig) -> Dict:
+    std = cfg.initializer_range
+    base = B.init_bert_params(
+        rng, dataclasses.replace(cfg, num_hidden_layers=0))
+    params = {
+        "embeddings": base["embeddings"],
+        "layers": [],
+        "pooler": base["pooler"],
+        "classifier": base["classifier"],
+    }
+    h, m = cfg.hidden_size, cfg.intermediate_size
+    keys = jax.random.split(jax.random.fold_in(rng, 7),
+                            cfg.num_hidden_layers)
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[i], 6)
+        params["layers"].append({
+            "attn": {
+                "q": _grouped_init(ks[0], h, h, cfg.q_groups, std),
+                "k": _grouped_init(ks[1], h, h, cfg.k_groups, std),
+                "v": _grouped_init(ks[2], h, h, cfg.v_groups, std),
+            },
+            "attn_out": {
+                "dense": _grouped_init(ks[3], h, h,
+                                       cfg.post_attention_groups, std),
+                "ln": B._ln_init(h),
+            },
+            "ffn": {
+                "inter": _grouped_init(ks[4], m, h,
+                                       cfg.intermediate_groups, std),
+                "dense": _grouped_init(ks[5], h, m, cfg.output_groups, std),
+                "ln": B._ln_init(h),
+            },
+        })
+    return params
+
+
+def declare_squeezebert_sites(defaults: QuantDefaults,
+                              cfg: SqueezeBertConfig,
+                              quant_setup: str = "all",
+                              quant_dict: Optional[Mapping] = None
+                              ) -> QuantModelConfig:
+    quant_dict = quant_dict or {}
+    b = QuantConfigBuilder(defaults)
+    B.declare_embedding_sites(b, quant_dict)
+    B.declare_encoder_sites(b, cfg.num_hidden_layers)
+    b.weight("pooler.dense.w")
+    b.act("pooler.dense.out")
+    B.declare_classifier_site(b, "classifier", quant_setup)
+    return b.build()
+
+
+def squeezebert_weight_site_tensors(params: Dict) -> Dict[str, Array]:
+    # identical site names to BERT; tensors are the grouped kernels
+    return B.bert_weight_site_tensors(params)
+
+
+def squeezebert_adaround_specs(params: Dict, cfg: SqueezeBertConfig
+                               ) -> List[Tuple[str, Dict]]:
+    """Grouped layers carry their group count for the local re-apply."""
+    specs = B.encoder_adaround_specs(params, cfg)
+    group_of = {
+        "attn.q": cfg.q_groups, "attn.k": cfg.k_groups,
+        "attn.v": cfg.v_groups, "attn_out.dense": cfg.post_attention_groups,
+        "ffn.inter": cfg.intermediate_groups, "ffn.dense": cfg.output_groups,
+    }
+    out = []
+    for name, spec in specs:
+        suffix = name.split(".", 1)[-1] if name.startswith("L") else name
+        g = group_of.get(suffix)
+        if g and g > 1 and spec["kind"] == "linear":
+            spec = dict(spec, kind="grouped_linear", groups=g)
+        out.append((name, spec))
+    out += [
+        ("pooler.dense", {"kind": "linear", "w": params["pooler"]["kernel"],
+                          "b": params["pooler"]["bias"], "act": "tanh"}),
+        ("classifier", {"kind": "linear", "w": params["classifier"]["kernel"],
+                        "b": params["classifier"]["bias"], "act": None}),
+    ]
+    return out
+
+
+def build_squeezebert_int_params(params: Dict, qcfg: QuantModelConfig,
+                                 qstate: Mapping,
+                                 use_int4: bool = False) -> Dict:
+    """Only the ungrouped sites (embeddings, post-attention when groups=1,
+    pooler, classifier) take the int8 fast path; grouped kernels run
+    fake-quant (block-diagonal int packing is future work)."""
+    tensors = {
+        "emb.word.w": params["embeddings"]["word"],
+        "emb.position.w": params["embeddings"]["position"],
+        "emb.token_type.w": params["embeddings"]["token_type"],
+        "pooler.dense.w": params["pooler"]["kernel"],
+        "classifier.w": params["classifier"]["kernel"],
+    }
+    return B.pack_int_params(tensors, qcfg, qstate, use_int4=use_int4)
+
+
+def _sq_layer(ctx, layer, cfg: SqueezeBertConfig, h, mask_bias, prefix,
+              train, rngs, h_site=None):
+    r0, r1, r2 = rngs if rngs is not None else (None, None, None)
+    Bsz, T, H = h.shape
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+    a = layer["attn"]
+    q = quant_grouped_linear(ctx, prefix + "attn.q", h, a["q"]["kernel"],
+                             a["q"]["bias"], cfg.q_groups, input_site=h_site)
+    k = quant_grouped_linear(ctx, prefix + "attn.k", h, a["k"]["kernel"],
+                             a["k"]["bias"], cfg.k_groups, input_site=h_site)
+    v = quant_grouped_linear(ctx, prefix + "attn.v", h, a["v"]["kernel"],
+                             a["v"]["bias"], cfg.v_groups, input_site=h_site)
+    q = q.reshape(Bsz, T, nh, hd)
+    k = k.reshape(Bsz, T, nh, hd)
+    v = v.reshape(Bsz, T, nh, hd)
+    scores = jnp.einsum("bqnd,bknd->bnqk", q, k)
+    scores = ctx.act(prefix + "attn.scores", scores)
+    scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
+    if mask_bias is not None:
+        scores = scores + mask_bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32),
+                           axis=-1).astype(scores.dtype)
+    probs = ctx.act(prefix + "attn.probs", probs)
+    probs = dropout(probs, cfg.attention_probs_dropout_prob, r0, not train)
+    context = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(Bsz, T, H)
+    context = ctx.act(prefix + "attn.context", context)
+
+    so = layer["attn_out"]
+    y = quant_grouped_linear(ctx, prefix + "attn_out.dense", context,
+                             so["dense"]["kernel"], so["dense"]["bias"],
+                             cfg.post_attention_groups,
+                             input_site=prefix + "attn.context")
+    y = dropout(y, cfg.hidden_dropout_prob, r1, not train)
+    y = y + h
+    y = ctx.act(prefix + "attn_out.res", y)
+    attn_out = quant_layernorm(ctx, prefix + "attn_out.ln", y,
+                               so["ln"]["scale"], so["ln"]["bias"],
+                               cfg.layer_norm_eps)
+
+    f = layer["ffn"]
+    inter = quant_grouped_linear(ctx, prefix + "ffn.inter", attn_out,
+                                 f["inter"]["kernel"], f["inter"]["bias"],
+                                 cfg.intermediate_groups,
+                                 activation=cfg.hidden_act,
+                                 input_site=prefix + "attn_out.ln.out")
+    y = quant_grouped_linear(ctx, prefix + "ffn.dense", inter,
+                             f["dense"]["kernel"], f["dense"]["bias"],
+                             cfg.output_groups,
+                             input_site=prefix + "ffn.inter.out")
+    y = dropout(y, cfg.hidden_dropout_prob, r2, not train)
+    y = y + attn_out
+    y = ctx.act(prefix + "ffn.res", y)
+    return quant_layernorm(ctx, prefix + "ffn.ln", y, f["ln"]["scale"],
+                           f["ln"]["bias"], cfg.layer_norm_eps)
+
+
+def squeezebert_apply(params: Dict, batch: Mapping[str, Array],
+                      cfg: SqueezeBertConfig,
+                      qcfg: Optional[QuantModelConfig] = None,
+                      qstate: Optional[Dict] = None,
+                      mode: Optional[QuantMode] = None,
+                      *, train: bool = False,
+                      dropout_rng: Optional[jax.Array] = None,
+                      mse_session: Optional[Dict] = None,
+                      int_params: Optional[Dict] = None,
+                      use_pallas: bool = False,
+                      capture_sites=None,
+                      capture_pre_act: bool = False,
+                      compute_dtype=None) -> Tuple[Dict, Dict]:
+    """Forward pass. Returns ``(outputs, new_qstate)``."""
+    ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
+                     int_params=int_params, use_pallas=use_pallas,
+                     capture_sites=capture_sites,
+                     capture_pre_act=capture_pre_act,
+                     compute_dtype=compute_dtype)
+    input_ids, token_type_ids, position_ids, mask_bias = B.prepare_inputs(
+        batch)
+    if compute_dtype is not None and mask_bias is not None:
+        mask_bias = mask_bias.astype(compute_dtype)
+    rngs = B.make_dropout_rngs(cfg, train, dropout_rng)
+
+    h = B._embeddings(ctx, params, cfg, input_ids, token_type_ids,
+                      position_ids, train, rngs[0] if rngs else None)
+    h_site = "emb.ln.out"
+    for i in range(cfg.num_hidden_layers):
+        layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
+        h = _sq_layer(ctx, params["layers"][i], cfg, h, mask_bias, f"L{i}.",
+                      train, layer_rngs, h_site=h_site)
+        h_site = f"L{i}.ffn.ln.out"
+
+    pooled = quant_linear(ctx, "pooler.dense", h[:, 0],
+                          params["pooler"]["kernel"],
+                          params["pooler"]["bias"], activation="tanh",
+                          input_site=h_site)
+    pooled = dropout(pooled, cfg.hidden_dropout_prob,
+                     rngs[-1] if rngs else None, not train)
+    logits = quant_linear(ctx, "classifier", pooled,
+                          params["classifier"]["kernel"],
+                          params["classifier"]["bias"],
+                          input_site="pooler.dense.out")
+
+    outputs = {"logits": logits, "pooled": pooled, "sequence_output": h}
+    labels = batch.get("labels")
+    if labels is not None:
+        if cfg.num_labels == 1:
+            outputs["loss"] = jnp.mean(
+                (logits.reshape(-1) - labels.reshape(-1).astype(jnp.float32))
+                ** 2)
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                                       axis=1)
+            outputs["loss"] = jnp.mean(nll)
+    if capture_sites:
+        outputs["captures"] = getattr(ctx, "captures", {})
+    return outputs, ctx.export()
+
+
+def family():
+    from transformer_quantization_tpu.models.registry import ModelFamily
+
+    def init_head(rng, cfg):
+        return B._linear_init(rng, cfg.num_labels, cfg.hidden_size,
+                              cfg.initializer_range)
+
+    def load_checkpoint(model_dir, num_labels=None):
+        from transformer_quantization_tpu.models import hf_loader as L
+
+        return L.load_squeezebert(model_dir, num_labels)
+
+    return ModelFamily(
+        name="squeezebert",
+        config_cls=SqueezeBertConfig,
+        init_params=init_squeezebert_params,
+        init_head=init_head,
+        head_key="classifier",
+        apply=squeezebert_apply,
+        declare_sites=declare_squeezebert_sites,
+        apply_quant_dict=B.apply_bert_quant_dict,
+        apply_peg=B.apply_peg_wiring,
+        weight_site_tensors=squeezebert_weight_site_tensors,
+        adaround_specs=squeezebert_adaround_specs,
+        build_int_params=build_squeezebert_int_params,
+        shared_perm_groups=B.shared_permutation_groups,
+        load_checkpoint=load_checkpoint,
+        config_presets={"squeezebert_uncased": {}},
+        tiny_preset=dict(vocab_size=2048, hidden_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         intermediate_size=128,
+                         max_position_embeddings=128),
+    )

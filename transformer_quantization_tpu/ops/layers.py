@@ -163,6 +163,39 @@ def quant_layernorm(ctx, name: str, x: Array, scale: Array, bias: Array,
     return ctx.act(f"{name}.out", y)
 
 
+def quant_grouped_linear(ctx, name: str, x: Array, w: Array,
+                         b: Optional[Array], groups: int,
+                         activation=None,
+                         input_site: Optional[str] = None) -> Array:
+    """Block-diagonal (grouped) affine layer — SqueezeBERT's kernel-size-1
+    grouped Conv1d in (B, T, C) layout.
+
+    ``w`` is stored ``(out, in/groups)`` (the conv weight squeezed); output
+    group j contracts input group j only. ``groups=1`` degenerates to
+    :func:`quant_linear` semantics (and routes there to keep the int8/
+    Pallas fast paths).
+    """
+    if groups == 1:
+        return quant_linear(ctx, name, x, w, b, activation=activation,
+                            input_site=input_site)
+    act = _resolve_act(activation)
+    w_q = ctx.weight(f"{name}.w", w)
+    if getattr(ctx, "compute_dtype", None) is not None:
+        w_q = w_q.astype(ctx.compute_dtype)
+        x = x.astype(ctx.compute_dtype)
+    out_f, in_g = w_q.shape
+    lead = x.shape[:-1]
+    xg = x.reshape(*lead, groups, in_g)
+    wg = w_q.reshape(groups, out_f // groups, in_g)
+    y = jnp.einsum("...gi,goi->...go", xg, wg).reshape(*lead, out_f)
+    if b is not None:
+        y = (y + b).astype(y.dtype)
+    if act is not None:
+        y = act(y)
+    _maybe_capture(ctx, name, x, y)
+    return ctx.act(f"{name}.out", y)
+
+
 def quant_nonorm(ctx, name: str, x: Array, weight: Array,
                  bias: Array) -> Array:
     """MobileBERT NoNorm replacement: ``x * w + b`` with w AND b pushed

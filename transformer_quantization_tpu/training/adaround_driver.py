@@ -64,6 +64,23 @@ def make_layer_apply(spec: Dict) -> Callable:
         def apply(t_q, ids, with_act=True):
             return jnp.take(t_q, ids, axis=0)
         return apply
+    if kind == "grouped_linear":
+        g = spec["groups"]
+        b = spec.get("b")
+        act = ACTIVATIONS[spec.get("act")]
+
+        def apply(w_q, x, with_act=True):
+            out_f, in_g = w_q.shape
+            lead = x.shape[:-1]
+            xg = x.reshape(*lead, g, in_g)
+            wg = w_q.reshape(g, out_f // g, in_g)
+            y = jnp.einsum("...gi,goi->...go", xg, wg).reshape(*lead, out_f)
+            if b is not None:
+                y = y + b
+            if act is not None and with_act:
+                y = act(y)
+            return y
+        return apply
     if kind == "nonorm":
         # MobileBERT QuantNoNorm: the optimized "weight" is the stacked
         # [w; b] so one alpha covers both, like the reference's shared
