@@ -1,0 +1,63 @@
+"""Quantized collectives under shard_map on the virtual 8-device mesh."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from transformer_quantization_tpu.parallel import collectives as C
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    return Mesh(np.array(jax.devices()[:4]), ("tp",))
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(0, 3.0, (16, 64)), jnp.float32)
+    q, s = C.quantize_shard(x)
+    back = C.dequantize_shard(q, s)
+    err = np.abs(np.asarray(back - x))
+    bound = np.asarray(s) / 2.0 + 1e-6
+    assert np.all(err <= bound)
+
+
+def test_all_gather_int8_close_to_exact(mesh):
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.normal(0, 1.0, (8, 32)), jnp.float32)
+
+    def f(xs):
+        return C.all_gather_int8(xs, "tp", axis=-1)
+
+    got = jax.jit(shard_map(f, mesh=mesh, in_specs=P(None, "tp"),
+                            out_specs=P(None, None), check_rep=False))(x)
+    assert got.shape == x.shape
+    # error bounded by per-row shard absmax / 127 / 2
+    err = float(jnp.max(jnp.abs(got - x)))
+    assert err < float(jnp.max(jnp.abs(x))) / 127.0 + 1e-5
+
+
+def test_row_parallel_matmul_int8(mesh):
+    rng = np.random.RandomState(2)
+    K, N, Bs = 64, 16, 8
+    x = jnp.asarray(rng.normal(0, 1.0, (Bs, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.2, (N, K)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (N,)), jnp.float32)
+    exact = x @ w.T + b
+
+    def f(xs, ws):
+        return C.tp_row_parallel_matmul_int8_gather(xs, ws, "tp", bias=b)
+
+    got = jax.jit(shard_map(f, mesh=mesh, in_specs=(P(None, "tp"),
+                                                    P(None, "tp")),
+                            out_specs=P(None, None), check_rep=False))(x, w)
+    # relative error small vs int8-compressed partials
+    rel = float(jnp.max(jnp.abs(got - exact)) / jnp.max(jnp.abs(exact)))
+    assert rel < 0.02, rel
