@@ -61,3 +61,19 @@ def test_row_parallel_matmul_int8(mesh):
     # relative error small vs int8-compressed partials
     rel = float(jnp.max(jnp.abs(got - exact)) / jnp.max(jnp.abs(exact)))
     assert rel < 0.02, rel
+
+
+def test_psum_scatter_int8(mesh):
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.normal(0, 1.0, (8, 16)), jnp.float32)
+
+    def f(xs):
+        return C.psum_scatter_int8(xs, "tp", scatter_dimension=0)
+
+    got = jax.jit(shard_map(f, mesh=mesh, in_specs=P(None, None),
+                            out_specs=P("tp", None), check_rep=False))(x)
+    # every shard holds the same x here, so the reduction is 4*x scattered
+    exact = 4.0 * x
+    rel = float(jnp.max(jnp.abs(got - exact)) / jnp.max(jnp.abs(exact)))
+    assert got.shape == x.shape
+    assert rel < 0.02, rel

@@ -69,19 +69,15 @@ def psum_scatter_int8(x: Array, axis_name: str, *,
     the conservative formulation: one quantize per hop.
     """
     n = jax.lax.psum(1, axis_name)
-    # split the local tensor into n chunks along the scatter dim
-    chunks = jnp.split(x, n, axis=scatter_dimension)
     idx = jax.lax.axis_index(axis_name)
-    acc = chunks[0] * 0.0
-    # ring: at step k, pass chunk destined for (idx - k) around
-    # simple formulation: gather all int8 chunks, then local reduce
     q, s = quantize_shard(x)
-    qg = jax.lax.all_gather(q, axis_name)           # (n, ...)
+    qg = jax.lax.all_gather(q, axis_name)           # (n, ...) int8
     sg = jax.lax.all_gather(s, axis_name)
-    full = dequantize_shard(qg, sg)                 # (n, ...) f32
-    total = jnp.sum(full, axis=0)
-    mine = jnp.split(total, n, axis=scatter_dimension)[idx]
-    return mine.astype(x.dtype) + acc * 0
+    total = jnp.sum(dequantize_shard(qg, sg), axis=0)  # f32 reduction
+    chunk = total.shape[scatter_dimension] // n
+    mine = jax.lax.dynamic_slice_in_dim(total, idx * chunk, chunk,
+                                        axis=scatter_dimension)
+    return mine.astype(x.dtype)
 
 
 def tp_row_parallel_matmul_int8_gather(x_sharded: Array, w_shard: Array,
