@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
         g = sp.add_argument_group("base")
         g.add_argument("--seed", type=int, default=1000)
         g.add_argument("--output-dir", default=None)
+        g.add_argument("--profile-dir", default=None,
+                       help="write a jax.profiler trace of the run here")
+        g.add_argument("--tb-logging-dir", default=None,
+                       help="TensorBoard events: per-site ranges + scores")
         g = sp.add_argument_group("data")
         g.add_argument("--task", action="append", default=None,
                        help="GLUE task (repeatable) or 'all'")
@@ -246,7 +250,9 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
     )
     from transformer_quantization_tpu.utils import data as D
     from transformer_quantization_tpu.utils import glue as G
+    from transformer_quantization_tpu.utils.profiling import PhaseTimer
 
+    timer = PhaseTimer()
     fam, cfg, params = _load_model(args, num_labels=task.num_labels)
     cfg = dc.replace(cfg, num_labels=task.num_labels)
     if not args.model_path:
@@ -317,14 +323,15 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
             shared = (fam.shared_perm_groups(cfg.num_hidden_layers)
                       if args.per_groups_permute_shared_h
                       and fam.shared_perm_groups else None)
-            qstate, eval_mode = prepare_quantized_model(
-                apply_fn, params, qcfg,
-                est_batches[:max(args.num_est_batches, 1)],
-                weight_tensors=fam.weight_site_tensors(params),
-                num_batches=args.num_est_batches, act_quant=act_quant,
-                weight_quant=weight_quant, dynamic=args.dynamic,
-                cross_entropy_layer=args.cross_entropy_layer,
-                permute_batches=est_batches[:10], shared_groups=shared)
+            with timer.phase("calibration"):
+                qstate, eval_mode = prepare_quantized_model(
+                    apply_fn, params, qcfg,
+                    est_batches[:max(args.num_est_batches, 1)],
+                    weight_tensors=fam.weight_site_tensors(params),
+                    num_batches=args.num_est_batches, act_quant=act_quant,
+                    weight_quant=weight_quant, dynamic=args.dynamic,
+                    cross_entropy_layer=args.cross_entropy_layer,
+                    permute_batches=est_batches[:10], shared_groups=shared)
 
         # AdaRound (validate path only, like main.py:566-589)
         if not do_train and weight_quant and args.adaround:
@@ -350,16 +357,17 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                 batch_size=args.batch_size)
             data_batches = list(D.batch_iterator(train_arr, args.batch_size,
                                                  drop_last=True))
-            qstate = AD.apply_adaround_to_model(
-                apply_fn, params, qcfg, qstate,
-                fam.adaround_specs(params, cfg), data_batches, ar_cfg,
-                batch_size=args.batch_size,
-                act_quant=act_quant and ar_cfg.act_quant_mode
-                == AR.AdaRoundActQuantMode.post_adaround,
-                range_est_batches=est_batches,
-                num_est_batches=args.num_est_batches,
-                cross_entropy_layer=args.cross_entropy_layer,
-                seed=args.seed)
+            with timer.phase("adaround"):
+                qstate = AD.apply_adaround_to_model(
+                    apply_fn, params, qcfg, qstate,
+                    fam.adaround_specs(params, cfg), data_batches, ar_cfg,
+                    batch_size=args.batch_size,
+                    act_quant=act_quant and ar_cfg.act_quant_mode
+                    == AR.AdaRoundActQuantMode.post_adaround,
+                    range_est_batches=est_batches,
+                    num_est_batches=args.num_est_batches,
+                    cross_entropy_layer=args.cross_entropy_layer,
+                    seed=args.seed)
 
     if do_train:
         tcfg = T.TrainConfig(learning_rate=args.learning_rate,
@@ -375,9 +383,10 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                 fix_weight_ranges=args.fix_weight_ranges,
                 fix_act_ranges=args.fix_act_ranges,
                 learning_rate=args.learning_rate)
-        params, qstate = T.train(apply_fn, params, task, train_arr, tcfg,
-                                 qcfg=qcfg, qstate=qstate, qat_cfg=qat_cfg,
-                                 log_fn=logger.info)
+        with timer.phase("train"):
+            params, qstate = T.train(apply_fn, params, task, train_arr, tcfg,
+                                     qcfg=qcfg, qstate=qstate,
+                                     qat_cfg=qat_cfg, log_fn=logger.info)
         if quantized:
             # fix ranges after training for final eval (main.py:659-663)
             eval_mode = QuantMode(weight_quant=weight_quant,
@@ -404,15 +413,25 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                                args.max_seq_length)
         eval_splits.append(("validation_mismatched", mm))
     for split_name, arr in eval_splits:
-        m = T.evaluate(apply_fn, params, qstate, task, arr, qcfg=qcfg,
-                       mode=eval_mode, batch_size=args.eval_batch_size,
-                       num_val_samples=args.num_val_samples)
+        with timer.phase("eval"):
+            m = T.evaluate(apply_fn, params, qstate, task, arr, qcfg=qcfg,
+                           mode=eval_mode, batch_size=args.eval_batch_size,
+                           num_val_samples=args.num_val_samples)
         results[split_name] = m
         scores.append(m.get(task.final_metric, m.get("combined_score")))
         logger.info("Eval results %s/%s: %s", task.name, split_name, m)
         if args.num_val_samples is not None:
             break
     final = float(np.mean(scores))
+    logger.info("Phase timings:\n%s", timer.report())
+
+    if args.tb_logging_dir and quantized and qstate:
+        from transformer_quantization_tpu.utils.telemetry import TBWriter
+
+        w = TBWriter(os.path.join(args.tb_logging_dir, task.name))
+        w.write_range_summary(qcfg, qstate)
+        w.scalar(f"eval/{task.final_metric}", final)
+        w.close()
 
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)
@@ -454,13 +473,16 @@ def main(argv=None):
         with open(os.path.join(args.output_dir, "config.out"), "w") as f:
             f.write(json.dumps(vars(args), indent=2, default=str) + "\n")
 
+    from transformer_quantization_tpu.utils.profiling import trace
+
     task_scores = {}
-    for task in tasks:
-        logger.info("%s task %s", "Training" if do_train else "Validating",
-                    task.name)
-        task_scores[task.name] = run_task(args, task, do_train, quantized)
-        logger.info("Final score %s -> %.2f", task.name,
-                    100.0 * task_scores[task.name])
+    with trace(getattr(args, "profile_dir", None)):
+        for task in tasks:
+            logger.info("%s task %s",
+                        "Training" if do_train else "Validating", task.name)
+            task_scores[task.name] = run_task(args, task, do_train, quantized)
+            logger.info("Final score %s -> %.2f", task.name,
+                        100.0 * task_scores[task.name])
 
     _log_results(task_scores)
     final = float(np.mean(list(task_scores.values())))
