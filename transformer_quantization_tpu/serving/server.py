@@ -1,0 +1,151 @@
+"""HTTP serving front end over the continuous-batching engine.
+
+Minimal stdlib server (zero extra dependencies):
+
+    POST /classify   {"text": "...", "pair": "...?"}  -> {"logits": [...]}
+    GET  /metrics                                      -> engine metrics
+    GET  /healthz                                      -> ok
+
+Start from a checkpoint directory:
+
+    python -m transformer_quantization_tpu.serving.server \
+        --checkpoint out/checkpoint_rte --port 8080 [--bf16]
+
+Requests are tokenized (native C++ WordPiece when a vocab.txt is present),
+enqueued, dynamically batched onto pre-compiled (batch, seq) buckets, and
+answered with the classification logits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from transformer_quantization_tpu.serving.engine import (
+    ServeConfig,
+    ServingEngine,
+)
+
+
+def build_engine_from_checkpoint(ckpt_dir: str, *, bf16: bool = False,
+                                 use_pallas: bool = False,
+                                 tokenizer=None,
+                                 serve_cfg: Optional[ServeConfig] = None
+                                 ) -> ServingEngine:
+    """Quantized int8 engine from a framework checkpoint directory."""
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_quantization_tpu.models.registry import get_family
+    from transformer_quantization_tpu.utils import checkpoint as CK
+    from transformer_quantization_tpu.utils.data import SyntheticTokenizer
+
+    ck = CK.load_checkpoint(ckpt_dir)
+    fam = get_family(ck["family"])
+    cfg, params = ck["cfg"], ck["params"]
+    qstate = ck.get("qstate")
+    qcfg = None
+    int_params = None
+    if qstate is not None:
+        from transformer_quantization_tpu.quant.qconfig import QuantDefaults
+        from transformer_quantization_tpu.quant.quantizers import QMethod
+        from transformer_quantization_tpu.quant.ranges import RangeMethod
+
+        # engine default: the W8A8 recipe the checkpoint was calibrated with
+        defaults = QuantDefaults(
+            method=QMethod.symmetric_uniform,
+            act_method=QMethod.asymmetric_uniform, n_bits=8,
+            weight_range_method=RangeMethod.current_minmax,
+            act_range_method=RangeMethod.current_minmax)
+        qcfg = fam.declare_sites(defaults, cfg)
+        int_params = fam.build_int_params(params, qcfg, qstate, False)
+    cdt = jnp.bfloat16 if bf16 else None
+
+    @jax.jit
+    def forward(batch):
+        out, _ = fam.apply(params, batch, cfg, qcfg, qstate,
+                           int_params=int_params, use_pallas=use_pallas,
+                           compute_dtype=cdt)
+        return out["logits"]
+
+    if tokenizer is None:
+        tokenizer = SyntheticTokenizer(cfg.vocab_size)
+    return ServingEngine(forward, serve_cfg or ServeConfig(),
+                         tokenizer=tokenizer)
+
+
+def make_handler(engine: ServingEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                self._send(200, engine.metrics.snapshot())
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/classify":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                fut = engine.submit_text(req["text"], req.get("pair"))
+                logits = fut.result(timeout=60)
+                self._send(200, {"logits": [float(v) for v in logits]})
+            except Exception as e:  # pragma: no cover
+                self._send(500, {"error": str(e)})
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    return Handler
+
+
+def serve(engine: ServingEngine, port: int = 8080,
+          ready_event: Optional[threading.Event] = None):
+    engine.start()
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(engine))
+    if ready_event is not None:
+        ready_event.set()
+    try:
+        httpd.serve_forever()
+    finally:
+        engine.stop()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--vocab", default=None,
+                    help="vocab.txt for the native WordPiece tokenizer")
+    args = ap.parse_args()
+    tok = None
+    if args.vocab:
+        from transformer_quantization_tpu.utils.native import (
+            WordPieceTokenizer,
+        )
+
+        tok = WordPieceTokenizer(args.vocab)
+    eng = build_engine_from_checkpoint(args.checkpoint, bf16=args.bf16,
+                                       tokenizer=tok)
+    print(f"serving on :{args.port}")
+    serve(eng, args.port)
+
+
+if __name__ == "__main__":
+    main()
