@@ -496,7 +496,13 @@ def _self_attention(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train,
     k = k.reshape(B, T, nh, hd)
     v = v.reshape(B, T, nh, hd)
 
-    scores = jnp.einsum("bqnd,bknd->bnqk", q, k)
+    adt = getattr(ctx, "attention_dtype", None)
+    if adt is not None:
+        # engine option: attention einsums on the MXU in bf16 — the scores
+        # and context are 8-bit-quantized right after, so bf16 matmul error
+        # (~2^-8 relative) sits below the quantization step
+        q, k, v = q.astype(adt), k.astype(adt), v.astype(adt)
+    scores = jnp.einsum("bqnd,bknd->bnqk", q, k).astype(h.dtype)
     # quantize raw scores; 1/sqrt(d) is applied after and absorbed into the
     # next quantizer's scale (quantized_bert.py:154, :189-190)
     scores = ctx.act(prefix + "attn.scores", scores)
@@ -509,7 +515,10 @@ def _self_attention(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train,
     probs = ctx.act(prefix + "attn.probs", probs)
     probs = dropout(probs, cfg.attention_probs_dropout_prob, rng, not train)
 
-    context = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(B, T, H)
+    if adt is not None:
+        probs = probs.astype(adt)
+    context = jnp.einsum("bnqk,bknd->bqnd", probs,
+                         v).astype(h.dtype).reshape(B, T, H)
     return ctx.act(prefix + "attn.context", context)
 
 
@@ -615,7 +624,8 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                use_pallas: bool = False,
                capture_sites=None,
                capture_pre_act: bool = False,
-               compute_dtype=None) -> Tuple[Dict, Dict]:
+               compute_dtype=None,
+               attention_dtype=None) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``.
 
     ``batch`` holds ``input_ids`` (B, T) plus optional ``attention_mask``,
@@ -631,6 +641,7 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                    capture_sites=capture_sites,
                    capture_pre_act=capture_pre_act,
                    compute_dtype=compute_dtype)
+    ctx.attention_dtype = attention_dtype
     input_ids, token_type_ids, position_ids, mask_bias = prepare_inputs(batch)
     if compute_dtype is not None and mask_bias is not None:
         mask_bias = mask_bias.astype(compute_dtype)
