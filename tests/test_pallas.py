@@ -139,3 +139,65 @@ class TestPallasBert:
         np.testing.assert_allclose(np.asarray(out_pl["logits"]),
                                    np.asarray(out_fake["logits"]),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestInt8Handoff:
+    def test_kernel_emit_and_consume_payload(self):
+        x, w, b, wspec, aspec, wqp, aqp = _setup(m=16, k=32, n=24, seed=9)
+        packed = IL.pack_weight_int8(wspec, wqp, w)
+        out_spec = Q.QuantizerSpec(n_bits=8,
+                                   method=QMethod.asymmetric_uniform)
+        x8, s, shift = IL.quantize_activation_int8(aspec, aqp, x)
+        y_lin = IL.int8_linear(x8, s, shift, packed, b, None)
+        oqp = Q.set_quant_range(out_spec, jnp.min(y_lin), jnp.max(y_lin))
+
+        payload = fused_int8_linear(x, packed, aspec, aqp, bias=b,
+                                    out_spec=out_spec, out_qp=oqp,
+                                    emit_int8=True, interpret=True)
+        assert payload.dtype == jnp.int8
+        # payload must equal quantize_activation_int8(fake_quant(y))
+        y_fq = Q.fake_quant(out_spec, oqp, y_lin)
+        ref8, _, _ = IL.quantize_activation_int8(out_spec, oqp, y_fq)
+        np.testing.assert_array_equal(np.asarray(payload), np.asarray(ref8))
+
+        # consume the payload in a second layer: parity with float input
+        rng = np.random.RandomState(10)
+        w2 = jnp.asarray(rng.normal(0, 0.1, (8, 24)), jnp.float32)
+        w2qp = Q.set_quant_range(wspec, jnp.min(w2, 1), jnp.max(w2, 1))
+        packed2 = IL.pack_weight_int8(wspec, w2qp, w2)
+        y2_pay = fused_int8_linear(payload, packed2, out_spec, oqp,
+                                   interpret=True)
+        y2_ref = fused_int8_linear(y_fq, packed2, out_spec, oqp,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(y2_pay), np.asarray(y2_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_model_handoff_parity(self):
+        cfg = B.BertConfig(vocab_size=128, hidden_size=32,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           intermediate_size=64, max_position_embeddings=64,
+                           num_labels=2)
+        params = B.init_bert_params(jax.random.PRNGKey(3), cfg)
+        d = QuantDefaults(method=QMethod.symmetric_uniform,
+                          act_method=QMethod.asymmetric_uniform, n_bits=8,
+                          weight_range_method=RangeMethod.current_minmax,
+                          act_range_method=RangeMethod.current_minmax)
+        qcfg = B.declare_bert_sites(d, cfg)
+        rng = np.random.RandomState(11)
+        batch = {
+            "input_ids": jnp.asarray(rng.randint(0, 128, (4, 16))),
+            "attention_mask": jnp.ones((4, 16), jnp.float32),
+        }
+        apply_fn = functools.partial(B.bert_apply, cfg=cfg)
+        qstate, mode = prepare_quantized_model(
+            apply_fn, params, qcfg, [batch],
+            weight_tensors=B.bert_weight_site_tensors(params))
+        int_params = B.build_bert_int_params(params, qcfg, qstate)
+        out_ref, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, mode,
+                                  int_params=int_params)
+        out_pl, ctx_state = B.bert_apply(params, batch, cfg, qcfg, qstate,
+                                         mode, int_params=int_params,
+                                         use_pallas=True)
+        np.testing.assert_allclose(np.asarray(out_pl["logits"]),
+                                   np.asarray(out_ref["logits"]),
+                                   rtol=1e-4, atol=1e-5)

@@ -642,6 +642,11 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                    capture_pre_act=capture_pre_act,
                    compute_dtype=compute_dtype)
     ctx.attention_dtype = attention_dtype
+    if int_params and use_pallas:
+        # sites consumed ONLY by the next int8 matmul: the kernel emits
+        # their int8 payload directly (ffn.inter.out -> ffn.dense)
+        ctx.int8_only_sites = frozenset(
+            f"L{i}.ffn.inter.out" for i in range(cfg.num_hidden_layers))
     input_ids, token_type_ids, position_ids, mask_bias = prepare_inputs(batch)
     if compute_dtype is not None and mask_bias is not None:
         mask_bias = mask_bias.astype(compute_dtype)

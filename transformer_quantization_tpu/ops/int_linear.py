@@ -86,6 +86,17 @@ def quantize_activation_int8(spec: Q.QuantizerSpec, qp: Q.QuantParams,
     return x_int.astype(jnp.int8), scale.astype(jnp.float32), shift
 
 
+def dequantize_activation_int8(spec: Q.QuantizerSpec, qp: Q.QuantParams,
+                               x_int8: Array) -> Array:
+    """Inverse of :func:`quantize_activation_int8` — payload -> floats."""
+    scale = Q.scale_of(spec, qp)
+    zp = Q.zero_point_of(spec, qp)
+    x = x_int8.astype(jnp.float32)
+    if not spec.symmetric:
+        x = x + 128.0
+    return scale * (x - zp)
+
+
 def int8_linear(x_int8: Array, x_scale: Array, x_shift: Array, packed: Dict,
                 bias: Optional[Array], activation=None,
                 matmul=None) -> Array:

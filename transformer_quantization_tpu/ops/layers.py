@@ -99,6 +99,13 @@ def quant_linear(ctx, name: str, x: Array, w: Array, b: Optional[Array],
             )
             from transformer_quantization_tpu.quant.qconfig import Phase
 
+            # int8 hand-off: the producer already emitted this site's
+            # quantized payload — feed it straight to the MXU
+            handoffs = getattr(ctx, "int8_handoffs", None)
+            x_in = x
+            if handoffs and input_site in handoffs:
+                x_in = handoffs[input_site]
+
             # fold the output act site into the kernel epilogue when it is
             # an enabled, fixed, per-tensor site
             out_spec = out_qp = None
@@ -113,16 +120,27 @@ def quant_linear(ctx, name: str, x: Array, w: Array, b: Optional[Array],
                     out_spec = ctx.cfg[out_site].spec
                     out_qp = oq
                     fold_out = True
+            emit = (fold_out and out_spec.n_bits == 8 and out_site in
+                    getattr(ctx, "int8_only_sites", ()))
             y = fused_int8_linear(
-                x, packed, in_cfg.spec, in_qp, bias=b,
+                x_in, packed, in_cfg.spec, in_qp, bias=b,
                 activation=activation if isinstance(activation, str)
-                else None, out_spec=out_spec, out_qp=out_qp)
+                else None, out_spec=out_spec, out_qp=out_qp,
+                emit_int8=emit)
             if y is not None:
+                if emit:
+                    # stash the payload; the (sole) consumer picks it up
+                    ctx.int8_handoffs = getattr(ctx, "int8_handoffs", {})
+                    ctx.int8_handoffs[out_site] = y
+                    return y
                 if fold_out:
                     return y  # output site already applied in-kernel
                 if act is not None and not isinstance(activation, str):
                     y = act(y)
                 return ctx.act(out_site, y)
+            if x_in is not x:
+                # kernel rejected but x was a payload: materialize floats
+                x = IL.dequantize_activation_int8(in_cfg.spec, in_qp, x_in)
         x_int8, s_x, shift = IL.quantize_activation_int8(in_cfg.spec, in_qp, x)
         y = IL.int8_linear(x_int8, s_x, shift, packed, b, act,
                            matmul=getattr(ctx, "int_matmul", None))

@@ -79,24 +79,34 @@ _ACTS = {
 
 def _kernel(x_ref, w_ref, wscale_ref, colsum_ref, bias_ref, scal_ref,
             out_ref, *, activation, asym_in, out_bits, out_sym, has_bias,
-            w4):
+            w4, in_int8, out_int8):
     """One (BM, K) x-tile against the full (N, K) weight.
 
     ``w4``: the weight ref holds split-half packed int4 nibbles
     (N, K/2) uint8 — byte j carries columns j (lo) and j + K/2 (hi)
     (int_linear.pack_weight_int4); unpacked in VMEM, contracted as two
     int8 halves on the MXU.
+
+    ``in_int8``/``out_int8``: the int8 hand-off protocol — the input is
+    already the quantized payload of its activation site (skip
+    quantize-on-load), and/or the output site's quantized payload is
+    emitted directly as int8 (4x less HBM write than f32, and the
+    consumer skips ITS quantize-on-load). Payload convention matches
+    int_linear.quantize_activation_int8: asym uint grid shifted by -128.
     """
-    x = x_ref[:].astype(jnp.float32)  # bf16 engine: f32 math in VMEM
     s_x = scal_ref[0, 0]
     zp_x = scal_ref[0, 1]
-    # quantize-on-load (int_linear.quantize_activation_int8 semantics)
-    xq = jnp.round(x * (1.0 / s_x)) + (zp_x if asym_in else 0.0)
-    if asym_in:
-        xq = jnp.clip(xq, 0.0, 255.0) - 128.0
+    if in_int8:
+        x_int8 = x_ref[:]
     else:
-        xq = jnp.clip(xq, -128.0, 127.0)
-    x_int8 = xq.astype(jnp.int8)
+        x = x_ref[:].astype(jnp.float32)  # bf16 engine: f32 math in VMEM
+        # quantize-on-load (int_linear.quantize_activation_int8 semantics)
+        xq = jnp.round(x * (1.0 / s_x)) + (zp_x if asym_in else 0.0)
+        if asym_in:
+            xq = jnp.clip(xq, 0.0, 255.0) - 128.0
+        else:
+            xq = jnp.clip(xq, -128.0, 127.0)
+        x_int8 = xq.astype(jnp.int8)
 
     dims = (((1,), (1,)), ((), ()))
     if w4:
@@ -136,6 +146,11 @@ def _kernel(x_ref, w_ref, wscale_ref, colsum_ref, bias_ref, scal_ref,
         else:
             imin, imax = 0.0, 2.0 ** out_bits - 1
         y_int = jnp.clip(jnp.round(y * (1.0 / s_o)) + zp_o, imin, imax)
+        if out_int8:
+            # emit the next matmul's input payload directly
+            out_ref[:] = (y_int - (0.0 if out_sym else 128.0)).astype(
+                jnp.int8)
+            return
         y = s_o * (y_int - zp_o)
     out_ref[:] = y.astype(out_ref.dtype)
 
@@ -143,13 +158,15 @@ def _kernel(x_ref, w_ref, wscale_ref, colsum_ref, bias_ref, scal_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("activation", "asym_in", "out_bits", "out_sym",
-                     "block_m", "interpret", "w4"))
+                     "block_m", "interpret", "w4", "out_int8"))
 def _fused_call(x2d, w_int8, w_scale, colsum, bias, scalars, *, activation,
                 asym_in, out_bits, out_sym, block_m, interpret=False,
-                w4=False):
-    m, k = x2d.shape
+                w4=False, out_int8=False):
+    m, k2d = x2d.shape
+    in_int8 = x2d.dtype == jnp.int8
     n = w_int8.shape[0]
     kw = w_int8.shape[1]  # k for int8, k/2 for packed int4
+    k = kw * (2 if w4 else 1)
     has_bias = bias is not None
     if bias is None:
         bias = jnp.zeros((n,), jnp.float32)
@@ -159,13 +176,14 @@ def _fused_call(x2d, w_int8, w_scale, colsum, bias, scalars, *, activation,
     grid = (m // block_m,)
     kernel = functools.partial(_kernel, activation=activation,
                                asym_in=asym_in, out_bits=out_bits,
-                               out_sym=out_sym, has_bias=has_bias, w4=w4)
+                               out_sym=out_sym, has_bias=has_bias, w4=w4,
+                               in_int8=in_int8, out_int8=out_int8)
     flops = 2 * m * n * k
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_m, k), lambda i: (i, 0),
+            pl.BlockSpec((block_m, k2d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, kw), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -175,7 +193,9 @@ def _fused_call(x2d, w_int8, w_scale, colsum, bias, scalars, *, activation,
         ],
         out_specs=pl.BlockSpec((block_m, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), x2d.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (m, n), jnp.int8 if out_int8
+            else (jnp.float32 if in_int8 else x2d.dtype)),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=m * k * 4 + n * k + m * n * 4,
             transcendentals=m * n if activation else 0),
@@ -183,16 +203,44 @@ def _fused_call(x2d, w_int8, w_scale, colsum, bias, scalars, *, activation,
     )(x2d, w_int8, w_scale, colsum, bias, scalars)
 
 
+_VMEM_BUDGET = 13 * 1024 * 1024  # scoped-vmem limit is 16M; leave headroom
+
+
+def _pick_block_m(m: int, k: int, n: int, kw: int,
+                  requested: Optional[int]) -> int:
+    """Largest block_m that divides m and fits the VMEM budget.
+
+    Per grid step: x tile (bm, k) f32 + out tile (bm, n) f32 + resident
+    weight (n, kw) int8 (+ f32 epilogue vectors). Measured on v5e: the
+    16M scoped limit trips at bm=1024 for the BERT FFN shape; bm=512 is
+    the sweet spot (30% faster than 256 there).
+    """
+    bm = requested or 512
+    while bm > 8:
+        if m % bm == 0 and (bm * k * 4 + bm * n * 4 + n * kw
+                            + 4 * 4 * n) <= _VMEM_BUDGET:
+            return bm
+        bm //= 2
+    return bm
+
+
 def fused_int8_linear(x, packed, in_spec, in_qp, bias=None, activation=None,
                       out_spec=None, out_qp=None,
-                      block_m: int = 256,
-                      interpret: Optional[bool] = None) -> Optional[jax.Array]:
+                      block_m: Optional[int] = None,
+                      interpret: Optional[bool] = None,
+                      emit_int8: bool = False) -> Optional[jax.Array]:
     """Fused quantize+int8-matmul+dequant(+act)(+output fake-quant).
 
     Returns None when the shape/config doesn't fit the fast path (caller
-    falls back to the XLA int path): requires f32 input, per-tensor input
-    quantization, int8 or split-half packed int4 weights, and a flattened
-    batch divisible by ``block_m`` after padding considerations.
+    falls back to the XLA int path): requires f32/bf16 (or int8-payload)
+    input, per-tensor input quantization, int8 or split-half packed int4
+    weights, and a flattened batch divisible by ``block_m``.
+
+    ``emit_int8``: write the *output site's* quantized int8 payload
+    instead of the dequantized floats — the hand-off for sites consumed
+    only by the next int8 matmul (which then takes the payload as its
+    ``x``, skipping its quantize-on-load). Requires an 8-bit foldable
+    output site.
     """
     if not _PALLAS:
         return None
@@ -204,9 +252,12 @@ def fused_int8_linear(x, packed, in_spec, in_qp, bias=None, activation=None,
         return None
     k = x.shape[-1]
     n = w_arr.shape[0]
-    if x.dtype not in (jnp.float32, jnp.bfloat16):
+    if x.dtype not in (jnp.float32, jnp.bfloat16, jnp.int8):
         return None
     if w_arr.shape[1] * (2 if w4 else 1) != k:
+        return None
+    if emit_int8 and (out_spec is None or out_qp is None
+                      or out_spec.n_bits != 8):
         return None
     if interpret is None:
         # interpret only where Mosaic can't compile (CPU tests); the TPU
@@ -216,9 +267,7 @@ def fused_int8_linear(x, packed, in_spec, in_qp, bias=None, activation=None,
         return None  # sub-MXU-tile layers (classifier head): XLA path wins
     lead = x.shape[:-1]
     m = int(np.prod(lead)) if lead else 1
-    bm = block_m
-    while bm > 8 and m % bm:
-        bm //= 2
+    bm = _pick_block_m(m, k, n, w_arr.shape[1], block_m)
     if m % bm or m < 8:
         return None
 
@@ -248,5 +297,5 @@ def fused_int8_linear(x, packed, in_spec, in_qp, bias=None, activation=None,
                     None if bias is None else bias.astype(jnp.float32),
                     scalars, activation=activation, asym_in=asym_in,
                     out_bits=out_bits, out_sym=out_sym, block_m=bm,
-                    interpret=interpret, w4=w4)
+                    interpret=interpret, w4=w4, out_int8=emit_int8)
     return y.reshape(*lead, n)
