@@ -46,7 +46,7 @@ def timed(fn, *args, iters=20, warmup=3):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--seq", type=int, default=128)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--small", action="store_true",
@@ -108,32 +108,25 @@ def main():
         return out["logits"]
 
     @jax.jit
-    def int8_bf16_step(params, batch):
-        # bf16 activation storage + int8 MXU matmuls (the TPU engine mode)
-        out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, q_mode,
-                              int_params=int_params,
-                              compute_dtype=jnp.bfloat16)
-        return out["logits"]
-
-    @jax.jit
-    def pallas_bf16_step(params, batch):
+    def pallas_attn_bf16_step(params, batch):
+        # tuned engine: Pallas fused kernels (block_m=512, int8 hand-off
+        # at ffn.inter->ffn.dense) + bf16 attention einsums
         out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, q_mode,
                               int_params=int_params, use_pallas=True,
-                              compute_dtype=jnp.bfloat16)
+                              attention_dtype=jnp.bfloat16)
         return out["logits"]
 
     t_fp32 = timed(fp32_step, params, batch, iters=args.iters)
     t_bf16 = timed(bf16_step, params_bf16, batch, iters=args.iters)
     t_int8 = timed(int8_step, params, batch, iters=args.iters)
-    t_int8_bf16 = timed(int8_bf16_step, params, batch, iters=args.iters)
     try:
         t_pallas = timed(pallas_step, params, batch, iters=args.iters)
-        t_pallas_bf16 = timed(pallas_bf16_step, params, batch,
+        t_pallas_attn = timed(pallas_attn_bf16_step, params, batch,
                               iters=args.iters)
     except Exception as e:  # pallas unavailable on this backend
         print(f"# pallas path skipped: {e}", file=sys.stderr)
-        t_pallas = t_pallas_bf16 = float("inf")
-    t_best = min(t_int8, t_pallas, t_int8_bf16, t_pallas_bf16)
+        t_pallas = t_pallas_attn = float("inf")
+    t_best = min(t_int8, t_pallas, t_pallas_attn)
 
     seqps = args.batch / t_best
     result = {
@@ -146,13 +139,12 @@ def main():
             "fp32_seq_per_sec": round(args.batch / t_fp32, 2),
             "bf16_seq_per_sec": round(args.batch / t_bf16, 2),
             "int8_xla_seq_per_sec": round(args.batch / t_int8, 2),
-            "int8_bf16_seq_per_sec": round(args.batch / t_int8_bf16, 2),
             "int8_pallas_seq_per_sec": (
                 round(args.batch / t_pallas, 2)
                 if t_pallas != float("inf") else None),
-            "int8_pallas_bf16_seq_per_sec": (
-                round(args.batch / t_pallas_bf16, 2)
-                if t_pallas_bf16 != float("inf") else None),
+            "int8_pallas_attn_bf16_seq_per_sec": (
+                round(args.batch / t_pallas_attn, 2)
+                if t_pallas_attn != float("inf") else None),
             "int8_vs_bf16": round(t_bf16 / t_best, 3),
             "device": str(jax.devices()[0]),
         },
