@@ -1,7 +1,5 @@
 """Quantized collectives under shard_map on the virtual 8-device mesh."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

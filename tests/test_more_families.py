@@ -3,7 +3,6 @@ only run these as FP32 baselines; here they are quantizable too)."""
 
 import functools
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -29,7 +29,6 @@ import functools
 import json
 import logging
 import os
-import sys
 from typing import Dict, Optional
 
 import numpy as np
@@ -238,7 +237,6 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
     import dataclasses as dc
 
     import jax
-    import jax.numpy as jnp
 
     from transformer_quantization_tpu.quant import adaround as AR
     from transformer_quantization_tpu.quant.qconfig import QuantMode, Phase

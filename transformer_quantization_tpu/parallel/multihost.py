@@ -11,7 +11,7 @@ bootstrap, global mesh construction, and per-host data sharding.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

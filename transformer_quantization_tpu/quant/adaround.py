@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-import functools
 import logging
 from typing import Callable, Dict, Optional, Tuple
 

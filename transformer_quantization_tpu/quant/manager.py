@@ -21,7 +21,6 @@ Per-site state layout (a pytree):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Mapping, Optional
 
 import jax

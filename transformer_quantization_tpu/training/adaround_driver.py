@@ -15,9 +15,8 @@ GetLayerInpOut quantized-prefix pass (adaround/utils.py:220-227).
 
 from __future__ import annotations
 
-import functools
 import logging
-from typing import Callable, Dict, List, Mapping, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

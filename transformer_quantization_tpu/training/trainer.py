@@ -10,16 +10,13 @@ row). Works for the FP32 baseline (qcfg=None), PTQ eval, and QAT.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Callable, Dict, Iterable, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 
 from transformer_quantization_tpu.quant.qconfig import (
-    Phase,
     QuantModelConfig,
     QuantMode,
 )

@@ -21,9 +21,8 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Mapping, Optional, Sequence
+from typing import Dict, Mapping, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
