@@ -175,6 +175,19 @@ def build_model(model_name: str, seed: int = 0, tiny: bool = False,
     import os
 
     fam = get_family(model_name)
+    if model_path and os.path.exists(os.path.join(model_path,
+                                                  "manifest.json")):
+        # a framework checkpoint (utils/checkpoint.py) as the FP32 source
+        from transformer_quantization_tpu.utils import checkpoint as CK
+
+        ck = CK.load_checkpoint(model_path)
+        fam = get_family(ck["family"])
+        cfg = ck["cfg"]
+        if num_labels and cfg.num_labels != num_labels:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, num_labels=num_labels)
+        return fam, cfg, ck["params"]
     if model_path and os.path.exists(os.path.join(model_path, "config.json")):
         cfg, params = fam.load_checkpoint(model_path, num_labels)
         return fam, cfg, params

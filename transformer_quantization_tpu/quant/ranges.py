@@ -286,7 +286,8 @@ def _mse_loss(spec, x, neg_thr, pos_thr, per_channel: bool):
     """sum_i ||x_i - Q(x_i)||^2, optionally per leading channel
     (range_estimators.py:248-256)."""
     y = _fq_with_range(spec, x, neg_thr, pos_thr)
-    sq = ((x - y) ** 2).reshape(x.shape[0], -1).sum(axis=1)
+    d2 = jnp.atleast_1d((x - y) ** 2)  # 0-d when vmapping 1-D weights'
+    sq = d2.reshape(d2.shape[0], -1).sum(axis=1)  # per-channel scalars
     return sq if per_channel else sq.sum()
 
 
