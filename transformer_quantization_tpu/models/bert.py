@@ -647,6 +647,17 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
         # their int8 payload directly (ffn.inter.out -> ffn.dense)
         ctx.int8_only_sites = frozenset(
             f"L{i}.ffn.inter.out" for i in range(cfg.num_hidden_layers))
+    if int_params:
+        # sites whose every consumer is an int8 matmul over the same site
+        # params: producer-side fake-quant is a numeric no-op, skip it —
+        # but only when that consumer really runs the packed int path
+        req = set()
+        if "classifier" in int_params:
+            req.add("pooler.dense.out")
+        for i in range(cfg.num_hidden_layers):
+            if f"L{i}.attn_out.dense" in int_params:
+                req.add(f"L{i}.attn.context")
+        ctx.requant_only_sites = frozenset(req)
     input_ids, token_type_ids, position_ids, mask_bias = prepare_inputs(batch)
     if compute_dtype is not None and mask_bias is not None:
         mask_bias = mask_bias.astype(compute_dtype)

@@ -161,6 +161,14 @@ class QuantCtx:
             return x
         phase = self.mode.act_phase
 
+        if (phase == Phase.fix and cfg.axis is None
+                and name in getattr(self, "requant_only_sites", ())):
+            # int-engine shortcut: every consumer of this site re-quantizes
+            # with the site's own params, and round(fq(x)/s) == round(x/s)
+            # at fixed per-tensor ranges — so the producer-side fake-quant
+            # pass is a no-op numerically and is skipped for bandwidth
+            return x
+
         if phase == Phase.record_ranges:
             # PEG permutation pre-pass: record per-channel dynamic ranges,
             # pass through unquantized (quantization_manager.py:95-97).
