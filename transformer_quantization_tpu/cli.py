@@ -88,6 +88,7 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--weight-decay", type=float, default=0.0)
         g.add_argument("--max-grad-norm", type=float, default=1.0)
         g.add_argument("--warmup-ratio", type=float, default=0.0)
+        g.add_argument("--gradient-accumulation-steps", type=int, default=1)
         g.add_argument("--eval-batch-size", type=int, default=32)
 
     def add_quant(sp):
@@ -373,7 +374,9 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                              batch_size=args.batch_size,
                              weight_decay=args.weight_decay,
                              max_grad_norm=args.max_grad_norm,
-                             warmup_ratio=args.warmup_ratio, seed=args.seed)
+                             warmup_ratio=args.warmup_ratio, seed=args.seed,
+                             grad_accum_steps=(
+                                 args.gradient_accumulation_steps))
         qat_cfg = None
         if quantized:
             qat_cfg = QAT.QATConfig(

@@ -37,6 +37,9 @@ class TrainConfig:
     warmup_ratio: float = 0.0
     seed: int = 1000
     log_every: int = 50
+    # gradient accumulation (HF Trainer's gradient_accumulation_steps,
+    # transformer_click_options.py training group) via optax.MultiSteps
+    grad_accum_steps: int = 1
 
 
 def make_eval_step(apply_fn: Callable, qcfg: Optional[QuantModelConfig],
@@ -85,9 +88,12 @@ def make_optimizer(tcfg: TrainConfig, steps_total: int
          optax.linear_schedule(tcfg.learning_rate, 0.0,
                                max(steps_total - warmup, 1))],
         [max(warmup, 1)])
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(tcfg.max_grad_norm),
         optax.adamw(lr, weight_decay=tcfg.weight_decay))
+    if tcfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, tcfg.grad_accum_steps)
+    return tx
 
 
 def train(apply_fn: Callable, params, task: GlueTask,
@@ -103,7 +109,8 @@ def train(apply_fn: Callable, params, task: GlueTask,
     n = len(train_arrays["input_ids"])
     steps_per_epoch = max(n // tcfg.batch_size, 1)
     total = steps_per_epoch * tcfg.num_epochs
-    tx = make_optimizer(tcfg, total)
+    # the LR schedule advances once per *optimizer* update
+    tx = make_optimizer(tcfg, max(total // tcfg.grad_accum_steps, 1))
     qat_cfg = qat_cfg or QAT.QATConfig()
     qstate = qstate or {}
 
