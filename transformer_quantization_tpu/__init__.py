@@ -14,14 +14,18 @@ Overcoming the Challenges of Efficient Transformer Quantization"):
   range-based channel permutation (reference: utils/per_embd_quant_utils.py)
 - AdaRound learned weight rounding (reference: quantization/adaround/)
 - quantized BERT / RoBERTa / MobileBERT model families
-  (reference: models/quantized_{bert,roberta,mobilebert}.py)
+  (reference: models/quantized_{bert,roberta,mobilebert}.py), plus
+  DistilBERT / ALBERT / SqueezeBERT, which the reference can only run as
+  FP32 baselines (utils/hf_models.py)
 - a ``quant_dict`` mixed-precision override language (reference: main.py:443-498)
 - GLUE train/validate pipeline (reference: main.py, utils/glue_tasks.py)
 
 Unlike the reference, which *simulates* quantization in float32, this
 framework also provides a real-integer execution path: int8 / packed-int4
-weight storage and fused dequantize-matmul Pallas TPU kernels, plus
-mesh-sharded (DP x TP) execution via jax.sharding/pjit.
+weight storage and fused dequantize-matmul Pallas TPU kernels,
+mesh-sharded (DP x TP) execution via jax.sharding/pjit, a
+continuous-batching serving engine with an HTTP front end, checkpointing
+of the full calibration artifact, and a native C++ WordPiece tokenizer.
 """
 
 __version__ = "0.1.0"
