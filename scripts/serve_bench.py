@@ -47,7 +47,8 @@ def main():
     @jax.jit
     def forward(batch):
         out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate,
-                              int_params=int_params, compute_dtype=cdt)
+                              int_params=int_params, compute_dtype=cdt,
+                              attention_dtype=jnp.bfloat16)
         return out["logits"]
 
     scfg = ServeConfig(max_batch=32, max_wait_ms=2.0,
