@@ -203,20 +203,46 @@ class ServingEngine:
                 "token_type_ids": jnp.asarray(types)}
 
     def _loop(self):
-        while not self._stop.is_set():
-            reqs = self._drain()
-            if not reqs:
-                continue
+        """Scheduler: assemble + dispatch. Device execution and the
+        device->host transfer complete on the resolver thread, so the next
+        batch is already enqueued while the previous one runs (depth-2
+        pipeline; jax dispatch is async)."""
+        inflight: "queue.Queue" = queue.Queue(maxsize=2)
+        resolver = threading.Thread(target=self._resolve_loop,
+                                    args=(inflight,), daemon=True)
+        resolver.start()
+        try:
+            while not self._stop.is_set():
+                reqs = self._drain()
+                if not reqs:
+                    continue
+                try:
+                    batch = self._assemble(reqs)
+                    logits = self.forward(batch)  # async dispatch
+                    inflight.put((reqs, logits))
+                except Exception as e:  # surface errors to callers
+                    for r in reqs:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+        finally:
+            inflight.put(None)
+            resolver.join(timeout=30)
+
+    def _resolve_loop(self, inflight: "queue.Queue"):
+        while True:
+            item = inflight.get()
+            if item is None:
+                return
+            reqs, logits = item
             try:
-                batch = self._assemble(reqs)
-                logits = np.asarray(self.forward(batch))
+                arr = np.asarray(logits)  # blocks until compute+transfer done
                 t_done = time.perf_counter()
                 for i, r in enumerate(reqs):
-                    r.future.set_result(logits[i])
+                    r.future.set_result(arr[i])
                 self.metrics.record(
                     len(reqs), int(sum(len(r.ids) for r in reqs)),
                     [t_done - r.t_enqueue for r in reqs])
-            except Exception as e:  # surface errors to callers
+            except Exception as e:
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
