@@ -260,6 +260,13 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
 
     if getattr(args, "double", False):
         jax.config.update("jax_enable_x64", True)
+        import jax.numpy as jnp
+
+        # run the whole model (and hence all quantizer math) in float64,
+        # like the reference's model.double() (main.py --double)
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.float64)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
 
     splits = G.load_task_data(task, data_dir=args.data_dir,
                               synthetic=args.synthetic_data, seed=args.seed)

@@ -160,8 +160,11 @@ def set_quant_range(spec: QuantizerSpec, x_min, x_max) -> QuantParams:
     from data, ``delta = absmax / int_max``). Resulting params carry no
     gradient to the range inputs (the reference ``.detach()``es).
     """
-    x_min = jnp.asarray(x_min, jnp.float32)
-    x_max = jnp.asarray(x_max, jnp.float32)
+    # float64 under --double (jax_enable_x64 + f64 inputs), else float32
+    dt = (jnp.float64 if jnp.result_type(x_min, x_max) == jnp.float64
+          else jnp.float32)
+    x_min = jnp.asarray(x_min, dt)
+    x_max = jnp.asarray(x_max, dt)
     # _tensorize_min_max clamps (quantizers.py:257-259)
     x_min = jnp.minimum(x_min, 0.0)
     x_max = jnp.maximum(x_max, spec.eps)

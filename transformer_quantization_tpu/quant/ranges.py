@@ -249,21 +249,25 @@ def golden_section_minimize(fn, lo, hi, num_iters: int = 64):
     hi = jnp.asarray(hi, jnp.float32)
     c = hi - _INVPHI * (hi - lo)
     d = lo + _INVPHI * (hi - lo)
+    # keep the loop carry dtype-stable (fn may compute in f64 under
+    # --double / jax_enable_x64)
+    cdt = jnp.result_type(fn(c), jnp.float32)
+    lo, hi, c, d = (v.astype(cdt) for v in (lo, hi, c, d))
 
     def body(_, carry):
         lo, hi, c, d, fc, fd = carry
         shrink_right = fc < fd  # keep [lo, d]
         new_lo = jnp.where(shrink_right, lo, c)
         new_hi = jnp.where(shrink_right, d, hi)
-        new_c = new_hi - _INVPHI * (new_hi - new_lo)
-        new_d = new_lo + _INVPHI * (new_hi - new_lo)
-        new_fc = jnp.where(shrink_right, fn(new_c), fd)
-        new_fd = jnp.where(shrink_right, fc, fn(new_d))
+        new_c = (new_hi - _INVPHI * (new_hi - new_lo)).astype(cdt)
+        new_d = (new_lo + _INVPHI * (new_hi - new_lo)).astype(cdt)
+        new_fc = jnp.where(shrink_right, fn(new_c).astype(cdt), fd)
+        new_fd = jnp.where(shrink_right, fc, fn(new_d).astype(cdt))
         # NOTE: the reuse above is the classic golden-section trick — one new
         # evaluation per iteration; when shrinking right, old c becomes new d.
         return new_lo, new_hi, new_c, new_d, new_fc, new_fd
 
-    init = (lo, hi, c, d, fn(c), fn(d))
+    init = (lo, hi, c, d, fn(c).astype(cdt), fn(d).astype(cdt))
     lo, hi, c, d, fc, fd = jax.lax.fori_loop(0, num_iters, body, init)
     x = jnp.where(fc < fd, c, d)
     return x
