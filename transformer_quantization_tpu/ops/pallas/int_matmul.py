@@ -199,11 +199,14 @@ def _fused_call(x2d, w_int8, w_scale, colsum, bias, scalars, *, activation,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=m * k * 4 + n * k + m * n * 4,
             transcendentals=m * n if activation else 0),
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)),
         interpret=interpret,
     )(x2d, w_int8, w_scale, colsum, bias, scalars)
 
 
-_VMEM_BUDGET = 13 * 1024 * 1024  # scoped-vmem limit is 16M; leave headroom
+_VMEM_LIMIT = 32 * 1024 * 1024   # raise Mosaic's 16M default scoped limit
+_VMEM_BUDGET = 26 * 1024 * 1024  # block-picker headroom under the limit
 
 
 def _pick_block_m(m: int, k: int, n: int, kw: int,
