@@ -218,7 +218,7 @@ def _pick_block_m(m: int, k: int, n: int, kw: int,
     16M scoped limit trips at bm=1024 for the BERT FFN shape; bm=512 is
     the sweet spot (30% faster than 256 there).
     """
-    bm = requested or 512
+    bm = requested or 1024
     while bm > 8:
         if m % bm == 0 and (bm * k * 4 + bm * n * 4 + n * kw
                             + 4 * 4 * n) <= _VMEM_BUDGET:
