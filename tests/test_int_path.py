@@ -154,3 +154,50 @@ class TestIntBert:
 
         logits = step(batch, qstate, mode)
         assert np.all(np.isfinite(np.asarray(logits)))
+
+
+class TestInt8Attention:
+    """Scores/context einsums in int8 (ops/int_linear.py int8_attention_*):
+    bit-faithful to the f32 einsum of the fake-quantized operands."""
+
+    def _qkv(self, seed=0, B=2, T=8, n=2, d=4):
+        rng = np.random.RandomState(seed)
+        q = jnp.asarray(rng.normal(0, 1.0, (B, T, n, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(0, 1.2, (B, T, n, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(0, 0.8, (B, T, n, d)), jnp.float32)
+        return q, k, v
+
+    def test_scores_match_fake_einsum(self):
+        q, k, _ = self._qkv()
+        spec = asym(8)
+        q_qp = Q.set_quant_range(spec, jnp.min(q), jnp.max(q))
+        k_qp = Q.set_quant_range(spec, jnp.min(k), jnp.max(k))
+        got = IL.int8_attention_scores(q, k, spec, q_qp, spec, k_qp)
+        want = jnp.einsum("bqnd,bknd->bnqk", Q.fake_quant(spec, q_qp, q),
+                          Q.fake_quant(spec, k_qp, k))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_context_match_fake_einsum(self):
+        q, k, v = self._qkv(seed=1)
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k)
+        probs = jax.nn.softmax(scores, axis=-1)
+        pspec, vspec = asym(8), asym(8)
+        p_qp = Q.set_quant_range(pspec, jnp.min(probs), jnp.max(probs))
+        v_qp = Q.set_quant_range(vspec, jnp.min(v), jnp.max(v))
+        got = IL.int8_attention_context(probs, v, pspec, p_qp, vspec, v_qp)
+        want = jnp.einsum("bnqk,bknd->bqnd", Q.fake_quant(pspec, p_qp, probs),
+                          Q.fake_quant(vspec, v_qp, v))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_symmetric_operands(self):
+        q, k, _ = self._qkv(seed=2)
+        sspec = sym(8)
+        q_qp = Q.set_quant_range(sspec, jnp.min(q), jnp.max(q))
+        k_qp = Q.set_quant_range(sspec, jnp.min(k), jnp.max(k))
+        got = IL.int8_attention_scores(q, k, sspec, q_qp, sspec, k_qp)
+        want = jnp.einsum("bqnd,bknd->bnqk", Q.fake_quant(sspec, q_qp, q),
+                          Q.fake_quant(sspec, k_qp, k))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

@@ -42,6 +42,7 @@ from transformer_quantization_tpu.ops.layers import (
 )
 from transformer_quantization_tpu.quant.manager import QuantCtx
 from transformer_quantization_tpu.quant.qconfig import (
+    Phase,
     QuantConfigBuilder,
     QuantDefaults,
     QuantModelConfig,
@@ -480,6 +481,18 @@ def _embeddings(ctx, params, cfg: BertConfig, input_ids, token_type_ids,
     return dropout(h, cfg.hidden_dropout_prob, rng, not train)
 
 
+def _act_site_params(ctx, site):
+    """(spec, qp) of a fixed, enabled, per-tensor act site, else (None, None)."""
+    if (site in ctx.cfg and ctx.cfg[site].enabled and ctx.mode.act_quant
+            and ctx.mode.act_phase == Phase.fix and site in ctx.qstate
+            and ctx.cfg[site].axis is None
+            and ctx.cfg[site].spec.n_bits <= 8):
+        qp = ctx.qstate[site]["qp"]
+        if qp.delta.ndim == 0:
+            return ctx.cfg[site].spec, qp
+    return None, None
+
+
 def _self_attention(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train,
                     rng, h_site=None):
     """Quantized self-attention (quantized_bert.py:91-218)."""
@@ -496,13 +509,24 @@ def _self_attention(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train,
     k = k.reshape(B, T, nh, hd)
     v = v.reshape(B, T, nh, hd)
 
+    int_engine = bool(getattr(ctx, "int_params", None))
+    q_sp, q_qp = _act_site_params(ctx, prefix + "attn.q.out")
+    k_sp, k_qp = _act_site_params(ctx, prefix + "attn.k.out")
     adt = getattr(ctx, "attention_dtype", None)
-    if adt is not None:
-        # engine option: attention einsums on the MXU in bf16 — the scores
-        # and context are 8-bit-quantized right after, so bf16 matmul error
-        # (~2^-8 relative) sits below the quantization step
-        q, k, v = q.astype(adt), k.astype(adt), v.astype(adt)
-    scores = jnp.einsum("bqnd,bknd->bnqk", q, k).astype(h.dtype)
+    if int_engine and q_sp is not None and k_sp is not None:
+        # int8 attention: q/k sit on their sites' 8-bit grids, so the
+        # scores einsum runs int8 x int8 -> int32 on the MXU, bit-exact
+        # to the fake-quant semantics and ~1.6x the bf16 matmul rate
+        from transformer_quantization_tpu.ops import int_linear as IL
+
+        scores = IL.int8_attention_scores(q, k, q_sp, q_qp, k_sp, k_qp)
+    else:
+        if adt is not None:
+            # engine option: attention einsums on the MXU in bf16 — the
+            # scores/probs are 8-bit-quantized right after, so bf16 matmul
+            # error (~2^-8 relative) sits below the quantization step
+            q, k, v = q.astype(adt), k.astype(adt), v.astype(adt)
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k).astype(h.dtype)
     # quantize raw scores; 1/sqrt(d) is applied after and absorbed into the
     # next quantizer's scale (quantized_bert.py:154, :189-190)
     scores = ctx.act(prefix + "attn.scores", scores)
@@ -515,10 +539,19 @@ def _self_attention(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train,
     probs = ctx.act(prefix + "attn.probs", probs)
     probs = dropout(probs, cfg.attention_probs_dropout_prob, rng, not train)
 
-    if adt is not None:
-        probs = probs.astype(adt)
-    context = jnp.einsum("bnqk,bknd->bqnd", probs,
-                         v).astype(h.dtype).reshape(B, T, H)
+    p_sp, p_qp = _act_site_params(ctx, prefix + "attn.probs")
+    v_sp, v_qp = _act_site_params(ctx, prefix + "attn.v.out")
+    if int_engine and p_sp is not None and v_sp is not None:
+        from transformer_quantization_tpu.ops import int_linear as IL
+
+        context = IL.int8_attention_context(
+            probs, v, p_sp, p_qp, v_sp, v_qp).reshape(B, T, H)
+    else:
+        if adt is not None:
+            probs = probs.astype(adt)
+            v = v.astype(adt)
+        context = jnp.einsum("bnqk,bknd->bqnd", probs,
+                             v).astype(h.dtype).reshape(B, T, H)
     return ctx.act(prefix + "attn.context", context)
 
 
