@@ -503,15 +503,32 @@ def _attention(ctx, layer, cfg: MobileBertConfig, q_in, k_in, v_in,
     k = k.reshape(B_, T, nh, hd)
     v = v.reshape(B_, T, nh, hd)
 
-    scores = jnp.einsum("bqnd,bknd->bnqk", q, k)
+    int_engine = bool(getattr(ctx, "int_params", None))
+    q_sp, q_qp = B._act_site_params(ctx, prefix + "attn.q.out")
+    k_sp, k_qp = B._act_site_params(ctx, prefix + "attn.k.out")
+    if int_engine and q_sp is not None and k_sp is not None:
+        from transformer_quantization_tpu.ops import int_linear as IL
+
+        scores = IL.int8_attention_scores(q, k, q_sp, q_qp, k_sp, k_qp)
+    else:
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k)
     scores = ctx.act(prefix + "attn.scores", scores)
     scores = scores / jnp.sqrt(jnp.asarray(hd, q_in.dtype))
     if mask_bias is not None:
         scores = scores + mask_bias
-    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jax.nn.softmax(scores.astype(jnp.float32),
+                           axis=-1).astype(scores.dtype)
     probs = ctx.act(prefix + "attn.probs", probs)
     probs = dropout(probs, cfg.attention_probs_dropout_prob, rng, not train)
-    context = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(B_, T, TH)
+    p_sp, p_qp = B._act_site_params(ctx, prefix + "attn.probs")
+    v_sp, v_qp = B._act_site_params(ctx, prefix + "attn.v.out")
+    if int_engine and p_sp is not None and v_sp is not None:
+        from transformer_quantization_tpu.ops import int_linear as IL
+
+        context = IL.int8_attention_context(
+            probs, v, p_sp, p_qp, v_sp, v_qp).reshape(B_, T, TH)
+    else:
+        context = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(B_, T, TH)
     context = ctx.act(prefix + "attn.context", context)
 
     # self-output: dense -> +layer_input residual -> quant -> NoNorm

@@ -170,7 +170,15 @@ def _sq_layer(ctx, layer, cfg: SqueezeBertConfig, h, mask_bias, prefix,
     q = q.reshape(Bsz, T, nh, hd)
     k = k.reshape(Bsz, T, nh, hd)
     v = v.reshape(Bsz, T, nh, hd)
-    scores = jnp.einsum("bqnd,bknd->bnqk", q, k)
+    int_engine = bool(getattr(ctx, "int_params", None))
+    q_sp, q_qp = B._act_site_params(ctx, prefix + "attn.q.out")
+    k_sp, k_qp = B._act_site_params(ctx, prefix + "attn.k.out")
+    if int_engine and q_sp is not None and k_sp is not None:
+        from transformer_quantization_tpu.ops import int_linear as IL
+
+        scores = IL.int8_attention_scores(q, k, q_sp, q_qp, k_sp, k_qp)
+    else:
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k)
     scores = ctx.act(prefix + "attn.scores", scores)
     scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
     if mask_bias is not None:
@@ -179,7 +187,15 @@ def _sq_layer(ctx, layer, cfg: SqueezeBertConfig, h, mask_bias, prefix,
                            axis=-1).astype(scores.dtype)
     probs = ctx.act(prefix + "attn.probs", probs)
     probs = dropout(probs, cfg.attention_probs_dropout_prob, r0, not train)
-    context = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(Bsz, T, H)
+    p_sp, p_qp = B._act_site_params(ctx, prefix + "attn.probs")
+    v_sp, v_qp = B._act_site_params(ctx, prefix + "attn.v.out")
+    if int_engine and p_sp is not None and v_sp is not None:
+        from transformer_quantization_tpu.ops import int_linear as IL
+
+        context = IL.int8_attention_context(
+            probs, v, p_sp, p_qp, v_sp, v_qp).reshape(Bsz, T, H)
+    else:
+        context = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(Bsz, T, H)
     context = ctx.act(prefix + "attn.context", context)
 
     so = layer["attn_out"]
