@@ -509,7 +509,8 @@ def _self_attention(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train,
     k = k.reshape(B, T, nh, hd)
     v = v.reshape(B, T, nh, hd)
 
-    int_engine = bool(getattr(ctx, "int_params", None))
+    int_engine = (bool(getattr(ctx, "int_params", None))
+                  and getattr(ctx, "int8_attention", False))
     q_sp, q_qp = _act_site_params(ctx, prefix + "attn.q.out")
     k_sp, k_qp = _act_site_params(ctx, prefix + "attn.k.out")
     adt = getattr(ctx, "attention_dtype", None)
@@ -658,7 +659,8 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                capture_sites=None,
                capture_pre_act: bool = False,
                compute_dtype=None,
-               attention_dtype=None) -> Tuple[Dict, Dict]:
+               attention_dtype=None,
+               int8_attention: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``.
 
     ``batch`` holds ``input_ids`` (B, T) plus optional ``attention_mask``,
@@ -675,6 +677,7 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                    capture_pre_act=capture_pre_act,
                    compute_dtype=compute_dtype)
     ctx.attention_dtype = attention_dtype
+    ctx.int8_attention = int8_attention
     if int_params and use_pallas:
         # sites consumed ONLY by the next int8 matmul: the kernel emits
         # their int8 payload directly (ffn.inter.out -> ffn.dense)

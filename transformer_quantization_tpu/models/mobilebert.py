@@ -503,7 +503,8 @@ def _attention(ctx, layer, cfg: MobileBertConfig, q_in, k_in, v_in,
     k = k.reshape(B_, T, nh, hd)
     v = v.reshape(B_, T, nh, hd)
 
-    int_engine = bool(getattr(ctx, "int_params", None))
+    int_engine = (bool(getattr(ctx, "int_params", None))
+                  and getattr(ctx, "int8_attention", False))
     q_sp, q_qp = B._act_site_params(ctx, prefix + "attn.q.out")
     k_sp, k_qp = B._act_site_params(ctx, prefix + "attn.k.out")
     if int_engine and q_sp is not None and k_sp is not None:
@@ -632,14 +633,20 @@ def mobilebert_apply(params: Dict, batch: Mapping[str, Array],
                      int_params: Optional[Dict] = None,
                      use_pallas: bool = False,
                      capture_sites=None,
-                     capture_pre_act: bool = False) -> Tuple[Dict, Dict]:
+                     capture_pre_act: bool = False,
+                     compute_dtype=None,
+                     int8_attention: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
                      capture_sites=capture_sites,
-                     capture_pre_act=capture_pre_act)
+                     capture_pre_act=capture_pre_act,
+                     compute_dtype=compute_dtype)
+    ctx.int8_attention = int8_attention
     input_ids, token_type_ids, position_ids, mask_bias = B.prepare_inputs(
         batch)
+    if compute_dtype is not None and mask_bias is not None:
+        mask_bias = mask_bias.astype(compute_dtype)
     if train and dropout_rng is not None:
         rngs = list(jax.random.split(dropout_rng,
                                      1 + cfg.num_hidden_layers + 1))

@@ -170,7 +170,8 @@ def _sq_layer(ctx, layer, cfg: SqueezeBertConfig, h, mask_bias, prefix,
     q = q.reshape(Bsz, T, nh, hd)
     k = k.reshape(Bsz, T, nh, hd)
     v = v.reshape(Bsz, T, nh, hd)
-    int_engine = bool(getattr(ctx, "int_params", None))
+    int_engine = (bool(getattr(ctx, "int_params", None))
+                  and getattr(ctx, "int8_attention", False))
     q_sp, q_qp = B._act_site_params(ctx, prefix + "attn.q.out")
     k_sp, k_qp = B._act_site_params(ctx, prefix + "attn.k.out")
     if int_engine and q_sp is not None and k_sp is not None:
