@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 activation engine")
+    ap.add_argument("--max-batch", type=int, default=32)
     args = ap.parse_args()
 
     from transformer_quantization_tpu.models import bert as B
@@ -51,9 +52,11 @@ def main():
                               attention_dtype=jnp.bfloat16)
         return out["logits"]
 
-    scfg = ServeConfig(max_batch=32, max_wait_ms=2.0,
+    scfg = ServeConfig(max_batch=args.max_batch, max_wait_ms=2.0,
                        seq_buckets=(32, 64, 128),
-                       batch_buckets=(1, 2, 4, 8, 16, 32), precompile=True)
+                       batch_buckets=(8, 32, args.max_batch)
+                       if args.max_batch > 32 else (1, 2, 4, 8, 16, 32),
+                       precompile=True)
     eng = ServingEngine(forward, scfg)
 
     rng = np.random.RandomState(0)
