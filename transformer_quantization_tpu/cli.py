@@ -139,6 +139,9 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--per-groups-permute-shared-h", action="store_true")
         g = sp.add_argument_group("qat")
         g.add_argument("--learn-ranges", action="store_true")
+        g.add_argument("--range-learning-rate", type=float, default=None,
+                       help="separate lr for learned ranges (default: the "
+                            "weight lr, like the reference)")
         g.add_argument("--fix-weight-ranges", action="store_true")
         g.add_argument("--fix-act-ranges", action="store_true")
         g = sp.add_argument_group("adaround")
@@ -390,7 +393,8 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                 learn_ranges=args.learn_ranges,
                 fix_weight_ranges=args.fix_weight_ranges,
                 fix_act_ranges=args.fix_act_ranges,
-                learning_rate=args.learning_rate)
+                learning_rate=args.learning_rate,
+                range_learning_rate=args.range_learning_rate)
         with timer.phase("train"):
             params, qstate = T.train(apply_fn, params, task, train_arr, tcfg,
                                      qcfg=qcfg, qstate=qstate,

@@ -90,7 +90,30 @@ def qat_mode(qat: QATConfig, weight_quant: bool = True,
 
 
 def make_optimizer(qat: QATConfig) -> optax.GradientTransformation:
-    return optax.adamw(qat.learning_rate, weight_decay=qat.weight_decay)
+    """AdamW on weights; optionally a separate (usually much smaller)
+    learning rate for the range parameters.
+
+    The reference trains ``_delta``/``_zero_float`` with the same
+    optimizer and lr as the weights (quantizers.py:284-288 just flips
+    them to nn.Parameters) — that is the ``range_learning_rate=None``
+    default. But scale parameters are ~1e-3-sized while Adam steps are
+    ~lr-sized, so at aggressive weight lrs the ranges can collapse to
+    eps in a step or two and freeze training; a separate range lr is
+    the practical fix (LSQ-style lr scaling).
+    """
+    base = optax.adamw(qat.learning_rate, weight_decay=qat.weight_decay)
+    if qat.range_learning_rate is None:
+        return base
+    range_tx = optax.adam(qat.range_learning_rate)
+
+    def labels(tree):
+        return {
+            "params": jax.tree.map(lambda _: "params", tree["params"]),
+            "ranges": jax.tree.map(lambda _: "ranges", tree["ranges"]),
+        }
+
+    return optax.multi_transform({"params": base, "ranges": range_tx},
+                                 labels)
 
 
 def make_qat_train_step(apply_fn: Callable, qcfg: QuantModelConfig,

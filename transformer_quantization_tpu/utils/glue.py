@@ -177,7 +177,11 @@ def synthetic_examples(task: GlueTask, split: str, n: int,
     with some overlap, so models can genuinely fit it — used for offline
     smoke/e2e runs.
     """
-    rng = np.random.RandomState(seed + hash(split) % 1000)
+    # stable across processes (Python's str hash is per-process randomized,
+    # which would make "deterministic" synthetic data non-deterministic)
+    import zlib
+
+    rng = np.random.RandomState(seed + zlib.crc32(split.encode()) % 1000)
     vocab = [f"tok{i}" for i in range(512)]
     examples = []
     n_classes = max(task.num_labels, 2)
