@@ -68,7 +68,8 @@ def build_engine_from_checkpoint(ckpt_dir: str, *, bf16: bool = False,
     def forward(batch):
         out, _ = fam.apply(params, batch, cfg, qcfg, qstate,
                            int_params=int_params, use_pallas=use_pallas,
-                           compute_dtype=cdt)
+                           compute_dtype=cdt,
+                           attention_dtype=jnp.bfloat16)
         return out["logits"]
 
     if tokenizer is None:
