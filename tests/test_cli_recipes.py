@@ -1,0 +1,83 @@
+"""CLI recipe coverage: the reference README's flag combinations that
+aren't exercised by the other e2e tests (README.md:148-200)."""
+
+import pytest
+
+from transformer_quantization_tpu import cli
+
+BASE = ["--task", "rte", "--synthetic-data", "--num-val-samples", "16",
+        "--eval-batch-size", "8", "--tiny-model", "--num-est-batches", "1"]
+
+
+def _run(*extra):
+    return cli.main(["validate-quantized", *BASE, *extra])
+
+
+def test_w8a8_reference_recipe():
+    """README.md:150-156: MSE/golden weights, current-minmax acts,
+    1 est batch of size 1, no padding in range estimation."""
+    s = _run("--qmethod", "symmetric_uniform",
+             "--qmethod-act", "asymmetric_uniform",
+             "--weight-quant-method", "MSE",
+             "--weight-opt-method", "golden_section",
+             "--act-quant-method", "current_minmax",
+             "--est-ranges-batch-size", "1", "--est-ranges-no-pad")
+    assert 0.0 <= s <= 1.0
+
+
+def test_cross_entropy_layer():
+    """--cross-entropy-layer installs the CE estimator on the logits site
+    (utils/utils.py:53-64)."""
+    s = _run("--cross-entropy-layer", "classifier.out",
+             "--act-quant-method", "current_minmax")
+    assert 0.0 <= s <= 1.0
+
+
+def test_mse_logits_quant_setup():
+    s = _run("--quant-setup", "MSE_logits")
+    assert 0.0 <= s <= 1.0
+
+
+def test_peg_shared_permutation():
+    """README.md:168-173 + --per-groups-permute-shared-h
+    (main.py:539-557)."""
+    s = _run("--quant-dict", "{'y': 'ngp4', 'h': 'ngp4', 'x': 'ngp4'}",
+             "--per-groups-permute-shared-h")
+    assert 0.0 <= s <= 1.0
+
+
+def test_w2_embeddings_et():
+    """README.md:200: 2-bit embeddings via {'Et': 2} switch the word-emb
+    estimator to MSE/golden-section."""
+    s = _run("--quant-dict", "{'Et': 2}")
+    assert 0.0 <= s <= 1.0
+
+
+def test_mixed_precision_16bit_sites():
+    s = _run("--quant-dict", "{'y': 16, 'h': 16, 'x': 16, 's': 16}")
+    assert 0.0 <= s <= 1.0
+
+
+def test_adaround_small():
+    """W4 AdaRound on two layers (README.md:176-183, tiny budget)."""
+    s = _run("--n-bits", "4", "--adaround", "L0.attn.q",
+             "--adaround", "L0.ffn.inter",
+             "--adaround-iters", "30", "--adaround-num-samples", "16",
+             "--adaround-init", "mse", "--batch-size", "8")
+    assert 0.0 <= s <= 1.0
+
+
+def test_dynamic_per_token():
+    s = _run("--per-token", "--dynamic")
+    assert 0.0 <= s <= 1.0
+
+
+def test_no_act_quant_weight_only():
+    s = _run("--no-act-quant")
+    assert 0.0 <= s <= 1.0
+
+
+def test_percentile_ranges():
+    s = _run("--act-quant-method", "running_minmax", "--percentile", "99.9",
+             "--num-est-batches", "2")
+    assert 0.0 <= s <= 1.0
