@@ -81,3 +81,29 @@ def test_percentile_ranges():
     s = _run("--act-quant-method", "running_minmax", "--percentile", "99.9",
              "--num-est-batches", "2")
     assert 0.0 <= s <= 1.0
+
+
+def test_per_token_forces_dynamic(caplog):
+    """--per-token without --dynamic forces dynamic mode
+    (transformer_click_options.py:441-443)."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="tq_tpu"):
+        s = _run("--per-token")
+    assert 0.0 <= s <= 1.0
+    assert any("forces --dynamic" in r.message for r in caplog.records)
+
+
+def test_adaround_multi_eval_protocol(caplog):
+    """validate-quantized --adaround runs the multi-eval protocol
+    (main.py:666-730): FP-acts score + batch sizes {1,4,16}, report max."""
+    import logging
+
+    with caplog.at_level(logging.INFO):
+        s = _run("--adaround", "L0.attn.q", "--adaround-iters", "10",
+                 "--adaround-num-samples", "8", "--batch-size", "8")
+    assert 0.0 <= s <= 1.0
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("Score (FP32 acts)" in m for m in msgs)
+    for bs in (1, 4, 16):
+        assert any(f"Score (bs={bs})" in m for m in msgs)

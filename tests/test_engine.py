@@ -1,0 +1,143 @@
+"""Full-handoff int8 engine: parity with the generic quantized path.
+
+The engine (ops/engine.py + ops/pallas/engine_kernels.py) must compute the
+same function as bert_apply with int_params (the XLA int path), which in
+turn matches the fake-quant simulation (reference semantics,
+quantization/quantizers.py:189-211). Engine int32 accumulation is exact
+where f32 GEMMs round, so comparisons use small tolerances, not equality.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from transformer_quantization_tpu.models import bert as B
+from transformer_quantization_tpu.ops import engine as ENG
+from transformer_quantization_tpu.ops.pallas import engine_kernels as EK
+from transformer_quantization_tpu.quant.qconfig import QuantMode
+
+import __graft_entry__ as G
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = B.BertConfig(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                       num_attention_heads=4, intermediate_size=128,
+                       max_position_embeddings=64, num_labels=2)
+    params, qcfg, qstate = G._calibrated_bert(cfg, batch_size=2, seq=16)
+    static, plan, int_params = B.build_bert_engine(params, cfg, qcfg, qstate)
+    rng = np.random.RandomState(1)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, 128, (4, 16)), jnp.int32),
+        "attention_mask": jnp.asarray(
+            (np.arange(16)[None, :] < rng.randint(8, 17, (4, 1))),
+            jnp.float32),
+        "token_type_ids": jnp.zeros((4, 16), jnp.int32),
+    }
+    return cfg, params, qcfg, qstate, static, plan, int_params, batch
+
+
+def _generic_logits(setup):
+    cfg, params, qcfg, qstate, _, _, int_params, batch = setup
+    out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, QuantMode(),
+                          int_params=int_params)
+    return np.asarray(out["logits"])
+
+
+def test_engine_xla_backend_matches_generic(tiny_setup):
+    cfg, params, qcfg, qstate, static, plan, int_params, batch = tiny_setup
+    ref = _generic_logits(tiny_setup)
+    out = B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                              plan, int_params, backend="xla")
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref,
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_engine_pallas_interpret_matches_xla_backend(tiny_setup):
+    cfg, params, qcfg, qstate, static, plan, int_params, batch = tiny_setup
+    ref = B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                              plan, int_params, backend="xla")
+    out = B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                              plan, int_params, backend="pallas",
+                              interpret=True)
+    # identical dataflow; kernels differ only in the exact-GELU formulation
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_engine_close_to_fakequant_simulation(tiny_setup):
+    cfg, params, qcfg, qstate, static, plan, int_params, batch = tiny_setup
+    sim, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, QuantMode())
+    out = B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                              plan, int_params, backend="xla")
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(sim["logits"]),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_engine_bf16_residual_stream(tiny_setup):
+    cfg, params, qcfg, qstate, static, plan, int_params, batch = tiny_setup
+    ref = _generic_logits(tiny_setup)
+    out = B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                              plan, int_params, backend="xla",
+                              engine_dtype=jnp.bfloat16)
+    # bf16 storage error sits below the 8-bit act grid; logits stay close
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref,
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_engine_jit_compiles_once(tiny_setup):
+    cfg, params, qcfg, qstate, static, plan, int_params, batch = tiny_setup
+
+    @jax.jit
+    def step(params, plan, batch):
+        return B.bert_engine_apply(params, batch, cfg, qcfg, qstate,
+                                   static, plan, int_params,
+                                   backend="xla")["logits"]
+
+    a = step(params, plan, batch)
+    assert a.shape == (4, cfg.num_labels)
+    assert np.isfinite(np.asarray(a)).all()
+
+
+def test_incompatible_config_rejected(tiny_setup):
+    cfg, params, qcfg, qstate, _, _, int_params, _ = tiny_setup
+    bad = qcfg.replace_site("L0.attn.q.out", enabled=False)
+    with pytest.raises(ENG.EngineIncompatible):
+        B.build_bert_engine(params, cfg, bad, qstate, int_params=int_params)
+    # 16-bit FFN residual-path sites (the mixed W8A{8,16} recipe) likewise
+    bad16 = B.apply_bert_quant_dict(qcfg, {"x": 16}, cfg.num_hidden_layers)
+    with pytest.raises(ENG.EngineIncompatible):
+        B.build_bert_engine(params, cfg, bad16, qstate,
+                            int_params=int_params)
+
+
+def test_disabled_residual_site_supported(tiny_setup):
+    """'u': 'fp32' (disable attn_out.res) still rides the engine."""
+    cfg, params, qcfg, qstate, _, _, int_params, batch = tiny_setup
+    qcfg2 = B.apply_bert_quant_dict(qcfg, {"u": "fp32"},
+                                    cfg.num_hidden_layers)
+    static, plan, _ = B.build_bert_engine(params, cfg, qcfg2, qstate,
+                                          int_params=int_params)
+    assert static.res_quant[0][0] is False
+    ref, _ = B.bert_apply(params, batch, cfg, qcfg2, qstate, QuantMode(),
+                          int_params=int_params)
+    out = B.bert_engine_apply(params, batch, cfg, qcfg2, qstate, static,
+                              plan, int_params, backend="xla")
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_payload_roundtrip():
+    s = jnp.asarray(0.037, jnp.float32)
+    shift = jnp.asarray(128.0 - 117.0, jnp.float32)
+    x = jnp.linspace(-4.0, 4.0, 513)
+    p = EK.quantize_payload(x, s, shift)
+    assert p.dtype == jnp.int8
+    xq = EK.dequantize_payload(p, s, shift)
+    np.testing.assert_allclose(np.asarray(xq),
+                               np.asarray(EK.fakequant_f32(x, s, shift)),
+                               rtol=1e-6, atol=1e-6)

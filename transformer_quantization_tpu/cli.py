@@ -343,6 +343,7 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                     permute_batches=est_batches[:10], shared_groups=shared)
 
         # AdaRound (validate path only, like main.py:566-589)
+        ar_cfg = None
         if not do_train and weight_quant and args.adaround:
             ann = tuple(float(x) for x in args.adaround_annealing.split(","))
             ar_cfg = AR.AdaRoundConfig(
@@ -417,24 +418,43 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
             extra={"command": args.command, "seed": args.seed})
 
     # evaluation (incl. MNLI matched+mismatched, main.py:748-784)
-    scores = []
-    results = {}
     eval_splits = [("validation", val_arr)]
     if task.name == "mnli" and "validation_mismatched" in splits:
         mm = D.encode_examples(tok, task, splits["validation_mismatched"],
                                args.max_seq_length)
         eval_splits.append(("validation_mismatched", mm))
-    for split_name, arr in eval_splits:
-        with timer.phase("eval"):
-            m = T.evaluate(apply_fn, params, qstate, task, arr, qcfg=qcfg,
-                           mode=eval_mode, batch_size=args.eval_batch_size,
-                           num_val_samples=args.num_val_samples)
-        results[split_name] = m
-        scores.append(m.get(task.final_metric, m.get("combined_score")))
-        logger.info("Eval results %s/%s: %s", task.name, split_name, m)
-        if args.num_val_samples is not None:
-            break
-    final = float(np.mean(scores))
+
+    def eval_mean(qs, mode):
+        split_scores, res = [], {}
+        for split_name, arr in eval_splits:
+            with timer.phase("eval"):
+                m = T.evaluate(apply_fn, params, qs, task, arr, qcfg=qcfg,
+                               mode=mode, batch_size=args.eval_batch_size,
+                               num_val_samples=args.num_val_samples)
+            res[split_name] = m
+            split_scores.append(m.get(task.final_metric,
+                                      m.get("combined_score")))
+            logger.info("Eval results %s/%s: %s", task.name, split_name, m)
+            if args.num_val_samples is not None:
+                break
+        return float(np.mean(split_scores)), res
+
+    if quantized and ar_cfg is not None and not args.dynamic:
+        # AdaRound multi-eval protocol (main.py:666-730): FP-acts score,
+        # then act ranges re-estimated at batch sizes {1, 4, 16}; report max
+        est_pad = (args.est_ranges_pad if args.est_ranges_pad is not None
+                   else args.pad_to_max_length)
+        final, details = AD.adaround_multi_eval(
+            apply_fn, params, qcfg, qstate, eval_fn=eval_mean,
+            est_arrays=train_arr, act_quant_mode=ar_cfg.act_quant_mode,
+            weight_quant=weight_quant, act_quant=act_quant,
+            num_est_batches=args.num_est_batches, est_pad=est_pad,
+            cross_entropy_layer=args.cross_entropy_layer,
+            log_fn=logger.info)
+        results = details["payload"]
+        qstate = details["best_qstate"]
+    else:
+        final, results = eval_mean(qstate, eval_mode)
     logger.info("Phase timings:\n%s", timer.report())
 
     if args.tb_logging_dir and quantized and qstate:
@@ -478,6 +498,11 @@ def main(argv=None):
     seed_all(args.seed)
     do_train = args.command.startswith("train")
     quantized = args.command.endswith("quantized")
+    if getattr(args, "per_token", False) and not args.dynamic:
+        # static per-position ranges are meaningless; per-token implies
+        # dynamic quantization (transformer_click_options.py:441-443)
+        logger.info("--per-token forces --dynamic")
+        args.dynamic = True
     tasks = G.resolve_tasks(args.task or ["rte"])
 
     if args.output_dir:

@@ -704,7 +704,16 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
     h, h_site = run_encoder(ctx, params, cfg, h, mask_bias, train, rngs,
                             first_site="emb.ln.out")
 
-    # pooler: first token -> dense+Tanh fused (quantized_bert.py:374-389)
+    outputs = _classification_head(ctx, params, cfg, h, h_site, batch,
+                                   train, rngs)
+    if capture_sites:
+        outputs["captures"] = getattr(ctx, "captures", {})
+    return outputs, ctx.export()
+
+
+def _classification_head(ctx, params, cfg: BertConfig, h, h_site, batch,
+                         train, rngs):
+    """Pooler + classifier + loss (quantized_bert.py:374-389, 526-600)."""
     pooled = quant_linear(ctx, "pooler.dense", h[:, 0],
                           params["pooler"]["kernel"], params["pooler"]["bias"],
                           activation="tanh", input_site=h_site)
@@ -720,15 +729,76 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
     outputs = {"logits": logits, "pooled": pooled, "sequence_output": h}
     labels = batch.get("labels")
     if labels is not None:
-        if cfg.num_labels == 1:
-            outputs["loss"] = jnp.mean(
-                (logits.reshape(-1) - labels.reshape(-1).astype(jnp.float32))
-                ** 2)
-        else:
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
-                                       axis=1)
-            outputs["loss"] = jnp.mean(nll)
-    if capture_sites:
-        outputs["captures"] = getattr(ctx, "captures", {})
-    return outputs, ctx.export()
+        outputs["loss"] = classification_loss(logits, labels, cfg.num_labels)
+    return outputs
+
+
+def classification_loss(logits, labels, num_labels: int):
+    """MSE for regression tasks, cross-entropy otherwise (main.py glue)."""
+    if num_labels == 1:
+        return jnp.mean(
+            (logits.reshape(-1) - labels.reshape(-1).astype(jnp.float32))
+            ** 2)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                               axis=1)
+    return jnp.mean(nll)
+
+
+# ---------------------------------------------------------------------------
+# Full-handoff int8 inference engine (ops/engine.py) — the fast serving path
+# ---------------------------------------------------------------------------
+
+
+def build_bert_engine(params: Dict, cfg: BertConfig, qcfg: QuantModelConfig,
+                      qstate: Mapping, int_params: Optional[Dict] = None,
+                      use_int4: bool = False):
+    """Assemble the full-handoff engine plan for a calibrated BERT.
+
+    Returns ``(static, plan, int_params)``; raises
+    :class:`~.ops.engine.EngineIncompatible` when the quantization config
+    doesn't fit the payload protocol (callers fall back to
+    :func:`bert_apply` with ``int_params``, which handles everything).
+    """
+    from transformer_quantization_tpu.ops import engine as ENG
+
+    if int_params is None:
+        int_params = build_bert_int_params(params, qcfg, qstate,
+                                           use_int4=use_int4)
+    static, plan = ENG.build_encoder_plan(
+        qcfg, qstate, int_params, params["layers"],
+        n_heads=cfg.num_attention_heads, ln_eps=cfg.layer_norm_eps,
+        hidden_act=cfg.hidden_act, entry_site="emb.ln.out")
+    return static, plan, int_params
+
+
+def bert_engine_apply(params: Dict, batch: Mapping[str, Array],
+                      cfg: BertConfig, qcfg: QuantModelConfig,
+                      qstate: Mapping, static, plan, int_params: Dict, *,
+                      backend: str = "pallas", engine_dtype=jnp.float32,
+                      interpret: bool = False) -> Dict:
+    """Inference forward through the full-handoff int8 engine.
+
+    Embeddings and the pooler/classifier head run through the generic
+    site machinery (they are <2% of the FLOPs); the 12-layer encoder runs
+    on int8 payloads end-to-end (ops/engine.py). Numerics match
+    :func:`bert_apply` with the same ``int_params`` up to
+    float-associativity. Inference only (fixed ranges, no dropout).
+    """
+    from transformer_quantization_tpu.ops import engine as ENG
+
+    ctx = make_ctx(qcfg, qstate, QuantMode(), int_params=int_params)
+    input_ids, token_type_ids, position_ids, mask_bias = prepare_inputs(batch)
+    h = _embeddings(ctx, params, cfg, input_ids, token_type_ids,
+                    position_ids, False, None)
+    attention_mask = batch.get("attention_mask")
+    if attention_mask is None:
+        bias_vec = jnp.zeros(input_ids.shape, jnp.float32)
+    else:
+        bias_vec = (1.0 - attention_mask.astype(jnp.float32)) * -10000.0
+    h = ENG.encoder_engine(h, bias_vec, static, plan, backend=backend,
+                           out_dtype=engine_dtype, interpret=interpret)
+    h = h.astype(jnp.float32)
+    h_site = f"L{cfg.num_hidden_layers - 1}.ffn.ln.out"
+    return _classification_head(ctx, params, cfg, h, h_site, batch,
+                                False, None)

@@ -1,0 +1,312 @@
+"""Full-handoff int8 encoder inference engine.
+
+Strings the Pallas kernels of ``ops/pallas/engine_kernels.py`` into a
+complete quantized transformer encoder in which every activation edge
+between matmuls is an int8 payload:
+
+    ln8 ──► fused q|k|v matmul ──► q8|k8|v8 ──► fused int8 attention ──► c8
+    c8  ──► attn_out matmul (fold) ──► f ──► fused add+LN ──► (ln8, f)
+    ln8 ──► ffn.inter matmul (+GELU) ──► i8 ──► ffn.dense (fold) ──► f
+    f   ──► fused add+LN ──► (ln8, f) ──► next layer
+
+This is the TPU-native *execution* path for the capability the reference
+only simulates (reference: quantization/quantizers.py:189-211 fake-quant
+inside hijacker.py:66-116); site inventory, quantization order, and
+numerics match models/quantized_bert.py site-for-site — the engine output
+agrees with the fake-quant simulation to within float-associativity
+(int32 accumulation in the engine is exact where the simulation's f32
+GEMMs round).
+
+The engine covers per-tensor, 8-bit-activation, symmetric-int8/int4-
+weight configurations (the paper's W8A8 / W4A8 headline recipes,
+README.md:148-156). :func:`build_encoder_plan` validates a model's
+quantization config and raises :class:`EngineIncompatible` otherwise;
+callers fall back to the generic ``QuantCtx`` path (ops/layers.py),
+which supports everything.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from transformer_quantization_tpu.ops.pallas import engine_kernels as EK
+from transformer_quantization_tpu.quant import quantizers as Q
+
+Array = jax.Array
+
+
+class EngineIncompatible(Exception):
+    """The quantization config doesn't fit the fast engine path."""
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineStatic:
+    """Hashable (jit-static) engine shape/flags; arrays live in the plan
+    pytree."""
+
+    n_layers: int
+    n_heads: int
+    ln_eps: float
+    hidden_act: str
+    # per layer: (qkv_w4, attn_out_w4, inter_w4, dense_w4)
+    w4: Tuple[Tuple[bool, bool, bool, bool], ...]
+    # per layer: (attn_out.dense.out folded?, ffn.dense.out folded?)
+    fold: Tuple[Tuple[bool, bool], ...]
+    # per layer: (attn_out.res enabled?, ffn.res enabled?)
+    res_quant: Tuple[Tuple[bool, bool], ...]
+
+
+# ---------------------------------------------------------------------------
+# Plan building
+# ---------------------------------------------------------------------------
+
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise EngineIncompatible(msg)
+
+
+def act_site_scalars(qcfg, qstate: Mapping, name: str) -> Tuple[Array, Array]:
+    """(scale, payload-shift) of a per-tensor asymmetric 8-bit act site.
+
+    Raises :class:`EngineIncompatible` when the site can't ride the int8
+    payload protocol (disabled, per-axis/grouped, !=8 bits, symmetric —
+    symmetric act grids may be unsigned, which int8 payloads can't carry).
+    """
+    _require(name in qcfg, f"no act site {name!r}")
+    c = qcfg[name]
+    _require(c.kind == "act", f"{name!r} is not an act site")
+    _require(c.enabled, f"act site {name!r} disabled")
+    _require(c.axis is None and not c.n_groups,
+             f"act site {name!r} is per-axis/grouped")
+    _require(c.spec.n_bits == 8, f"act site {name!r} is {c.spec.n_bits}-bit")
+    _require(not c.spec.symmetric, f"act site {name!r} is symmetric")
+    _require(name in qstate, f"act site {name!r} not calibrated")
+    qp = qstate[name]["qp"]
+    _require(qp.delta.ndim == 0, f"act site {name!r} has non-scalar params")
+    s = Q.scale_of(c.spec, qp).reshape(()).astype(jnp.float32)
+    shift = (128.0 - Q.zero_point_of(c.spec, qp).reshape(())).astype(
+        jnp.float32)
+    return s, shift
+
+
+def _act_enabled(qcfg, name: str) -> bool:
+    return name in qcfg and qcfg[name].enabled
+
+
+def _bcast(v: Array, n: int) -> Array:
+    v = jnp.reshape(v, (-1,)).astype(jnp.float32)
+    return jnp.broadcast_to(v, (n,)) if v.shape[0] != n else v
+
+
+def _packed_weight(int_params: Mapping, name: str):
+    _require(name in int_params, f"weight of {name!r} not int-packed")
+    p = int_params[name]
+    w4 = "w_packed" in p
+    return (p["w_packed"] if w4 else p["w_int"]), p, w4
+
+
+def _mm_plan(int_params: Mapping, names: List[str], biases: List[Array],
+             in_scal: Tuple[Array, Array],
+             out_sites: Optional[List[Tuple[Array, Array]]]) -> Tuple[Dict, bool]:
+    """Assemble one matmul's plan: (N,K) int8/int4 weight (row-concat over
+    ``names`` for the fused q|k|v matmul), (5,N) epilogue vectors, and the
+    (1,2) input-site scalars."""
+    ws, packs, w4s = zip(*(_packed_weight(int_params, n) for n in names))
+    _require(len(set(w4s)) == 1, "mixed int4/int8 sub-weights in one matmul")
+    w = ws[0] if len(ws) == 1 else jnp.concatenate(ws, axis=0)
+    ns = [p["colsum"].shape[0] for p in packs]
+    n = sum(ns)
+    wscale = jnp.concatenate([_bcast(p["scale"], nn)
+                              for p, nn in zip(packs, ns)])
+    colsum = jnp.concatenate([p["colsum"].astype(jnp.float32) for p in packs])
+    bias = jnp.concatenate([b.astype(jnp.float32) for b in biases])
+    if out_sites is None:
+        out_s = jnp.ones((n,), jnp.float32)
+        out_shift = jnp.zeros((n,), jnp.float32)
+    else:
+        out_s = jnp.concatenate([_bcast(s, nn)
+                                 for (s, _), nn in zip(out_sites, ns)])
+        out_shift = jnp.concatenate([_bcast(sh, nn)
+                                     for (_, sh), nn in zip(out_sites, ns)])
+    vecs = jnp.stack([wscale, colsum, bias, out_s, out_shift])
+    scal = jnp.stack(in_scal).reshape(1, 2)
+    return {"w": w, "vecs": vecs, "scal": scal}, w4s[0]
+
+
+def _ln_plan(qcfg, qstate, params_ln: Mapping, res_site: str, ln_site: str,
+             ln_wsite: str) -> Tuple[Dict, bool]:
+    """gamma/beta (+quantized gamma) and res/ln site scalars for one
+    fused add+LN; returns (plan, res_quant_enabled)."""
+    gamma = params_ln["scale"].astype(jnp.float32)
+    beta = params_ln["bias"].astype(jnp.float32)
+    if ln_wsite in qcfg and qcfg[ln_wsite].enabled:
+        c = qcfg[ln_wsite]
+        _require(ln_wsite in qstate, f"{ln_wsite!r} not calibrated")
+        gamma = Q.fake_quant(c.spec, qstate[ln_wsite]["qp"], gamma,
+                             axis=0 if c.per_channel else None)
+    res_quant = _act_enabled(qcfg, res_site)
+    if res_quant:
+        r_s, r_sh = act_site_scalars(qcfg, qstate, res_site)
+    else:
+        r_s, r_sh = jnp.ones(()), jnp.zeros(())
+    l_s, l_sh = act_site_scalars(qcfg, qstate, ln_site)
+    return {
+        "gb": jnp.stack([gamma, beta]),
+        "scal": jnp.stack([r_s, r_sh, l_s, l_sh]).reshape(1, 4),
+    }, res_quant
+
+
+def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
+                       layer_params: List[Mapping], *, n_heads: int,
+                       ln_eps: float, hidden_act: str,
+                       entry_site: str) -> Tuple[EngineStatic, Dict]:
+    """Validate + assemble the engine plan for a BERT-family encoder stack
+    using the shared ``L{i}.*`` site naming (models/bert.py
+    declare_encoder_sites). Raises :class:`EngineIncompatible` if any
+    required edge can't ride the payload protocol."""
+    layers = []
+    w4_flags = []
+    fold_flags = []
+    res_flags = []
+    for i, lp in enumerate(layer_params):
+        p = f"L{i}."
+        in_site = entry_site if i == 0 else f"L{i - 1}.ffn.ln.out"
+        in_scal = act_site_scalars(qcfg, qstate, in_site)
+        qkv_out = [act_site_scalars(qcfg, qstate, p + f"attn.{x}.out")
+                   for x in "qkv"]
+        qkv, qkv_w4 = _mm_plan(
+            int_params, [p + f"attn.{x}" for x in "qkv"],
+            [lp["attn"][x]["bias"] for x in "qkv"], in_scal, qkv_out)
+
+        attn_scal = jnp.concatenate(
+            [jnp.stack(s) for s in qkv_out]
+            + [jnp.stack(act_site_scalars(qcfg, qstate, p + site))
+               for site in ("attn.scores", "attn.probs", "attn.context")]
+        ).reshape(1, 12)
+
+        ctx_scal = act_site_scalars(qcfg, qstate, p + "attn.context")
+        ao_fold = _act_enabled(qcfg, p + "attn_out.dense.out")
+        ao_out = ([act_site_scalars(qcfg, qstate, p + "attn_out.dense.out")]
+                  if ao_fold else None)
+        attn_out, ao_w4 = _mm_plan(
+            int_params, [p + "attn_out.dense"],
+            [lp["attn_out"]["dense"]["bias"]], ctx_scal, ao_out)
+
+        ln1, res1 = _ln_plan(qcfg, qstate, lp["attn_out"]["ln"],
+                             p + "attn_out.res", p + "attn_out.ln.out",
+                             p + "attn_out.ln.w")
+
+        ln1_scal = act_site_scalars(qcfg, qstate, p + "attn_out.ln.out")
+        inter_out = [act_site_scalars(qcfg, qstate, p + "ffn.inter.out")]
+        inter, inter_w4 = _mm_plan(
+            int_params, [p + "ffn.inter"], [lp["ffn"]["inter"]["bias"]],
+            ln1_scal, inter_out)
+
+        i_scal = act_site_scalars(qcfg, qstate, p + "ffn.inter.out")
+        d_fold = _act_enabled(qcfg, p + "ffn.dense.out")
+        d_out = ([act_site_scalars(qcfg, qstate, p + "ffn.dense.out")]
+                 if d_fold else None)
+        dense, dense_w4 = _mm_plan(
+            int_params, [p + "ffn.dense"], [lp["ffn"]["dense"]["bias"]],
+            i_scal, d_out)
+
+        ln2, res2 = _ln_plan(qcfg, qstate, lp["ffn"]["ln"],
+                             p + "ffn.res", p + "ffn.ln.out",
+                             p + "ffn.ln.w")
+
+        layers.append({"qkv": qkv, "attn_scal": attn_scal,
+                       "attn_out": attn_out, "ln1": ln1, "inter": inter,
+                       "dense": dense, "ln2": ln2})
+        w4_flags.append((qkv_w4, ao_w4, inter_w4, dense_w4))
+        fold_flags.append((ao_fold, d_fold))
+        res_flags.append((res1, res2))
+
+    entry_scal = jnp.stack(
+        act_site_scalars(qcfg, qstate, entry_site)).reshape(1, 2)
+    static = EngineStatic(
+        n_layers=len(layer_params), n_heads=n_heads, ln_eps=ln_eps,
+        hidden_act=hidden_act, w4=tuple(w4_flags), fold=tuple(fold_flags),
+        res_quant=tuple(res_flags))
+    return static, {"layers": layers, "entry_scal": entry_scal}
+
+
+# ---------------------------------------------------------------------------
+# Execution
+# ---------------------------------------------------------------------------
+
+
+def _mm(backend: str, interpret: bool, x8: Array, mp: Dict, *, activation,
+        out_mode, out_dtype, w4: bool) -> Array:
+    if backend == "pallas":
+        return EK.int8_matmul(x8, mp["w"], mp["vecs"], mp["scal"],
+                              activation=activation, out_mode=out_mode,
+                              out_dtype=out_dtype, interpret=interpret,
+                              w4=w4)
+    return EK.int8_matmul_ref(x8, mp["w"], mp["vecs"], mp["scal"],
+                              activation=activation, out_mode=out_mode,
+                              out_dtype=out_dtype, w4=w4)
+
+
+def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
+                   plan: Dict, *, backend: str = "pallas",
+                   out_dtype=jnp.float32, interpret: bool = False) -> Array:
+    """Run the encoder stack on payloads.
+
+    ``h``: (B, T, H) float — the (fake-quantized) entry-site value
+    (emb.ln.out). ``mask_bias``: (B, T) f32 additive attention bias.
+    Returns the final layer's ln-site value, (B, T, H) in ``out_dtype``.
+    """
+    b, t, hdim = h.shape
+    hf = h.reshape(b * t, hdim).astype(out_dtype)
+    es = plan["entry_scal"]
+    h8 = EK.quantize_payload(hf, es[0, 0], es[0, 1])
+
+    for i, lp in enumerate(plan["layers"]):
+        qkv_w4, ao_w4, inter_w4, dense_w4 = static.w4[i]
+        ao_fold, d_fold = static.fold[i]
+        res1, res2 = static.res_quant[i]
+
+        qkv8 = _mm(backend, interpret, h8, lp["qkv"], activation=None,
+                   out_mode="emit", out_dtype=out_dtype, w4=qkv_w4)
+        if backend == "pallas":
+            c8 = EK.int8_attention(qkv8, mask_bias, lp["attn_scal"],
+                                   n_heads=static.n_heads, seq=t,
+                                   interpret=interpret)
+        else:
+            c8 = EK.int8_attention_ref(qkv8, mask_bias, lp["attn_scal"],
+                                       n_heads=static.n_heads, seq=t)
+        y = _mm(backend, interpret, c8, lp["attn_out"], activation=None,
+                out_mode="fold" if ao_fold else "float",
+                out_dtype=out_dtype, w4=ao_w4)
+        if backend == "pallas":
+            h8, hf = EK.fused_add_ln(y, hf, lp["ln1"]["gb"],
+                                     lp["ln1"]["scal"], eps=static.ln_eps,
+                                     res_quant=res1, out_dtype=out_dtype,
+                                     interpret=interpret)
+        else:
+            h8, hf = EK.fused_add_ln_ref(y, hf, lp["ln1"]["gb"],
+                                         lp["ln1"]["scal"],
+                                         eps=static.ln_eps, res_quant=res1,
+                                         out_dtype=out_dtype)
+        i8 = _mm(backend, interpret, h8, lp["inter"],
+                 activation=static.hidden_act, out_mode="emit",
+                 out_dtype=out_dtype, w4=inter_w4)
+        y = _mm(backend, interpret, i8, lp["dense"], activation=None,
+                out_mode="fold" if d_fold else "float",
+                out_dtype=out_dtype, w4=dense_w4)
+        if backend == "pallas":
+            h8, hf = EK.fused_add_ln(y, hf, lp["ln2"]["gb"],
+                                     lp["ln2"]["scal"], eps=static.ln_eps,
+                                     res_quant=res2, out_dtype=out_dtype,
+                                     interpret=interpret)
+        else:
+            h8, hf = EK.fused_add_ln_ref(y, hf, lp["ln2"]["gb"],
+                                         lp["ln2"]["scal"],
+                                         eps=static.ln_eps, res_quant=res2,
+                                         out_dtype=out_dtype)
+    return hf.reshape(b, t, hdim)

@@ -1,0 +1,446 @@
+"""Pallas TPU kernels for the full-handoff int8 inference engine.
+
+Round-1 profiling showed the int8 path was bandwidth-bound on elementwise
+quantize/dequantize passes between matmuls, not on the matmuls themselves
+(NOTES.md "Where the time goes"). These kernels close every encoder edge:
+activations travel between matmuls as *int8 payloads* (the quantized site
+value, int8, asym grids shifted by -128 — the convention of
+ops/int_linear.quantize_activation_int8), and every elementwise region
+(dequant epilogue, GELU, softmax, residual add, LayerNorm, site
+fake-quant) is fused into the producing kernel. Per encoder layer the
+only HBM tensors are the five matmul payloads plus one bf16/f32 residual
+stream.
+
+Three kernels:
+
+- :func:`int8_matmul` — payload x payload matmul with the dequant fold,
+  bias, optional fused activation, and *per-column* output-site
+  requantization in the epilogue. Per-column out params let one kernel
+  emit the fused q|k|v payload (three sites, one matmul) at full MXU
+  shape (M, 768) @ (768, 2304).
+- :func:`int8_attention` — flash-style fused attention over payloads:
+  scores = q8@k8^T (MXU int32) -> scores-site fake-quant -> 1/sqrt(d) ->
+  mask -> f32 softmax -> probs-site quantize -> p8@v8 (MXU int32) ->
+  context-site payload. The (B, n, T, T) scores/probs tensors never
+  touch HBM (100 MB/layer of f32 traffic in the XLA path at B=128).
+- :func:`fused_add_ln` — residual add + residual-site fake-quant +
+  LayerNorm (quantized gamma) + ln-site quantization, emitting BOTH the
+  int8 payload (for the consumer matmuls) and the float value (for the
+  next residual branch) in one pass.
+
+Quantization semantics are exactly the reference's fake-quant forward
+(reference: quantization/quantizers.py:189-211) evaluated on the int
+grid; the site inventory and ordering follow models/quantized_bert.py
+(scores quantized before 1/sqrt(d), probs after softmax, residual sums
+before LayerNorm). Each kernel has a pure-jnp reference implementation
+(``*_ref``) used as the CPU/test oracle and as an alternative
+XLA-composed backend.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_quantization_tpu.ops.pallas.int_matmul import (
+    _ACTS,
+    pallas_available,
+)
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pl = pltpu = None
+
+Array = jax.Array
+
+_VMEM_LIMIT = 64 * 1024 * 1024
+_VMEM_BUDGET = 24 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Payload helpers (shared by kernels and jnp reference paths)
+#
+# payload convention: int8 ``p`` with value ``s * (p + shift)``;
+# shift = 128 - zero_point for asymmetric sites (int_linear's -128 shift),
+# 0 for symmetric-signed sites.
+# ---------------------------------------------------------------------------
+
+
+def quantize_payload(x: Array, s, shift) -> Array:
+    """float -> int8 payload of a per-tensor 8-bit site."""
+    r = jnp.round(x.astype(jnp.float32) * (1.0 / s)) - shift
+    return jnp.clip(r, -128.0, 127.0).astype(jnp.int8)
+
+
+def dequantize_payload(p: Array, s, shift) -> Array:
+    """int8 payload -> float site value."""
+    return s * (p.astype(jnp.float32) + shift)
+
+
+def fakequant_f32(x: Array, s, shift) -> Array:
+    """Fake-quant through the payload grid (quantizers.py:189-211)."""
+    r = jnp.clip(jnp.round(x * (1.0 / s)) - shift, -128.0, 127.0)
+    return s * (r + shift)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: payload matmul with per-column output requantization
+# ---------------------------------------------------------------------------
+
+
+def _mm_kernel(x_ref, w_ref, vec_ref, smem_ref, out_ref, *, activation,
+               out_mode, w4):
+    """One (BM, K) payload tile against the full (N, K) int8 weight.
+
+    ``vec_ref`` rows: 0 wscale, 1 colsum, 2 bias, 3 out_s, 4 out_shift
+    (all (1, N) f32). ``smem_ref``: [in_s, in_shift].
+    """
+    in_s = smem_ref[0, 0]
+    in_shift = smem_ref[0, 1]
+    x8 = x_ref[:]
+    dims = (((1,), (1,)), ((), ()))
+    if w4:
+        p = w_ref[:].astype(jnp.int32)
+        lo = p & 0xF
+        hi = p >> 4
+        lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.int8)
+        hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.int8)
+        k2 = x8.shape[1] // 2
+        acc = (jax.lax.dot_general(x8[:, :k2], lo, dimension_numbers=dims,
+                                   preferred_element_type=jnp.int32)
+               + jax.lax.dot_general(x8[:, k2:], hi, dimension_numbers=dims,
+                                     preferred_element_type=jnp.int32))
+    else:
+        acc = jax.lax.dot_general(x8, w_ref[:], dimension_numbers=dims,
+                                  preferred_element_type=jnp.int32)
+    acc = acc.astype(jnp.float32)
+    # x = s_x (p + shift)  =>  x @ W^T = s_x s_w (p @ w8^T + shift colsum)
+    y = (in_s * vec_ref[0, :]) * (acc + in_shift * vec_ref[1, :])
+    y = y + vec_ref[2, :]
+    act = _ACTS[activation]
+    if act is not None:
+        y = act(y)
+    if out_mode == "float":
+        out_ref[:] = y.astype(out_ref.dtype)
+        return
+    r = jnp.clip(jnp.round(y * (1.0 / vec_ref[3, :])) - vec_ref[4, :],
+                 -128.0, 127.0)
+    if out_mode == "emit":
+        out_ref[:] = r.astype(jnp.int8)
+    else:  # fold: fake-quantized float output
+        out_ref[:] = (vec_ref[3, :] * (r + vec_ref[4, :])).astype(
+            out_ref.dtype)
+
+
+def _pick_block_m(m: int, bytes_per_row: int, requested: Optional[int]) -> int:
+    bm = requested or 2048
+    while bm > 8:
+        if m % bm == 0 and bm * bytes_per_row <= _VMEM_BUDGET:
+            return bm
+        bm //= 2
+    return bm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "out_mode", "out_dtype", "block_m",
+                     "interpret", "w4"))
+def int8_matmul(x8: Array, w8: Array, vecs: Array, scalars: Array, *,
+                activation=None, out_mode="emit", out_dtype=jnp.float32,
+                block_m: Optional[int] = None, interpret: bool = False,
+                w4: bool = False) -> Array:
+    """Payload matmul ``y = act(s_x s_w (x8 @ w8^T + shift colsum) + b)``.
+
+    ``x8``: (M, K) int8 payload. ``w8``: (N, K) int8 (or (N, K/2) packed
+    int4 nibbles when ``w4``). ``vecs``: (5, N) f32 rows
+    [wscale, colsum, bias, out_s, out_shift]. ``scalars``: (1, 2) f32
+    [in_s, in_shift]. ``out_mode``: 'emit' int8 payload of the output
+    site | 'fold' fake-quantized float | 'float' raw float.
+    """
+    m, k = x8.shape
+    n = w8.shape[0]
+    out_is_int8 = out_mode == "emit"
+    row_bytes = k + n * (1 if out_is_int8 else 4) + 6 * 4
+    bm = _pick_block_m(m, row_bytes, block_m)
+    kernel = functools.partial(_mm_kernel, activation=activation,
+                               out_mode=out_mode, w4=w4)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w8.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (m, n), jnp.int8 if out_is_int8 else out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + n * k + m * n * (1 if out_is_int8 else 4),
+            transcendentals=m * n if activation else 0),
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)),
+        interpret=interpret,
+    )(x8, w8, vecs, scalars)
+
+
+def int8_matmul_ref(x8, w8, vecs, scalars, *, activation=None,
+                    out_mode="emit", out_dtype=jnp.float32, w4=False):
+    """jnp oracle / XLA-composed backend for :func:`int8_matmul`."""
+    if w4:
+        from transformer_quantization_tpu.ops.int_linear import unpack_int4
+
+        w8 = unpack_int4(w8, x8.shape[1])
+    acc = jax.lax.dot_general(
+        x8, w8, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    in_s, in_shift = scalars[0, 0], scalars[0, 1]
+    y = (in_s * vecs[0]) * (acc + in_shift * vecs[1]) + vecs[2]
+    act = _ACTS[activation]
+    if act is not None:
+        y = act(y)
+    if out_mode == "float":
+        return y.astype(out_dtype)
+    r = jnp.clip(jnp.round(y / vecs[3]) - vecs[4], -128.0, 127.0)
+    if out_mode == "emit":
+        return r.astype(jnp.int8)
+    return (vecs[3] * (r + vecs[4])).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: fused int8 attention over payloads
+# ---------------------------------------------------------------------------
+
+
+def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref, *,
+                 n_batch, seq, head_dim):
+    """One (batch-block, head) cell: full attention for ``n_batch``
+    batches of one head, unrolled over the batch sub-blocks.
+
+    smem layout: [q_s, q_sh, k_s, k_sh, v_s, v_sh,
+                  sc_s, sc_sh, p_s, p_sh, c_s, c_sh].
+    """
+    q_s, q_sh = smem_ref[0, 0], smem_ref[0, 1]
+    k_s, k_sh = smem_ref[0, 2], smem_ref[0, 3]
+    v_s, v_sh = smem_ref[0, 4], smem_ref[0, 5]
+    sc_s, sc_sh = smem_ref[0, 6], smem_ref[0, 7]
+    p_s, p_sh = smem_ref[0, 8], smem_ref[0, 9]
+    c_s, c_sh = smem_ref[0, 10], smem_ref[0, 11]
+    rsqrt_d = np.float32(1.0 / np.sqrt(head_dim))
+
+    for j in range(n_batch):
+        rows = slice(j * seq, (j + 1) * seq)
+        q8 = qkv_q[rows, :]
+        k8 = qkv_k[rows, :]
+        v8 = qkv_v[rows, :]
+        acc = jax.lax.dot_general(
+            q8, k8, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        qsum = jnp.sum(q8.astype(jnp.float32), axis=1, keepdims=True)
+        ksum = jnp.sum(k8.astype(jnp.float32), axis=1, keepdims=True)
+        scores = (q_s * k_s) * (acc + q_sh * ksum.T + k_sh * qsum
+                                + head_dim * q_sh * k_sh)
+        # scores-site fake-quant on RAW scores, then 1/sqrt(d) + mask
+        # (quantized_bert.py:154, :189-190)
+        scores = fakequant_f32(scores, sc_s, sc_sh)
+        scores = scores * rsqrt_d + mask_ref[j:j + 1, :]
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e * (1.0 / jnp.sum(e, axis=1, keepdims=True))
+        p8 = jnp.clip(jnp.round(probs * (1.0 / p_s)) - p_sh,
+                      -128.0, 127.0).astype(jnp.int8)
+        acc2 = jax.lax.dot_general(
+            p8, v8, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        vsum = jnp.sum(v8.astype(jnp.float32), axis=0, keepdims=True)
+        psum = jnp.sum(p8.astype(jnp.float32), axis=1, keepdims=True)
+        ctx = (p_s * v_s) * (acc2 + p_sh * vsum + v_sh * psum
+                             + seq * p_sh * v_sh)
+        out_ref[rows, :] = jnp.clip(
+            jnp.round(ctx * (1.0 / c_s)) - c_sh, -128.0, 127.0
+        ).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "seq", "batch_block", "interpret"))
+def int8_attention(qkv8: Array, mask_bias: Array, scalars: Array, *,
+                   n_heads: int, seq: int,
+                   batch_block: Optional[int] = None,
+                   interpret: bool = False) -> Array:
+    """Fused attention over the fused-QKV payload.
+
+    ``qkv8``: (B*T, 3*H) int8 — columns [q | k | v], head-minor inside
+    each third. ``mask_bias``: (B, T) f32 additive mask (-10000 on pads).
+    ``scalars``: (1, 12) f32 site params (see :func:`_attn_kernel`).
+    Returns the (B*T, H) int8 payload of the context site.
+    """
+    mt, h3 = qkv8.shape
+    h = h3 // 3
+    d = h // n_heads
+    b = mt // seq
+    # batch sub-blocks per grid cell amortize Mosaic's per-cell overhead
+    # (1536 cells at B=128, nh=12 otherwise)
+    if batch_block is None:
+        bb = 1
+        while b % (bb * 2) == 0 and (bb * 2) * seq <= 1024:
+            bb *= 2
+    else:
+        bb = batch_block
+        while b % bb:
+            bb = max(1, bb // 2)
+    kernel = functools.partial(_attn_kernel, n_batch=bb, seq=seq, head_dim=d)
+    grid = (b // bb, n_heads)
+    spec = lambda base: pl.BlockSpec(  # noqa: E731
+        (bb * seq, d), lambda i, j, base=base: (i, base + j),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec(0), spec(n_heads), spec(2 * n_heads),
+            pl.BlockSpec((bb, seq), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bb * seq, d), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mt, h), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_heads * seq * seq * d,
+            bytes_accessed=4 * mt * h + b * seq * 4,
+            transcendentals=b * n_heads * seq * seq),
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)),
+        interpret=interpret,
+    )(qkv8, qkv8, qkv8, mask_bias, scalars)
+
+
+def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq):
+    """jnp oracle / XLA backend for :func:`int8_attention`."""
+    mt, h3 = qkv8.shape
+    h = h3 // 3
+    d = h // n_heads
+    b = mt // seq
+    s = scalars[0]
+    q8, k8, v8 = (qkv8[:, i * h:(i + 1) * h].reshape(b, seq, n_heads, d)
+                  for i in range(3))
+    acc = jnp.einsum("bqnd,bknd->bnqk", q8, k8,
+                     preferred_element_type=jnp.int32).astype(jnp.float32)
+    qsum = jnp.sum(q8.astype(jnp.float32), axis=-1)  # (b, T, n)
+    ksum = jnp.sum(k8.astype(jnp.float32), axis=-1)
+    scores = (s[0] * s[2]) * (
+        acc + s[1] * ksum.transpose(0, 2, 1)[:, :, None, :]
+        + s[3] * qsum.transpose(0, 2, 1)[:, :, :, None] + d * s[1] * s[3])
+    scores = fakequant_f32(scores, s[6], s[7])
+    scores = scores / np.sqrt(d).astype(np.float32)
+    scores = scores + mask_bias[:, None, None, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    p8 = quantize_payload(probs, s[8], s[9])
+    acc2 = jnp.einsum("bnqk,bknd->bqnd", p8, v8,
+                      preferred_element_type=jnp.int32).astype(jnp.float32)
+    vsum = jnp.sum(v8.astype(jnp.float32), axis=1)   # (b, n, d)
+    psum = jnp.sum(p8.astype(jnp.float32), axis=-1)  # (b, n, T)
+    ctx = (s[8] * s[4]) * (acc2 + s[9] * vsum[:, None, :, :]
+                           + s[5] * psum.transpose(0, 2, 1)[:, :, :, None]
+                           + seq * s[9] * s[5])
+    return quantize_payload(ctx, s[10], s[11]).reshape(mt, h)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 3: fused residual add + res-site quant + LayerNorm + ln-site quant
+# ---------------------------------------------------------------------------
+
+
+def _add_ln_kernel(y_ref, r_ref, gb_ref, smem_ref, p_ref, f_ref, *, eps,
+                   res_quant):
+    x = y_ref[:].astype(jnp.float32) + r_ref[:].astype(jnp.float32)
+    if res_quant:
+        x = fakequant_f32(x, smem_ref[0, 0], smem_ref[0, 1])
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    z = xc * jax.lax.rsqrt(var + eps) * gb_ref[0, :] + gb_ref[1, :]
+    s_l, sh_l = smem_ref[0, 2], smem_ref[0, 3]
+    q = jnp.clip(jnp.round(z * (1.0 / s_l)) - sh_l, -128.0, 127.0)
+    p_ref[:] = q.astype(jnp.int8)
+    f_ref[:] = (s_l * (q + sh_l)).astype(f_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "res_quant", "out_dtype", "block_m", "interpret"))
+def fused_add_ln(y: Array, r: Array, gb: Array, scalars: Array, *,
+                 eps: float, res_quant: bool = True,
+                 out_dtype=jnp.float32, block_m: Optional[int] = None,
+                 interpret: bool = False) -> Tuple[Array, Array]:
+    """(residual add -> res-site fake-quant -> LayerNorm -> ln-site quant)
+    in one HBM pass, emitting (int8 payload, float value).
+
+    ``y``/``r``: (M, H) float. ``gb``: (2, H) f32 [gamma_q; beta].
+    ``scalars``: (1, 4) f32 [res_s, res_shift, ln_s, ln_shift].
+    Replaces four XLA elementwise passes over the residual stream
+    (quantized_bert.py:233-277 res-quant + LN, plus the consumer's
+    quantize-on-load).
+    """
+    m, hdim = y.shape
+    fbytes = 4 if out_dtype == jnp.float32 else 2
+    bm = _pick_block_m(m, hdim * (4 + 4 + 1 + fbytes), block_m)
+    kernel = functools.partial(_add_ln_kernel, eps=eps, res_quant=res_quant)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, hdim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, hdim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hdim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bm, hdim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, hdim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, hdim), jnp.int8),
+            jax.ShapeDtypeStruct((m, hdim), out_dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * m * hdim,
+            bytes_accessed=m * hdim * (4 + 4 + 1 + fbytes),
+            transcendentals=m),
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)),
+        interpret=interpret,
+    )(y, r, gb, scalars)
+
+
+def fused_add_ln_ref(y, r, gb, scalars, *, eps, res_quant=True,
+                     out_dtype=jnp.float32):
+    """jnp oracle / XLA backend for :func:`fused_add_ln`."""
+    s = scalars[0]
+    x = y.astype(jnp.float32) + r.astype(jnp.float32)
+    if res_quant:
+        x = fakequant_f32(x, s[0], s[1])
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    z = xc * jax.lax.rsqrt(var + eps) * gb[0] + gb[1]
+    q = jnp.clip(jnp.round(z / s[2]) - s[3], -128.0, 127.0)
+    return q.astype(jnp.int8), (s[2] * (q + s[3])).astype(out_dtype)

@@ -229,3 +229,72 @@ def apply_adaround_to_model(apply_fn, params, qcfg: QuantModelConfig,
             max_num_batches=num_est_batches, act_quant=True, weight_quant=True,
             cross_entropy_layer=cross_entropy_layer, qstate=qstate)
     return qstate
+
+
+def adaround_multi_eval(apply_fn, params, qcfg: QuantModelConfig,
+                        qstate: Dict, *, eval_fn: Callable,
+                        est_arrays: Dict[str, np.ndarray],
+                        act_quant_mode: "AR.AdaRoundActQuantMode",
+                        weight_quant: bool = True, act_quant: bool = True,
+                        num_est_batches: int = 1, est_pad: bool = True,
+                        cross_entropy_layer: Optional[str] = None,
+                        batch_sizes: Tuple[int, ...] = (1, 4, 16),
+                        log_fn: Callable = logger.info):
+    """AdaRound evaluation protocol (reference main.py:666-730).
+
+    I.  Score once with FP32 activations (quantized weights only).
+    II. Unless ``no_act_quant``: for each calibration batch size in
+        ``batch_sizes``, reset the activation ranges, re-estimate them on
+        up to ``num_est_batches`` train batches of that size, fix, and
+        evaluate; the reported score is the MAX over batch sizes (the
+        paper's W4 evaluation methodology).
+
+    ``eval_fn(qstate, mode) -> (score, payload)`` evaluates the model;
+    ``payload`` (e.g. per-split metric dicts) of the winning setting is
+    returned. Returns ``(final_score, details)`` with details carrying
+    ``fp_acts_score``, per-batch-size ``scores``, ``best_batch_size``,
+    ``best_qstate``, and the winning ``payload``.
+    """
+    from transformer_quantization_tpu.utils.data import (
+        batch_iterator,
+        trim_to_real_length,
+    )
+
+    fp_mode = QuantMode(weight_quant=weight_quant, act_quant=False)
+    fp_score, fp_payload = eval_fn(qstate, fp_mode)
+    log_fn(f"Score (FP32 acts) -> {100.0 * fp_score:.2f}")
+    if act_quant_mode == AR.AdaRoundActQuantMode.no_act_quant or not act_quant:
+        return fp_score, {"fp_acts_score": fp_score, "scores": {},
+                          "best_batch_size": None, "best_qstate": qstate,
+                          "payload": fp_payload}
+
+    q_mode = QuantMode(weight_quant=weight_quant, act_quant=True)
+    scores: Dict[int, float] = {}
+    best = None
+    for bs in batch_sizes:
+        qs = reset_act_ranges(qcfg, qstate)
+        est_batches = []
+        for b in batch_iterator(est_arrays, bs, drop_last=True):
+            b.pop("labels", None)
+            b.pop("example_mask", None)
+            if not est_pad:
+                b = trim_to_real_length(b)
+            est_batches.append(b)
+            if len(est_batches) >= num_est_batches:
+                break
+        qs = calibrate_model(apply_fn, params, qcfg, est_batches,
+                             max_num_batches=num_est_batches,
+                             act_quant=True, weight_quant=weight_quant,
+                             cross_entropy_layer=cross_entropy_layer,
+                             qstate=qs)
+        sc, payload = eval_fn(qs, q_mode)
+        scores[bs] = sc
+        log_fn(f"Score (bs={bs}) -> {100.0 * sc:.2f}")
+        if best is None or sc > scores[best[0]]:
+            best = (bs, qs, payload)
+    log_fn(f"Score (FP32 acts) -> {100.0 * fp_score:.2f}")
+    for k, v in scores.items():
+        log_fn(f"Score (bs={k}) -> {100.0 * v:.2f}")
+    return scores[best[0]], {"fp_acts_score": fp_score, "scores": scores,
+                             "best_batch_size": best[0],
+                             "best_qstate": best[1], "payload": best[2]}
