@@ -107,3 +107,26 @@ def test_adaround_multi_eval_protocol(caplog):
     assert any("Score (FP32 acts)" in m for m in msgs)
     for bs in (1, 4, 16):
         assert any(f"Score (bs={bs})" in m for m in msgs)
+
+
+def test_train_progress_options(tmp_path):
+    """Mid-train eval/save cadence + TB train logging + residual
+    histograms (reference transformer_click_options.py:288-400)."""
+    import os
+
+    out = str(tmp_path / "out")
+    tb = str(tmp_path / "tb")
+    s = cli.main([
+        "train-quantized", "--task", "rte", "--synthetic-data",
+        "--tiny-model", "--num-train-samples", "32",
+        "--num-val-samples", "8", "--batch-size", "8",
+        "--eval-batch-size", "8", "--num-epochs", "1",
+        "--num-est-batches", "1", "--log-every", "2",
+        "--eval-every", "2", "--save-every", "3",
+        "--weight-quant-method", "current_minmax",
+        "--output-dir", out, "--tb-logging-dir", tb,
+        "--tb-train-histograms"])
+    assert 0.0 <= s <= 1.0
+    assert os.path.isdir(os.path.join(out, "checkpoint_rte_step3"))
+    tb_task = os.path.join(tb, "rte")
+    assert os.path.isdir(tb_task) and os.listdir(tb_task)

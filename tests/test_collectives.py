@@ -75,3 +75,45 @@ def test_psum_scatter_int8(mesh):
     rel = float(jnp.max(jnp.abs(got - exact)) / jnp.max(jnp.abs(exact)))
     assert got.shape == x.shape
     assert rel < 0.02, rel
+
+
+def test_psum_scatter_int8_matches_lax_psum_scatter(mesh):
+    """Ring RS vs jax.lax.psum_scatter on per-device-distinct data."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.normal(0, 1.0, (4, 8, 16)), jnp.float32)
+
+    def f(xs):
+        xs = xs[0]  # (8, 16) local, distinct per device
+        ours = C.psum_scatter_int8(xs, "tp", scatter_dimension=0)
+        exact = jax.lax.psum_scatter(xs, "tp", scatter_dimension=0,
+                                     tiled=True)
+        return ours[None], exact[None]
+
+    ours, exact = jax.jit(shard_map(
+        f, mesh=mesh, in_specs=P("tp", None, None),
+        out_specs=(P("tp", None, None), P("tp", None, None)),
+        check_rep=False))(x)
+    assert ours.shape == exact.shape == (4, 2, 16)
+    rel = float(jnp.max(jnp.abs(ours - exact)) / jnp.max(jnp.abs(exact)))
+    # n-1 = 3 requantized hops; per-hop error ~absmax/254
+    assert rel < 0.05, rel
+
+
+def test_psum_scatter_int8_scatter_last_dim(mesh):
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.normal(0, 1.0, (4, 8, 16)), jnp.float32)
+
+    def f(xs):
+        xs = xs[0]
+        ours = C.psum_scatter_int8(xs, "tp", scatter_dimension=-1)
+        exact = jax.lax.psum_scatter(xs, "tp", scatter_dimension=1,
+                                     tiled=True)
+        return ours[None], exact[None]
+
+    ours, exact = jax.jit(shard_map(
+        f, mesh=mesh, in_specs=P("tp", None, None),
+        out_specs=(P("tp", None, None), P("tp", None, None)),
+        check_rep=False))(x)
+    assert ours.shape == exact.shape == (4, 8, 4)
+    rel = float(jnp.max(jnp.abs(ours - exact)) / jnp.max(jnp.abs(exact)))
+    assert rel < 0.05, rel

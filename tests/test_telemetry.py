@@ -78,3 +78,63 @@ def test_tb_writer(tmp_path):
 
     files = os.listdir(tmp_path / "tb")
     assert files  # events file (TB or JSONL) exists
+
+
+class _StubWriter:
+    def __init__(self):
+        self.scalars = []
+        self.hists = []
+
+    def scalar(self, tag, value, step=0):
+        self.scalars.append((tag, value, step))
+
+    def histogram(self, tag, values, step=0):
+        self.hists.append((tag, np.asarray(values).shape, step))
+
+
+def test_write_residual_histograms():
+    """In-forward residual histograms (tb_utils.py:26-52 equivalent):
+    per-tensor + per-token entries for every *.res site."""
+    apply_fn, params, qcfg, qstate, batch = _calibrated()
+    w = _StubWriter()
+    written = T.write_residual_histograms(apply_fn, params, qcfg, qstate,
+                                          batch, w, step=3)
+    assert set(written) == set(T.residual_sites(qcfg))
+    assert len(written) == 2  # attn_out.res + ffn.res for 1 layer
+    layer_tags = [t for t, _, s in w.hists if t.endswith("/layer")]
+    assert len(layer_tags) == 2
+    assert all(s == 3 for t, _, s in w.hists if t.endswith("/layer"))
+    # per-token: T histograms per site, token index as step
+    tok = [(t, s) for t, _, s in w.hists if t.endswith("/token")]
+    assert len(tok) == 2 * 8
+    assert {s for _, s in tok} == set(range(8))
+
+
+def test_trainer_mid_train_eval_and_save_cadence():
+    from transformer_quantization_tpu.training import trainer as TR
+    from transformer_quantization_tpu.utils.glue import resolve_tasks
+
+    apply_fn, params, qcfg, qstate, _ = _calibrated()
+    rng = np.random.RandomState(0)
+    n = 32
+    arrays = {
+        "input_ids": rng.randint(0, 64, (n, 8)).astype(np.int32),
+        "attention_mask": np.ones((n, 8), np.float32),
+        "token_type_ids": np.zeros((n, 8), np.int32),
+        "labels": rng.randint(0, 2, (n,)).astype(np.int32),
+        "example_mask": np.ones((n,), np.int32),
+    }
+    task = resolve_tasks(["rte"])[0]
+    saves, logs = [], []
+    w = _StubWriter()
+    tcfg = TR.TrainConfig(num_epochs=1, batch_size=8, log_every=2,
+                          eval_every=2, save_every=3, eval_batch_size=8,
+                          seed=0)
+    TR.train(apply_fn, params, task, arrays, tcfg, qcfg=qcfg, qstate=qstate,
+             eval_arrays=arrays, log_fn=logs.append, tb_writer=w,
+             save_fn=lambda p, qs, s: saves.append(s))
+    # 4 steps total: eval at 2,4; save at 3; loss scalars at 1(first),2,4
+    assert saves == [3]
+    assert any("[step 2] eval:" in m for m in logs)
+    assert any(t == "train/loss" for t, _, _ in w.scalars)
+    assert any(t.startswith("eval/") for t, _, _ in w.scalars)

@@ -90,6 +90,21 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--warmup-ratio", type=float, default=0.0)
         g.add_argument("--gradient-accumulation-steps", type=int, default=1)
         g.add_argument("--eval-batch-size", type=int, default=32)
+        g = sp.add_argument_group("progress")
+        # the reference's progress option group
+        # (transformer_click_options.py:288-400)
+        g.add_argument("--eval-every", type=int, default=None,
+                       help="mid-train eval on the validation set every N "
+                            "steps (reference --eval_steps)")
+        g.add_argument("--save-every", type=int, default=None,
+                       help="mid-train checkpoint every N steps into "
+                            "--output-dir (reference --save_steps)")
+        g.add_argument("--log-every", type=int, default=50,
+                       help="loss log/TB-scalar interval in steps")
+        g.add_argument("--tb-train-histograms", action="store_true",
+                       help="per-layer residual histograms (per-tensor + "
+                            "per-token) before and after training, like "
+                            "the reference's tb_utils forward hooks")
 
     def add_quant(sp):
         g = sp.add_argument_group("quantization")
@@ -379,6 +394,12 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                     cross_entropy_layer=args.cross_entropy_layer,
                     seed=args.seed)
 
+    tb_writer = None
+    if args.tb_logging_dir:
+        from transformer_quantization_tpu.utils.telemetry import TBWriter
+
+        tb_writer = TBWriter(os.path.join(args.tb_logging_dir, task.name))
+
     if do_train:
         tcfg = T.TrainConfig(learning_rate=args.learning_rate,
                              num_epochs=args.num_epochs,
@@ -387,7 +408,11 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                              max_grad_norm=args.max_grad_norm,
                              warmup_ratio=args.warmup_ratio, seed=args.seed,
                              grad_accum_steps=(
-                                 args.gradient_accumulation_steps))
+                                 args.gradient_accumulation_steps),
+                             log_every=args.log_every,
+                             eval_every=args.eval_every,
+                             save_every=args.save_every,
+                             eval_batch_size=args.eval_batch_size)
         qat_cfg = None
         if quantized:
             qat_cfg = QAT.QATConfig(
@@ -396,15 +421,47 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                 fix_act_ranges=args.fix_act_ranges,
                 learning_rate=args.learning_rate,
                 range_learning_rate=args.range_learning_rate)
+
+        save_fn = None
+        if args.output_dir and args.save_every:
+            from transformer_quantization_tpu.utils import checkpoint as CK
+
+            def save_fn(p, qs, step):
+                CK.save_checkpoint(
+                    os.path.join(args.output_dir,
+                                 f"checkpoint_{task.name}_step{step}"),
+                    params=p, family=fam.name, cfg=cfg,
+                    qstate=qs if quantized else None,
+                    extra={"command": args.command, "step": step})
+
+        def _residual_hists(step):
+            if not (args.tb_train_histograms and tb_writer is not None):
+                return
+            from transformer_quantization_tpu.utils.telemetry import (
+                write_residual_histograms,
+            )
+
+            hb = next(iter(D.batch_iterator(val_arr, args.eval_batch_size)))
+            hb.pop("labels", None)
+            hb.pop("example_mask", None)
+            write_residual_histograms(
+                apply_fn, params, qcfg, qstate, hb, tb_writer, step=step,
+                mode=eval_mode if quantized else T.FP32_MODE)
+
+        if quantized:
+            _residual_hists(0)
         with timer.phase("train"):
             params, qstate = T.train(apply_fn, params, task, train_arr, tcfg,
                                      qcfg=qcfg, qstate=qstate,
-                                     qat_cfg=qat_cfg, log_fn=logger.info)
+                                     qat_cfg=qat_cfg, log_fn=logger.info,
+                                     eval_arrays=val_arr,
+                                     tb_writer=tb_writer, save_fn=save_fn)
         if quantized:
             # fix ranges after training for final eval (main.py:659-663)
             eval_mode = QuantMode(weight_quant=weight_quant,
                                   act_quant=act_quant,
                                   weight_phase=Phase.fix, act_phase=Phase.fix)
+            _residual_hists(1)
 
     if args.output_dir:
         # persist the model (+ calibrated quant state) like Trainer.save_model
@@ -457,13 +514,11 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
         final, results = eval_mean(qstate, eval_mode)
     logger.info("Phase timings:\n%s", timer.report())
 
-    if args.tb_logging_dir and quantized and qstate:
-        from transformer_quantization_tpu.utils.telemetry import TBWriter
-
-        w = TBWriter(os.path.join(args.tb_logging_dir, task.name))
-        w.write_range_summary(qcfg, qstate)
-        w.scalar(f"eval/{task.final_metric}", final)
-        w.close()
+    if tb_writer is not None:
+        if quantized and qstate:
+            tb_writer.write_range_summary(qcfg, qstate)
+        tb_writer.scalar(f"eval/{task.final_metric}", final)
+        tb_writer.close()
 
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)

@@ -62,22 +62,39 @@ def all_gather_int8(x: Array, axis_name: str, *, axis: int = -1,
 
 def psum_scatter_int8(x: Array, axis_name: str, *,
                       scatter_dimension: int = 0) -> Array:
-    """Reduce-scatter with int8 wire format.
+    """Ring reduce-scatter with int8 wire format (EQuARX-style).
 
-    Sums are performed in f32 after dequantization (int8 partials would
-    overflow); the compression applies to the permuted payloads. This is
-    the conservative formulation: one quantize per hop.
+    Equivalent to ``jax.lax.psum_scatter(x, axis_name, tiled=True)`` along
+    ``scatter_dimension``. The partial sum for each output chunk travels
+    the ring once (n-1 ``ppermute`` hops); it accumulates locally in f32
+    and is requantized to a per-row int8 payload for every hop. Wire
+    traffic per device: (n-1)/n · |x| bytes + scales — a true 4x
+    compression over the f32 reduce-scatter (the previous all-gather
+    formulation moved n·|x| int8 bytes, i.e. the same as uncompressed
+    reduce-scatter). Requantization error grows O(n) quantization steps;
+    each step is bounded by that hop's per-row absmax/254.
     """
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
-    q, s = quantize_shard(x)
-    qg = jax.lax.all_gather(q, axis_name)           # (n, ...) int8
-    sg = jax.lax.all_gather(s, axis_name)
-    total = jnp.sum(dequantize_shard(qg, sg), axis=0)  # f32 reduction
-    chunk = total.shape[scatter_dimension] // n
-    mine = jax.lax.dynamic_slice_in_dim(total, idx * chunk, chunk,
-                                        axis=scatter_dimension)
-    return mine.astype(x.dtype)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    ax = (scatter_dimension if scatter_dimension >= 0
+          else x.ndim + scatter_dimension)
+    # (n, ..., chunk, ...) stacked so a traced chunk index can select
+    parts = jnp.stack(jnp.split(x.astype(jnp.float32), n, axis=ax))
+
+    def chunk_at(c):
+        return jax.lax.dynamic_index_in_dim(parts, c % n, axis=0,
+                                            keepdims=False)
+
+    # chunk c's partial starts on device (c+1)%n and moves +1 per hop,
+    # arriving home at device c after n-1 hops with all contributions
+    acc = chunk_at(idx - 1)
+    for s in range(n - 1):
+        q, scale = quantize_shard(acc)
+        q = jax.lax.ppermute(q, axis_name, perm)
+        scale = jax.lax.ppermute(scale, axis_name, perm)
+        acc = dequantize_shard(q, scale) + chunk_at(idx - 2 - s)
+    return acc.astype(x.dtype)
 
 
 def tp_row_parallel_matmul_int8_gather(x_sharded: Array, w_shard: Array,
@@ -86,14 +103,15 @@ def tp_row_parallel_matmul_int8_gather(x_sharded: Array, w_shard: Array,
     """Row-parallel linear closing with an int8-compressed psum.
 
     ``x_sharded`` (..., K/tp) x ``w_shard`` (N, K/tp): each device computes
-    its partial product, quantizes it to int8, and the partials are summed
-    via all-gather + local reduction in f32.
+    its partial product; the partials are summed with the int8 ring
+    reduce-scatter over the output dim and the result re-assembled with
+    the int8 all-gather — 2·(n-1)/n · |y| int8 bytes on the wire, the
+    quantized analogue of XLA's psum (reduce-scatter + all-gather)
+    decomposition.
     """
     partial = jnp.einsum("...i,oi->...o", x_sharded, w_shard)
-    q, s = quantize_shard(partial)
-    qg = jax.lax.all_gather(q, axis_name)
-    sg = jax.lax.all_gather(s, axis_name)
-    y = jnp.sum(dequantize_shard(qg, sg), axis=0).astype(partial.dtype)
+    y_shard = psum_scatter_int8(partial, axis_name, scatter_dimension=-1)
+    y = all_gather_int8(y_shard, axis_name, axis=-1).astype(partial.dtype)
     if bias is not None:
         y = y + bias
     return y

@@ -157,6 +157,13 @@ class QuantCtx:
             return x
         cfg = self.cfg[name]
         assert cfg.kind == "act", name
+        cap = getattr(self, "capture_sites", None)
+        if cap and name in cap:
+            # standalone act sites (residual sums, attn scores, ...) are
+            # capturable like layers — feeds the in-forward histogram
+            # telemetry (reference: utils/tb_utils.py:26-52 hooks)
+            self.captures = getattr(self, "captures", {})
+            self.captures[name] = (x, x)
         if not (self.mode.act_quant and cfg.enabled):
             return x
         phase = self.mode.act_phase

@@ -40,6 +40,11 @@ class TrainConfig:
     # gradient accumulation (HF Trainer's gradient_accumulation_steps,
     # transformer_click_options.py training group) via optax.MultiSteps
     grad_accum_steps: int = 1
+    # progress cadence (reference transformer_click_options.py:288-400:
+    # --eval_steps / --save_steps / TB train-logging intervals)
+    eval_every: Optional[int] = None   # mid-train eval every N steps
+    save_every: Optional[int] = None   # checkpoint every N steps
+    eval_batch_size: int = 32
 
 
 def make_eval_step(apply_fn: Callable, qcfg: Optional[QuantModelConfig],
@@ -101,10 +106,19 @@ def train(apply_fn: Callable, params, task: GlueTask,
           qcfg: Optional[QuantModelConfig] = None, qstate: Optional[Dict] = None,
           qat_cfg: Optional[QAT.QATConfig] = None,
           eval_arrays: Optional[Dict[str, np.ndarray]] = None,
-          log_fn: Callable = print) -> Tuple:
+          log_fn: Callable = print, tb_writer=None,
+          save_fn: Optional[Callable] = None) -> Tuple:
     """Train loop. Baseline mode (qcfg=None) or QAT (qcfg+qstate+qat_cfg).
 
     Returns ``(params, qstate)`` with QAT ranges merged & ready to fix.
+
+    Mid-train observability (the reference's progress option group,
+    transformer_click_options.py:288-400 + TB writer injection
+    main.py:599-648): ``tcfg.eval_every`` evaluates ``eval_arrays`` with
+    current (frozen) ranges every N steps; ``tcfg.save_every`` calls
+    ``save_fn(params, qstate, step)``; ``tb_writer`` receives
+    ``train/loss`` scalars at ``log_every`` and ``eval/<metric>`` at the
+    eval cadence.
     """
     n = len(train_arrays["input_ids"])
     steps_per_epoch = max(n // tcfg.batch_size, 1)
@@ -118,6 +132,12 @@ def train(apply_fn: Callable, params, task: GlueTask,
                                       QuantModelConfig(()), qat_cfg, tx)
     params, learnable, rest, opt_state = QAT.init_qat_state(
         qcfg or QuantModelConfig(()), qat_cfg, params, qstate, tx)
+
+    quantized = qcfg is not None and len(qcfg.sites) > 0
+    mid_eval_mode = (QuantMode() if quantized else FP32_MODE)
+
+    def current_qstate():
+        return QAT.merge_learnable_ranges(learnable, rest)
 
     rng = jax.random.PRNGKey(tcfg.seed)
     data_rng = np.random.RandomState(tcfg.seed)
@@ -133,5 +153,19 @@ def train(apply_fn: Callable, params, task: GlueTask,
             if step_i % tcfg.log_every == 0 or step_i == 1:
                 log_fn(f"epoch {epoch} step {step_i}/{total} "
                        f"loss {float(loss):.4f}")
+                if tb_writer is not None:
+                    tb_writer.scalar("train/loss", float(loss), step_i)
+            if (tcfg.eval_every and eval_arrays is not None
+                    and step_i % tcfg.eval_every == 0):
+                m = evaluate(apply_fn, params, current_qstate(), task,
+                             eval_arrays, qcfg=qcfg, mode=mid_eval_mode,
+                             batch_size=tcfg.eval_batch_size)
+                log_fn(f"[step {step_i}] eval: {m}")
+                if tb_writer is not None:
+                    for k, v in m.items():
+                        tb_writer.scalar(f"eval/{k}", float(v), step_i)
+            if (tcfg.save_every and save_fn is not None
+                    and step_i % tcfg.save_every == 0):
+                save_fn(params, current_qstate(), step_i)
     qstate = QAT.merge_learnable_ranges(learnable, rest)
     return params, qstate

@@ -106,6 +106,48 @@ def activation_report(apply_fn, params, qcfg, qstate, batch,
     return report
 
 
+def residual_sites(qcfg) -> list:
+    """All residual-sum activation sites (``*.res``) — the tensors whose
+    outlier structure the paper analyzes (models/quantized_bert.py:233-277
+    res quantizers; logged via tb_utils.py hooks in the reference)."""
+    return [n for n, c in qcfg.items()
+            if c.kind == "act" and n.endswith(".res")]
+
+
+def write_residual_histograms(apply_fn, params, qcfg, qstate, batch, writer,
+                              *, step: int = 0, mode=None,
+                              per_token: bool = True,
+                              sites: Sequence[str] = None) -> list:
+    """In-forward per-layer residual histograms, per-tensor AND per-token.
+
+    The functional equivalent of the reference's forward-hook TB logging
+    (reference: utils/tb_utils.py:26-52 wired at
+    models/quantized_bert.py:268-274): one capture forward, then for each
+    residual site a whole-tensor histogram (tag ``<site>/layer`` at
+    ``step``) and, for the first sample, one histogram per token position
+    (tag ``<site>/token``, token index as the step — the reference's
+    layout). Returns the list of sites written.
+    """
+    from transformer_quantization_tpu.quant.qconfig import QuantMode
+
+    sites = list(sites) if sites is not None else residual_sites(qcfg)
+    mode = mode or QuantMode(weight_quant=False, act_quant=False)
+    out, _ = apply_fn(params, batch, qcfg=qcfg, qstate=qstate, mode=mode,
+                      capture_sites=tuple(sites))
+    caps = out.get("captures", {})
+    written = []
+    for name in sites:
+        if name not in caps:
+            continue
+        y = np.asarray(caps[name][1])
+        writer.histogram(f"{name}/layer", y, step)
+        if per_token and y.ndim == 3:
+            for t in range(y.shape[1]):
+                writer.histogram(f"{name}/token", y[0, t], step=t)
+        written.append(name)
+    return written
+
+
 class TBWriter:
     """TensorBoard writer with a JSONL fallback.
 
