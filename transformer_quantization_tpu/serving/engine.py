@@ -39,6 +39,10 @@ class ServeConfig:
     seq_buckets: Sequence[int] = (32, 64, 128)
     batch_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32)
     precompile: bool = False  # warm every (batch, seq) program at startup
+    # DP serving: assembled batches are committed to this mesh with rows
+    # sharded over its 'dp' axis (parallel/mesh.py); batch buckets round
+    # up to multiples of dp so every device gets equal rows
+    mesh: object = None
 
 
 @dataclasses.dataclass
@@ -102,6 +106,10 @@ class ServingEngine:
                  tokenizer=None):
         self.forward = forward
         self.cfg = cfg or ServeConfig()
+        if self.cfg.mesh is not None:
+            dp = self.cfg.mesh.shape["dp"]
+            self.cfg.batch_buckets = tuple(
+                b for b in self.cfg.batch_buckets if b % dp == 0) or (dp,)
         self.tokenizer = tokenizer
         self.metrics = Metrics()
         self._q: "queue.Queue[_Request]" = queue.Queue()
@@ -198,9 +206,15 @@ class ServingEngine:
             mask[i, :n] = 1.0
             if r.type_ids is not None:
                 types[i, :n] = r.type_ids[:n]
-        return {"input_ids": jnp.asarray(ids),
-                "attention_mask": jnp.asarray(mask),
-                "token_type_ids": jnp.asarray(types)}
+        batch = {"input_ids": ids, "attention_mask": mask,
+                 "token_type_ids": types}
+        if self.cfg.mesh is not None:
+            from transformer_quantization_tpu.parallel.scaling import (
+                shard_for_dp,
+            )
+
+            return shard_for_dp(batch, self.cfg.mesh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def _loop(self):
         """Scheduler: assemble + dispatch. Device execution and the
