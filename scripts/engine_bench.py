@@ -92,12 +92,18 @@ def main():
 
     results = {}
     for v in variants:
-        f = make(v)
         tt0 = time.perf_counter()
-        t = timed(f, params, batch, iters=args.iters)
+        try:
+            f = make(v)
+            t = timed(f, params, batch, iters=args.iters)
+        except Exception as e:
+            print(f"# {v}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                  file=sys.stderr, flush=True)
+            results[v] = {"error": str(e)[:300]}
+            continue
         print(f"# {v}: {t * 1e3:.2f} ms  {args.batch / t:.1f} seq/s "
               f"(compile+run {time.perf_counter() - tt0:.0f}s)",
-              file=sys.stderr)
+              file=sys.stderr, flush=True)
         results[v] = {"ms": round(t * 1e3, 3),
                       "seq_per_sec": round(args.batch / t, 1)}
     print(json.dumps({"batch": args.batch, "seq": args.seq,

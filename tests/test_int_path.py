@@ -201,3 +201,56 @@ class TestInt8Attention:
                           Q.fake_quant(sspec, k_qp, k))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_quant_activation_wrapper_tied():
+    """QuantizedActivationWrapper tying (autoquant_utils.py:24-52): one
+    site quantizes both the input and output of a param-free op."""
+    import jax.numpy as jnp
+    from transformer_quantization_tpu.ops.layers import (
+        quant_activation_wrapper,
+    )
+    from transformer_quantization_tpu.quant.manager import QuantCtx
+    from transformer_quantization_tpu.quant.qconfig import (
+        Phase,
+        QuantConfigBuilder,
+        QuantDefaults,
+        QuantMode,
+    )
+
+    b = QuantConfigBuilder(QuantDefaults(n_bits=8))
+    b.act("pool")
+    qcfg = b.build()
+    x = jnp.asarray(np.linspace(-2.0, 6.0, 64).reshape(4, 16), jnp.float32)
+
+    def avg_pool(v):
+        return jnp.mean(v, axis=-1, keepdims=True)
+
+    # estimate: the tied estimator must see BOTH tensors -> range covers
+    # the input extremes, not just the pooled means
+    ctx = QuantCtx(qcfg, {}, QuantMode(act_phase=Phase.estimate))
+    quant_activation_wrapper(ctx, "pool", avg_pool, x)
+    qs = ctx.export()
+    from transformer_quantization_tpu.quant import quantizers as Q
+
+    xmin, xmax = Q.x_min_max_of(qcfg["pool"].spec, qs["pool"]["qp"])
+    assert float(xmin) < -1.8 and float(xmax) > 5.9
+
+    # fix: both input and output ride the same grid
+    ctx2 = QuantCtx(qcfg, qs, QuantMode())
+    y = quant_activation_wrapper(ctx2, "pool", avg_pool, x)
+    scale = float(Q.scale_of(qcfg["pool"].spec, qs["pool"]["qp"]))
+    y_ref = avg_pool(Q.fake_quant(qcfg["pool"].spec, qs["pool"]["qp"], x))
+    np.testing.assert_allclose(
+        np.asarray(y),
+        np.asarray(Q.fake_quant(qcfg["pool"].spec, qs["pool"]["qp"], y_ref)),
+        atol=scale)
+
+    # untied: input passes through unquantized
+    ctx3 = QuantCtx(qcfg, qs, QuantMode())
+    y_untied = quant_activation_wrapper(ctx3, "pool", avg_pool, x,
+                                        tie_input=False)
+    np.testing.assert_allclose(
+        np.asarray(y_untied),
+        np.asarray(Q.fake_quant(qcfg["pool"].spec, qs["pool"]["qp"],
+                                avg_pool(x))), rtol=1e-6)

@@ -99,3 +99,31 @@ def test_bucket_rounding():
     assert _bucket(5, (16, 32)) == 16
     assert _bucket(17, (16, 32)) == 32
     assert _bucket(100, (16, 32)) == 32  # clamps to largest
+
+
+def test_fused_transfer_matches_dict_path():
+    """fused_transfer packs ids/mask/types into one (3,B,S) transfer;
+    results must match the dict path bit-for-bit."""
+    from transformer_quantization_tpu.serving.engine import unpack_batch
+
+    eng, (params, qcfg, qstate, mode, int_params) = _engine()
+
+    @jax.jit
+    def packed_fwd(packed):
+        out, _ = B.bert_apply(params, unpack_batch(packed), CFG, qcfg,
+                              qstate, mode, int_params=int_params)
+        return out["logits"]
+
+    rng = np.random.RandomState(0)
+    reqs = [rng.randint(3, 60, (rng.randint(4, 16),)).astype(np.int32)
+            for _ in range(12)]
+
+    scfg = ServeConfig(max_batch=4, seq_buckets=(16,),
+                       batch_buckets=(1, 2, 4), fused_transfer=True,
+                       pipeline_depth=3)
+    with ServingEngine(packed_fwd, scfg) as e2:
+        outs_fused = [e2.submit_ids(r).result(60) for r in reqs]
+    with eng:
+        outs_dict = [eng.submit_ids(r).result(60) for r in reqs]
+    for a, b in zip(outs_fused, outs_dict):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

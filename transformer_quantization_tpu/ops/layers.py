@@ -254,6 +254,26 @@ def quant_embedding(ctx, name: str, ids: Array, table: Array) -> Array:
     return rows.astype(cdt) if cdt is not None else rows
 
 
+def quant_activation_wrapper(ctx, name: str, fn: Callable, x: Array,
+                             tie_input: bool = True) -> Array:
+    """Param-free op (pooling, reshape-reduce, ...) with input/output
+    quantizers *tied* to one site — the reference's
+    ``QuantizedActivationWrapper`` with ``tie_activation_quantizers=True``
+    (autoquant_utils.py:24-52): the same quantizer instance handles the
+    op's input and output, so in the estimate phase its range estimator
+    sees both tensors, and in the fix phase both sit on one shared grid
+    (sound for monotone, range-preserving ops like avg/max pooling).
+
+    ``tie_input=False`` reproduces the untied wrapper: only the output is
+    quantized (a plain ``QuantizedActivation`` around ``fn``).
+    """
+    if tie_input:
+        x = ctx.act(name, x)
+    y = fn(x)
+    _maybe_capture(ctx, name, x, y)
+    return ctx.act(name, y)
+
+
 def dropout(x: Array, rate: float, rng: Optional[jax.Array],
             deterministic: bool) -> Array:
     """Inverted dropout; identity in eval mode."""

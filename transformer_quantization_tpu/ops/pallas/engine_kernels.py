@@ -224,9 +224,12 @@ def int8_matmul_ref(x8, w8, vecs, scalars, *, activation=None,
 
 
 def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref, *,
-                 n_batch, seq, head_dim):
-    """One (batch-block, head) cell: full attention for ``n_batch``
-    batches of one head, unrolled over the batch sub-blocks.
+                 n_batch, n_heads, seq, head_dim):
+    """One batch-block cell: full attention, batches x heads unrolled.
+
+    The q/k/v refs are (n_batch*seq, H) int8 blocks — full hidden width,
+    because Mosaic block shapes need 128-divisible (or full) minor dims;
+    per-head 64-lane slices happen in-register here instead.
 
     smem layout: [q_s, q_sh, k_s, k_sh, v_s, v_sh,
                   sc_s, sc_sh, p_s, p_sh, c_s, c_sh].
@@ -241,32 +244,39 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref, *,
 
     for j in range(n_batch):
         rows = slice(j * seq, (j + 1) * seq)
-        q8 = qkv_q[rows, :]
-        k8 = qkv_k[rows, :]
-        v8 = qkv_v[rows, :]
-        acc = jax.lax.dot_general(
-            q8, k8, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32).astype(jnp.float32)
-        qsum = jnp.sum(q8.astype(jnp.float32), axis=1, keepdims=True)
-        ksum = jnp.sum(k8.astype(jnp.float32), axis=1, keepdims=True)
-        scores = (q_s * k_s) * (acc + q_sh * ksum.T + k_sh * qsum
-                                + head_dim * q_sh * k_sh)
-        # scores-site fake-quant on RAW scores, then 1/sqrt(d) + mask
-        # (quantized_bert.py:154, :189-190)
-        scores = fakequant_f32(scores, sc_s, sc_sh)
-        scores = scores * rsqrt_d + mask_ref[j:j + 1, :]
-        m = jnp.max(scores, axis=1, keepdims=True)
-        e = jnp.exp(scores - m)
-        probs = e * (1.0 / jnp.sum(e, axis=1, keepdims=True))
-        p8 = jnp.clip(jnp.round(probs * (1.0 / p_s)) - p_sh,
-                      -128.0, 127.0).astype(jnp.int8)
-        acc2 = jax.lax.dot_general(
-            p8, v8, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32).astype(jnp.float32)
-        vsum = jnp.sum(v8.astype(jnp.float32), axis=0, keepdims=True)
-        psum = jnp.sum(p8.astype(jnp.float32), axis=1, keepdims=True)
-        ctx = (p_s * v_s) * (acc2 + p_sh * vsum + v_sh * psum
-                             + seq * p_sh * v_sh)
+        qj = qkv_q[rows, :]
+        kj = qkv_k[rows, :]
+        vj = qkv_v[rows, :]
+        mask_j = mask_ref[j:j + 1, :]
+        ctx_heads = []
+        for hh in range(n_heads):
+            cols = slice(hh * head_dim, (hh + 1) * head_dim)
+            q8, k8, v8 = qj[:, cols], kj[:, cols], vj[:, cols]
+            acc = jax.lax.dot_general(
+                q8, k8, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            qsum = jnp.sum(q8.astype(jnp.float32), axis=1, keepdims=True)
+            ksum = jnp.sum(k8.astype(jnp.float32), axis=1, keepdims=True)
+            scores = (q_s * k_s) * (acc + q_sh * ksum.T + k_sh * qsum
+                                    + head_dim * q_sh * k_sh)
+            # scores-site fake-quant on RAW scores, then 1/sqrt(d) + mask
+            # (quantized_bert.py:154, :189-190)
+            scores = fakequant_f32(scores, sc_s, sc_sh)
+            scores = scores * rsqrt_d + mask_j
+            m = jnp.max(scores, axis=1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = e * (1.0 / jnp.sum(e, axis=1, keepdims=True))
+            p8 = jnp.clip(jnp.round(probs * (1.0 / p_s)) - p_sh,
+                          -128.0, 127.0).astype(jnp.int8)
+            acc2 = jax.lax.dot_general(
+                p8, v8, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            vsum = jnp.sum(v8.astype(jnp.float32), axis=0, keepdims=True)
+            psum = jnp.sum(p8.astype(jnp.float32), axis=1, keepdims=True)
+            ctx_heads.append(
+                (p_s * v_s) * (acc2 + p_sh * vsum + v_sh * psum
+                               + seq * p_sh * v_sh))
+        ctx = jnp.concatenate(ctx_heads, axis=1)
         out_ref[rows, :] = jnp.clip(
             jnp.round(ctx * (1.0 / c_s)) - c_sh, -128.0, 127.0
         ).astype(jnp.int8)
@@ -290,32 +300,33 @@ def int8_attention(qkv8: Array, mask_bias: Array, scalars: Array, *,
     h = h3 // 3
     d = h // n_heads
     b = mt // seq
-    # batch sub-blocks per grid cell amortize Mosaic's per-cell overhead
-    # (1536 cells at B=128, nh=12 otherwise)
+    # batch sub-blocks per grid cell trade Mosaic per-cell overhead
+    # against unrolled program size (n_batch * n_heads inner bodies)
     if batch_block is None:
         bb = 1
-        while b % (bb * 2) == 0 and (bb * 2) * seq <= 1024:
+        while b % (bb * 2) == 0 and (bb * 2) * seq <= 512:
             bb *= 2
     else:
         bb = batch_block
         while b % bb:
             bb = max(1, bb // 2)
-    kernel = functools.partial(_attn_kernel, n_batch=bb, seq=seq, head_dim=d)
-    grid = (b // bb, n_heads)
-    spec = lambda base: pl.BlockSpec(  # noqa: E731
-        (bb * seq, d), lambda i, j, base=base: (i, base + j),
+    kernel = functools.partial(_attn_kernel, n_batch=bb, n_heads=n_heads,
+                               seq=seq, head_dim=d)
+    grid = (b // bb,)
+    spec = lambda third: pl.BlockSpec(  # noqa: E731
+        (bb * seq, h), lambda i, third=third: (i, third),
         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            spec(0), spec(n_heads), spec(2 * n_heads),
-            pl.BlockSpec((bb, seq), lambda i, j: (i, 0),
+            spec(0), spec(1), spec(2),
+            pl.BlockSpec((bb, seq), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 12), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 12), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((bb * seq, d), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bb * seq, h), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mt, h), jnp.int8),
         cost_estimate=pl.CostEstimate(

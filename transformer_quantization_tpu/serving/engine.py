@@ -43,6 +43,14 @@ class ServeConfig:
     # sharded over its 'dp' axis (parallel/mesh.py); batch buckets round
     # up to multiples of dp so every device gets equal rows
     mesh: object = None
+    # pack ids/mask/type_ids into ONE (3, B, S) int32 host array so each
+    # batch costs a single host->device transfer instead of three — on a
+    # remote-tunnel device every transfer is a ~ms round trip. The
+    # forward must then accept the packed array (see unpack_batch).
+    fused_transfer: bool = False
+    # in-flight batches between the scheduler and the resolver; 2 = the
+    # classic double-buffer, 3 tolerates host jitter on remote devices
+    pipeline_depth: int = 2
 
 
 @dataclasses.dataclass
@@ -91,6 +99,15 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
         if value <= b:
             return b
     return buckets[-1]
+
+
+def unpack_batch(packed):
+    """Split a fused-transfer (3, B, S) int32 array back into the model's
+    batch dict — call this INSIDE the jitted forward so the split costs
+    nothing (ServeConfig.fused_transfer)."""
+    return {"input_ids": packed[0],
+            "attention_mask": packed[1].astype(jnp.float32),
+            "token_type_ids": packed[2]}
 
 
 class ServingEngine:
@@ -143,11 +160,14 @@ class ServingEngine:
             for b in self.cfg.batch_buckets:
                 if b > self.cfg.max_batch:
                     continue
-                batch = {
-                    "input_ids": jnp.zeros((b, s), jnp.int32),
-                    "attention_mask": jnp.zeros((b, s), jnp.float32),
-                    "token_type_ids": jnp.zeros((b, s), jnp.int32),
-                }
+                if self.cfg.fused_transfer:
+                    batch = jnp.zeros((3, b, s), jnp.int32)
+                else:
+                    batch = {
+                        "input_ids": jnp.zeros((b, s), jnp.int32),
+                        "attention_mask": jnp.zeros((b, s), jnp.float32),
+                        "token_type_ids": jnp.zeros((b, s), jnp.int32),
+                    }
                 jax.block_until_ready(self.forward(batch))
 
     # -- request ingress ----------------------------------------------------
@@ -206,6 +226,15 @@ class ServingEngine:
             mask[i, :n] = 1.0
             if r.type_ids is not None:
                 types[i, :n] = r.type_ids[:n]
+        if self.cfg.fused_transfer:
+            packed = np.stack([ids, mask.astype(np.int32), types])
+            if self.cfg.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                return jax.device_put(
+                    packed, NamedSharding(self.cfg.mesh,
+                                          P(None, "dp", None)))
+            return jnp.asarray(packed)
         batch = {"input_ids": ids, "attention_mask": mask,
                  "token_type_ids": types}
         if self.cfg.mesh is not None:
@@ -221,7 +250,8 @@ class ServingEngine:
         device->host transfer complete on the resolver thread, so the next
         batch is already enqueued while the previous one runs (depth-2
         pipeline; jax dispatch is async)."""
-        inflight: "queue.Queue" = queue.Queue(maxsize=2)
+        inflight: "queue.Queue" = queue.Queue(
+            maxsize=max(self.cfg.pipeline_depth, 1))
         resolver = threading.Thread(target=self._resolve_loop,
                                     args=(inflight,), daemon=True)
         resolver.start()
