@@ -27,10 +27,18 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 activation engine")
     ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--path", default="engine",
+                    choices=["engine", "generic"],
+                    help="engine = full-handoff int8 engine (ops/engine.py)"
+                         "; generic = round-1 XLA int path")
+    ap.add_argument("--no-fused-transfer", dest="fused",
+                    action="store_false", default=True)
+    ap.add_argument("--pipeline-depth", type=int, default=3)
     args = ap.parse_args()
 
     from transformer_quantization_tpu.models import bert as B
     from transformer_quantization_tpu.serving import ServeConfig, ServingEngine
+    from transformer_quantization_tpu.serving.engine import unpack_batch
     import __graft_entry__ as G
 
     if args.small:
@@ -45,18 +53,35 @@ def main():
         lambda p, qs: B.build_bert_int_params(p, qcfg, qs))(params, qstate)
     cdt = jnp.bfloat16 if args.bf16 else None
 
-    @jax.jit
-    def forward(batch):
-        out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate,
-                              int_params=int_params, compute_dtype=cdt,
-                              attention_dtype=jnp.bfloat16)
-        return out["logits"]
+    if args.path == "engine":
+        static, plan, _ = B.build_bert_engine(params, cfg, qcfg, qstate,
+                                              int_params=int_params)
+
+        interp = jax.default_backend() == "cpu"
+
+        def model_fwd(batch):
+            return B.bert_engine_apply(
+                params, batch, cfg, qcfg, qstate, static, plan, int_params,
+                backend="pallas", interpret=interp,
+                engine_dtype=cdt or jnp.float32)["logits"]
+    else:
+        def model_fwd(batch):
+            out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate,
+                                  int_params=int_params, compute_dtype=cdt,
+                                  attention_dtype=jnp.bfloat16)
+            return out["logits"]
+
+    if args.fused:
+        forward = jax.jit(lambda packed: model_fwd(unpack_batch(packed)))
+    else:
+        forward = jax.jit(model_fwd)
 
     scfg = ServeConfig(max_batch=args.max_batch, max_wait_ms=2.0,
                        seq_buckets=(32, 64, 128),
                        batch_buckets=(8, 32, args.max_batch)
                        if args.max_batch > 32 else (1, 2, 4, 8, 16, 32),
-                       precompile=True)
+                       precompile=True, fused_transfer=args.fused,
+                       pipeline_depth=args.pipeline_depth)
     eng = ServingEngine(forward, scfg)
 
     rng = np.random.RandomState(0)

@@ -130,3 +130,35 @@ def test_train_progress_options(tmp_path):
     assert os.path.isdir(os.path.join(out, "checkpoint_rte_step3"))
     tb_task = os.path.join(tb, "rte")
     assert os.path.isdir(tb_task) and os.listdir(tb_task)
+
+
+def test_engine_eval_matches_generic():
+    """--engine evaluates through the full-handoff int8 engine; the GLUE
+    score must match the generic quantized path."""
+    common = ["--qmethod", "symmetric_uniform",
+              "--weight-quant-method", "current_minmax",
+              "--act-quant-method", "current_minmax"]
+    s_generic = _run(*common)
+    s_engine = _run(*common, "--engine", "auto")
+    assert s_engine == s_generic
+
+
+def test_engine_eval_roberta():
+    s = cli.main(["validate-quantized", "--task", "rte", "--synthetic-data",
+                  "--num-val-samples", "16", "--eval-batch-size", "8",
+                  "--tiny-model", "--num-est-batches", "1",
+                  "--model-name", "roberta_base",
+                  "--weight-quant-method", "current_minmax",
+                  "--engine", "auto"])
+    assert 0.0 <= s <= 1.0
+
+
+def test_engine_falls_back_when_incompatible(caplog):
+    """16-bit sites break the payload protocol; the CLI must fall back."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="tq_tpu"):
+        s = _run("--quant-dict", "{'x': 16}", "--engine", "auto",
+                 "--weight-quant-method", "current_minmax")
+    assert 0.0 <= s <= 1.0
+    assert any("engine unavailable" in r.message for r in caplog.records)

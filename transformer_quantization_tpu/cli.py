@@ -145,6 +145,12 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--quant-dict", default=None,
                        help="python-literal dict, e.g. \"{'y': 16, 'Et': 2}\"")
         g.add_argument("--dynamic", action="store_true")
+        g.add_argument("--engine", default="off",
+                       choices=["off", "auto", "pallas", "xla"],
+                       help="evaluate through the full-handoff int8 "
+                            "inference engine (ops/engine.py) when the "
+                            "quant config fits; 'auto' picks the Pallas "
+                            "kernels on TPU, the XLA path elsewhere")
         g.add_argument("--double", action="store_true",
                        help="run quantizer math in float64")
         g.add_argument("--per-token", action="store_true")
@@ -481,11 +487,48 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                                args.max_seq_length)
         eval_splits.append(("validation_mismatched", mm))
 
+    full_q = QuantMode()
+
+    def make_engine_apply(qs):
+        """Engine forward for this qstate, or None (generic path).
+
+        Rebuilt per qstate: the plan bakes site scales, and e.g. the
+        AdaRound multi-eval re-estimates act ranges per setting."""
+        if (not quantized or getattr(args, "engine", "off") == "off"
+                or args.dynamic or fam.build_engine is None):
+            return None
+        import jax as _jax
+
+        from transformer_quantization_tpu.ops.engine import EngineIncompatible
+
+        try:
+            e_static, e_plan, e_int = fam.build_engine(params, cfg, qcfg, qs)
+        except EngineIncompatible as e:
+            logger.info("int8 engine unavailable (%s); generic path", e)
+            return None
+        backend = ("xla" if args.engine == "xla"
+                   or (args.engine == "auto"
+                       and _jax.default_backend() == "cpu")
+                   else "pallas")
+        interp = backend == "pallas" and _jax.default_backend() == "cpu"
+        logger.info("int8 engine active for eval (backend=%s)", backend)
+
+        def engine_apply(params, batch, qcfg=None, qstate=None,
+                         mode=None, **kw):
+            out = fam.engine_apply(params, batch, cfg, qcfg, qstate,
+                                   e_static, e_plan, e_int,
+                                   backend=backend, interpret=interp)
+            return out, qstate
+
+        return engine_apply
+
     def eval_mean(qs, mode):
         split_scores, res = [], {}
+        engine_fwd = make_engine_apply(qs) if mode == full_q else None
         for split_name, arr in eval_splits:
+            fwd = engine_fwd if engine_fwd is not None else apply_fn
             with timer.phase("eval"):
-                m = T.evaluate(apply_fn, params, qs, task, arr, qcfg=qcfg,
+                m = T.evaluate(fwd, params, qs, task, arr, qcfg=qcfg,
                                mode=mode, batch_size=args.eval_batch_size,
                                num_val_samples=args.num_val_samples)
             res[split_name] = m

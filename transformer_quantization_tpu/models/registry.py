@@ -33,6 +33,10 @@ class ModelFamily:
     build_int_params: Callable             # (params, qcfg, qstate, use_int4)
     shared_perm_groups: Optional[Callable]  # (n_layers) -> [(src, targets)]
     load_checkpoint: Callable              # (dir, num_labels) -> (cfg, params)
+    # full-handoff int8 inference engine (ops/engine.py); None = family
+    # not engine-capable, callers use the generic int path
+    build_engine: Optional[Callable] = None   # (params, cfg, qcfg, qstate)
+    engine_apply: Optional[Callable] = None   # (params, batch, cfg, ...)
     # per model-name config presets (model names from utils/hf_models.py)
     config_presets: Dict[str, Dict] = dataclasses.field(default_factory=dict)
     tiny_preset: Dict = dataclasses.field(default_factory=dict)
@@ -63,6 +67,8 @@ def _bert_family() -> ModelFamily:
         build_int_params=B.build_bert_int_params,
         shared_perm_groups=B.shared_permutation_groups,
         load_checkpoint=L.load_bert,
+        build_engine=B.build_bert_engine,
+        engine_apply=B.bert_engine_apply,
         config_presets={
             "bert_base_uncased": {},
             "bert_base_cased": dict(vocab_size=28996),
@@ -102,6 +108,8 @@ def _roberta_family() -> ModelFamily:
         build_int_params=R.build_roberta_int_params,
         shared_perm_groups=B.shared_permutation_groups,
         load_checkpoint=L.load_roberta,
+        build_engine=R.build_roberta_engine,
+        engine_apply=R.roberta_engine_apply,
         config_presets={
             "roberta_base": {},
             "distilroberta_base": dict(num_hidden_layers=6),

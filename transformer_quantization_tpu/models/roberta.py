@@ -180,10 +180,18 @@ def roberta_apply(params: Dict, batch: Mapping[str, Array],
     h, h_site = B.run_encoder(ctx, params, cfg, h, mask_bias, train, rngs,
                               first_site="emb.ln.out")
 
-    # RobertaClassificationHead: <s> token -> dropout -> dense -> tanh ->
-    # dropout -> out_proj. The dense output quantizer fires BEFORE the
-    # tanh (the HF head calls torch.tanh inline so the reference's
-    # converter can't fuse it; hijacker quantizes the dense output only).
+    outputs = _roberta_head(ctx, params, cfg, h, h_site, batch, train, rngs)
+    if capture_sites:
+        outputs["captures"] = getattr(ctx, "captures", {})
+    return outputs, ctx.export()
+
+
+def _roberta_head(ctx, params, cfg: RobertaConfig, h, h_site, batch, train,
+                  rngs):
+    """RobertaClassificationHead: <s> token -> dropout -> dense -> tanh ->
+    dropout -> out_proj. The dense output quantizer fires BEFORE the
+    tanh (the HF head calls torch.tanh inline so the reference's
+    converter can't fuse it; hijacker quantizes the dense output only)."""
     c = params["classifier"]
     x = h[:, 0]
     x = dropout(x, cfg.hidden_dropout_prob, rngs[-1] if rngs else None,
@@ -201,15 +209,54 @@ def roberta_apply(params: Dict, batch: Mapping[str, Array],
     outputs = {"logits": logits, "sequence_output": h}
     labels = batch.get("labels")
     if labels is not None:
-        if cfg.num_labels == 1:
-            outputs["loss"] = jnp.mean(
-                (logits.reshape(-1) - labels.reshape(-1).astype(jnp.float32))
-                ** 2)
-        else:
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
-                                       axis=1)
-            outputs["loss"] = jnp.mean(nll)
-    if capture_sites:
-        outputs["captures"] = getattr(ctx, "captures", {})
-    return outputs, ctx.export()
+        outputs["loss"] = B.classification_loss(logits, labels,
+                                                cfg.num_labels)
+    return outputs
+
+
+def build_roberta_engine(params: Dict, cfg: RobertaConfig,
+                         qcfg: QuantModelConfig, qstate: Mapping,
+                         int_params: Optional[Dict] = None,
+                         use_int4: bool = False):
+    """Full-handoff int8 engine plan for RoBERTa (shared encoder sites)."""
+    from transformer_quantization_tpu.ops import engine as ENG
+
+    if int_params is None:
+        int_params = build_roberta_int_params(params, qcfg, qstate,
+                                              use_int4=use_int4)
+    static, plan = ENG.build_encoder_plan(
+        qcfg, qstate, int_params, params["layers"],
+        n_heads=cfg.num_attention_heads, ln_eps=cfg.layer_norm_eps,
+        hidden_act=cfg.hidden_act, entry_site="emb.ln.out")
+    return static, plan, int_params
+
+
+def roberta_engine_apply(params: Dict, batch: Mapping[str, Array],
+                         cfg: RobertaConfig, qcfg: QuantModelConfig,
+                         qstate: Mapping, static, plan, int_params: Dict, *,
+                         backend: str = "pallas",
+                         engine_dtype=jnp.float32,
+                         interpret: bool = False) -> Dict:
+    """Inference forward through the full-handoff int8 engine
+    (models/bert.py:bert_engine_apply for the shape of this)."""
+    from transformer_quantization_tpu.ops import engine as ENG
+
+    ctx = B.make_ctx(qcfg, qstate, QuantMode(), int_params=int_params)
+    pos_ids = batch.get("position_ids")
+    if pos_ids is None:
+        pos_ids = create_position_ids_from_input_ids(batch["input_ids"],
+                                                     cfg.pad_token_id)
+    input_ids, token_type_ids, position_ids, _ = B.prepare_inputs(
+        batch, position_ids=pos_ids)
+    h = B._embeddings(ctx, params, cfg, input_ids, token_type_ids,
+                      position_ids, False, None)
+    attention_mask = batch.get("attention_mask")
+    if attention_mask is None:
+        bias_vec = jnp.zeros(input_ids.shape, jnp.float32)
+    else:
+        bias_vec = (1.0 - attention_mask.astype(jnp.float32)) * -10000.0
+    h = ENG.encoder_engine(h, bias_vec, static, plan, backend=backend,
+                           out_dtype=engine_dtype, interpret=interpret)
+    h = h.astype(jnp.float32)
+    h_site = f"L{cfg.num_hidden_layers - 1}.ffn.ln.out"
+    return _roberta_head(ctx, params, cfg, h, h_site, batch, False, None)

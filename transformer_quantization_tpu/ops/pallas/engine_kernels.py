@@ -241,13 +241,16 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref, *,
     p_s, p_sh = smem_ref[0, 8], smem_ref[0, 9]
     c_s, c_sh = smem_ref[0, 10], smem_ref[0, 11]
     rsqrt_d = np.float32(1.0 / np.sqrt(head_dim))
+    # the mask ref holds the FULL (B, T) array (tiny); Mosaic block shapes
+    # can't be (n_batch, T) with n_batch < 8, so rows index dynamically
+    base = pl.program_id(0) * n_batch
 
     for j in range(n_batch):
         rows = slice(j * seq, (j + 1) * seq)
         qj = qkv_q[rows, :]
         kj = qkv_k[rows, :]
         vj = qkv_v[rows, :]
-        mask_j = mask_ref[j:j + 1, :]
+        mask_j = mask_ref[pl.ds(base + j, 1), :]
         ctx_heads = []
         for hh in range(n_heads):
             cols = slice(hh * head_dim, (hh + 1) * head_dim)
@@ -321,7 +324,7 @@ def int8_attention(qkv8: Array, mask_bias: Array, scalars: Array, *,
         grid=grid,
         in_specs=[
             spec(0), spec(1), spec(2),
-            pl.BlockSpec((bb, seq), lambda i: (i, 0),
+            pl.BlockSpec((b, seq), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 12), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
