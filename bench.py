@@ -5,13 +5,18 @@ Prints ONE JSON line:
 
 The reference publishes no throughput numbers (SURVEY.md §6). Its headline
 workload is W8A8 *evaluation*, computed as float fake-quant simulation —
-so the baseline here is that exact simulation workload on the same chip
-(what a faithful port of the reference would run for validate-quantized):
+so the baseline is that exact simulation workload on the same chip (what
+a faithful port of the reference would run for validate-quantized):
 ``value`` is the real-int8 engine's sequences/sec and ``vs_baseline`` its
-speedup over the simulation. Dense fp32/bf16 forwards are reported for
-context (the engine's remaining act-site cost shows up against those).
+speedup over the simulation. The default output also reports the bf16
+dense forward (the "don't quantize at all" alternative the engine must
+beat) and the matmul-FLOP MFU against the chip's measured int8 peak, so
+the artifact tells the whole story on its own.
 
-Usage: python bench.py [--batch 32] [--seq 128] [--iters 20] [--small]
+Usage: python bench.py [--batch 128] [--seq 128] [--iters 20] [--small]
+       [--full]   also time fp32 dense, the generic XLA int8 path, and
+                  the W4A8 packed-int4 engine (3 extra compiles)
+       [--engine-backend pallas|xla]
 """
 
 import argparse
@@ -24,6 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
+
+# chip int8 matmul rate measured in-program on this v5e (NOTES.md round-1
+# microbench); used for the %-of-peak context field
+MEASURED_INT8_PEAK_TOPS = 239.0
 
 
 def _sync(out):
@@ -45,6 +54,16 @@ def timed(fn, *args, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
+def matmul_flops_per_seq(cfg, seq: int) -> float:
+    """Analytic matmul FLOPs of one sequence's forward (MACs x 2)."""
+    h, i, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    per_layer = (8 * seq * h * h          # q,k,v,attn_out projections
+                 + 4 * seq * h * i        # ffn inter + dense
+                 + 4 * seq * seq * h)     # attention scores + context
+    head = 2 * h * h + 2 * h * cfg.num_labels
+    return float(L * per_layer + head)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -53,9 +72,10 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="tiny model for CPU debugging")
     ap.add_argument("--full", action="store_true",
-                    help="also time dense fp32/bf16 and the f32-attention "
-                         "int path (3 extra compiles, ~10 min on the "
-                         "remote tunnel)")
+                    help="also time fp32 dense, generic XLA int8, and the "
+                         "int4 engine (3 extra compiles)")
+    ap.add_argument("--engine-backend", default="pallas",
+                    choices=["pallas", "xla"])
     args = ap.parse_args()
 
     from transformer_quantization_tpu.models import bert as B
@@ -73,7 +93,10 @@ def main():
     params, qcfg, qstate = G._calibrated_bert(cfg, batch_size=2, seq=args.seq)
     int_params = jax.jit(
         lambda p, qs: B.build_bert_int_params(p, qcfg, qs))(params, qstate)
-    print(f"# setup {time.perf_counter() - t_setup:.1f}s", file=sys.stderr)
+    static, plan, _ = B.build_bert_engine(params, cfg, qcfg, qstate,
+                                          int_params=int_params)
+    print(f"# setup {time.perf_counter() - t_setup:.1f}s", file=sys.stderr,
+          flush=True)
 
     rng = np.random.RandomState(0)
     batch = {
@@ -85,11 +108,22 @@ def main():
 
     fp_mode = QuantMode(weight_quant=False, act_quant=False)
     q_mode = QuantMode()
+    interp = jax.default_backend() == "cpu"
+    backend = args.engine_backend
 
     @jax.jit
-    def fp32_step(params, batch):
-        out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, fp_mode)
+    def sim_step(params, batch):
+        # the reference's workload: full fake-quant simulation
+        out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, q_mode)
         return out["logits"]
+
+    @jax.jit
+    def engine_step(params, batch):
+        # full-handoff int8 engine: every encoder edge rides int8 payloads
+        return B.bert_engine_apply(
+            params, batch, cfg, qcfg, qstate, static, plan, int_params,
+            backend=backend, engine_dtype=jnp.bfloat16,
+            interpret=interp)["logits"]
 
     params_bf16 = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
@@ -100,55 +134,105 @@ def main():
         out, _ = B.bert_apply(params, batch, cfg, None, None, fp_mode)
         return out["logits"]
 
-    @jax.jit
-    def sim_step(params, batch):
-        # the reference's workload: full fake-quant simulation
-        out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, q_mode)
-        return out["logits"]
+    def measure(name, fn, *a):
+        t0 = time.perf_counter()
+        try:
+            t = timed(fn, *a, iters=args.iters)
+        except Exception as e:  # keep the artifact even if one path breaks
+            print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr, flush=True)
+            return None
+        print(f"# {name}: {t * 1e3:.2f} ms  {args.batch / t:.1f} seq/s "
+              f"(compile+run {time.perf_counter() - t0:.0f}s)",
+              file=sys.stderr, flush=True)
+        return t
 
-    @jax.jit
-    def int8_step(params, batch):
-        out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, q_mode,
-                              int_params=int_params)
-        return out["logits"]
+    # essential pair first (the driver's bench window may be short)
+    t_sim = measure("sim", sim_step, params, batch)
+    t_eng = measure("engine", engine_step, params, batch)
+    t_bf16 = measure("bf16_dense", bf16_step, params_bf16, batch)
 
-    @jax.jit
-    def int8_attn_bf16_step(params, batch):
-        # engine option: bf16 attention einsums (scores/probs are 8-bit
-        # quantized right after; bf16 matmul error < quantization step)
-        out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, q_mode,
-                              int_params=int_params,
-                              attention_dtype=jnp.bfloat16)
-        return out["logits"]
-
-    # essential pair first (the driver's bench window may be short):
-    # the reference workload baseline and the tuned engine
-    t_sim = timed(sim_step, params, batch, iters=args.iters)
-    t_int8_attn = timed(int8_attn_bf16_step, params, batch, iters=args.iters)
-    t_fp32 = t_bf16 = t_int8 = None
+    t_fp32 = t_int8_xla = t_int4 = None
     if args.full:
-        t_fp32 = timed(fp32_step, params, batch, iters=args.iters)
-        t_bf16 = timed(bf16_step, params_bf16, batch, iters=args.iters)
-        t_int8 = timed(int8_step, params, batch, iters=args.iters)
-    t_best = min(t for t in (t_int8, t_int8_attn) if t is not None)
+        @jax.jit
+        def fp32_step(params, batch):
+            out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, fp_mode)
+            return out["logits"]
 
+        @jax.jit
+        def int8_xla_step(params, batch):
+            out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, q_mode,
+                                  int_params=int_params,
+                                  attention_dtype=jnp.bfloat16)
+            return out["logits"]
+
+        t_fp32 = measure("fp32_dense", fp32_step, params, batch)
+        t_int8_xla = measure("int8_xla", int8_xla_step, params, batch)
+
+        # W4A8: 4-bit symmetric weights, packed two-per-byte (engine w4)
+        d4 = G._w8a8_defaults()
+        import dataclasses as _dc
+
+        d4 = _dc.replace(d4, n_bits=4, n_bits_act=8)
+        qcfg4 = B.declare_bert_sites(d4, cfg)
+        from transformer_quantization_tpu.quant.manager import (
+            init_weight_qstate,
+        )
+        from transformer_quantization_tpu.quant.qconfig import Phase
+
+        qstate4 = jax.jit(lambda p: init_weight_qstate(
+            qcfg4, B.bert_weight_site_tensors(p)))(params)
+
+        @jax.jit
+        def cal4(params, qstate, b):
+            _, qs = B.bert_apply(params, b, cfg, qcfg4, qstate,
+                                 QuantMode(act_phase=Phase.estimate))
+            return qs
+
+        cal_b = {k: v[:2] for k, v in batch.items()}
+        qstate4 = cal4(params, qstate4, cal_b)
+        int4_params = jax.jit(lambda p, qs: B.build_bert_int_params(
+            p, qcfg4, qs, use_int4=True))(params, qstate4)
+        static4, plan4, _ = B.build_bert_engine(params, cfg, qcfg4, qstate4,
+                                                int_params=int4_params,
+                                                use_int4=True)
+
+        @jax.jit
+        def int4_step(params, batch):
+            return B.bert_engine_apply(
+                params, batch, cfg, qcfg4, qstate4, static4, plan4,
+                int4_params, backend=backend, engine_dtype=jnp.bfloat16,
+                interpret=interp)["logits"]
+
+        t_int4 = measure("int4_engine", int4_step, params, batch)
+
+    t_best = min(t for t in (t_eng, t_int8_xla) if t is not None)
     seqps = args.batch / t_best
+    flops = matmul_flops_per_seq(cfg, args.seq)
+
+    def sps(t):
+        return round(args.batch / t, 2) if t else None
+
     result = {
         "metric": "bert_base_w8a8_int8_inference_seq_per_sec_per_chip",
         "value": round(seqps, 2),
         "unit": "seq/s",
-        "vs_baseline": round(t_sim / t_best, 3),
+        "vs_baseline": round(t_sim / t_best, 3) if t_sim else None,
         "detail": {
             "batch": args.batch, "seq": args.seq,
             "baseline": "reference workload = W8A8 fake-quant simulation",
-            "simulation_seq_per_sec": round(args.batch / t_sim, 2),
-            "int8_attn_bf16_seq_per_sec": round(args.batch / t_int8_attn, 2),
-            "fp32_dense_seq_per_sec": (round(args.batch / t_fp32, 2)
-                                       if t_fp32 else None),
-            "bf16_dense_seq_per_sec": (round(args.batch / t_bf16, 2)
-                                       if t_bf16 else None),
-            "int8_xla_seq_per_sec": (round(args.batch / t_int8, 2)
-                                     if t_int8 else None),
+            "simulation_seq_per_sec": sps(t_sim),
+            "engine_seq_per_sec": sps(t_eng),
+            "engine_backend": backend,
+            "bf16_dense_seq_per_sec": sps(t_bf16),
+            "speedup_vs_bf16_dense": (round(t_bf16 / t_best, 3)
+                                      if t_bf16 else None),
+            "fp32_dense_seq_per_sec": sps(t_fp32),
+            "int8_xla_seq_per_sec": sps(t_int8_xla),
+            "int4_engine_seq_per_sec": sps(t_int4),
+            "matmul_gflops_per_seq": round(flops / 1e9, 2),
+            "mfu_pct_of_int8_peak": round(
+                100.0 * seqps * flops / (MEASURED_INT8_PEAK_TOPS * 1e12), 1),
             "device": str(jax.devices()[0]),
         },
     }
