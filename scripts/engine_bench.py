@@ -77,8 +77,13 @@ def main():
                                       q_mode, int_params=int_params,
                                       attention_dtype=jnp.bfloat16)
                 return out["logits"]
-        elif variant in ("exla", "exla_bf16", "epallas", "epallas_bf16"):
-            backend = "xla" if variant.startswith("exla") else "pallas"
+        elif variant.startswith(("exla", "epallas", "emix")):
+            # emix_<mm>-<attn>-<ln>[_bf16], e.g. emix_xla-pallas-pallas
+            if variant.startswith("emix"):
+                parts = variant.split("_")[1]
+                backend = "mix:" + parts.replace("-", ",")
+            else:
+                backend = "xla" if variant.startswith("exla") else "pallas"
             dt = jnp.bfloat16 if variant.endswith("bf16") else jnp.float32
 
             @jax.jit

@@ -240,6 +240,20 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
 # ---------------------------------------------------------------------------
 
 
+def parse_backend(backend: str) -> Tuple[str, str, str]:
+    """Backend spec -> (matmul, attention, add_ln) op backends.
+
+    'pallas' | 'xla' apply to all three op kinds; 'mix:<mm>,<attn>,<ln>'
+    mixes them (e.g. 'mix:xla,pallas,pallas' — XLA matmuls where its
+    native int8 fusion is already strong, Pallas where materialization
+    dominates).
+    """
+    if backend.startswith("mix:"):
+        mm, attn, ln = backend[4:].split(",")
+        return mm, attn, ln
+    return backend, backend, backend
+
+
 def _mm(backend: str, interpret: bool, x8: Array, mp: Dict, *, activation,
         out_mode, out_dtype, w4: bool) -> Array:
     if backend == "pallas":
@@ -262,51 +276,43 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
     Returns the final layer's ln-site value, (B, T, H) in ``out_dtype``.
     """
     b, t, hdim = h.shape
+    mm_be, attn_be, ln_be = parse_backend(backend)
     hf = h.reshape(b * t, hdim).astype(out_dtype)
     es = plan["entry_scal"]
     h8 = EK.quantize_payload(hf, es[0, 0], es[0, 1])
+
+    def add_ln(y, r, lnp, res_quant):
+        if ln_be == "pallas":
+            return EK.fused_add_ln(y, r, lnp["gb"], lnp["scal"],
+                                   eps=static.ln_eps, res_quant=res_quant,
+                                   out_dtype=out_dtype, interpret=interpret)
+        return EK.fused_add_ln_ref(y, r, lnp["gb"], lnp["scal"],
+                                   eps=static.ln_eps, res_quant=res_quant,
+                                   out_dtype=out_dtype)
 
     for i, lp in enumerate(plan["layers"]):
         qkv_w4, ao_w4, inter_w4, dense_w4 = static.w4[i]
         ao_fold, d_fold = static.fold[i]
         res1, res2 = static.res_quant[i]
 
-        qkv8 = _mm(backend, interpret, h8, lp["qkv"], activation=None,
+        qkv8 = _mm(mm_be, interpret, h8, lp["qkv"], activation=None,
                    out_mode="emit", out_dtype=out_dtype, w4=qkv_w4)
-        if backend == "pallas":
+        if attn_be == "pallas":
             c8 = EK.int8_attention(qkv8, mask_bias, lp["attn_scal"],
                                    n_heads=static.n_heads, seq=t,
                                    interpret=interpret)
         else:
             c8 = EK.int8_attention_ref(qkv8, mask_bias, lp["attn_scal"],
                                        n_heads=static.n_heads, seq=t)
-        y = _mm(backend, interpret, c8, lp["attn_out"], activation=None,
+        y = _mm(mm_be, interpret, c8, lp["attn_out"], activation=None,
                 out_mode="fold" if ao_fold else "float",
                 out_dtype=out_dtype, w4=ao_w4)
-        if backend == "pallas":
-            h8, hf = EK.fused_add_ln(y, hf, lp["ln1"]["gb"],
-                                     lp["ln1"]["scal"], eps=static.ln_eps,
-                                     res_quant=res1, out_dtype=out_dtype,
-                                     interpret=interpret)
-        else:
-            h8, hf = EK.fused_add_ln_ref(y, hf, lp["ln1"]["gb"],
-                                         lp["ln1"]["scal"],
-                                         eps=static.ln_eps, res_quant=res1,
-                                         out_dtype=out_dtype)
-        i8 = _mm(backend, interpret, h8, lp["inter"],
+        h8, hf = add_ln(y, hf, lp["ln1"], res1)
+        i8 = _mm(mm_be, interpret, h8, lp["inter"],
                  activation=static.hidden_act, out_mode="emit",
                  out_dtype=out_dtype, w4=inter_w4)
-        y = _mm(backend, interpret, i8, lp["dense"], activation=None,
+        y = _mm(mm_be, interpret, i8, lp["dense"], activation=None,
                 out_mode="fold" if d_fold else "float",
                 out_dtype=out_dtype, w4=dense_w4)
-        if backend == "pallas":
-            h8, hf = EK.fused_add_ln(y, hf, lp["ln2"]["gb"],
-                                     lp["ln2"]["scal"], eps=static.ln_eps,
-                                     res_quant=res2, out_dtype=out_dtype,
-                                     interpret=interpret)
-        else:
-            h8, hf = EK.fused_add_ln_ref(y, hf, lp["ln2"]["gb"],
-                                         lp["ln2"]["scal"],
-                                         eps=static.ln_eps, res_quant=res2,
-                                         out_dtype=out_dtype)
+        h8, hf = add_ln(y, hf, lp["ln2"], res2)
     return hf.reshape(b, t, hdim)
