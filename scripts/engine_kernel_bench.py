@@ -92,13 +92,23 @@ def main():
     y = jnp.asarray(rng.normal(0, 1, (M, H)), jnp.bfloat16)
     r = jnp.asarray(rng.normal(0, 1, (M, H)), jnp.bfloat16)
     gb = jnp.asarray(rng.normal(0, 1, (2, H)), jnp.float32)
-    lscal = jnp.asarray([[0.05, 6.0, 0.02, 11.0]], jnp.float32)
+    lscal = jnp.asarray([[0.02, 3.0, 0.03, 5.0, 0.05, 6.0, 0.02, 11.0]],
+                        jnp.float32)
     fp = jax.jit(lambda a, b, c, d: EK.fused_add_ln(
         a, b, c, d, eps=1e-12, out_dtype=jnp.bfloat16))
     fr = jax.jit(lambda a, b, c, d: EK.fused_add_ln_ref(
         a, b, c, d, eps=1e-12, out_dtype=jnp.bfloat16))
     report("add_ln (MxH)", timed(fp, y, r, gb, lscal),
            timed(fr, y, r, gb, lscal))
+
+    y8 = payload((M, H))
+    r8 = payload((M, H))
+    fp = jax.jit(lambda a, b, c, d: EK.fused_add_ln_payload(
+        a, b, c, d, eps=1e-12))
+    fr = jax.jit(lambda a, b, c, d: EK.fused_add_ln_payload_ref(
+        a, b, c, d, eps=1e-12))
+    report("add_ln_payload (MxH)", timed(fp, y8, r8, gb, lscal),
+           timed(fr, y8, r8, gb, lscal))
 
 
 if __name__ == "__main__":

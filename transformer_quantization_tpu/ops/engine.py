@@ -139,9 +139,15 @@ def _mm_plan(int_params: Mapping, names: List[str], biases: List[Array],
 
 
 def _ln_plan(qcfg, qstate, params_ln: Mapping, res_site: str, ln_site: str,
-             ln_wsite: str) -> Tuple[Dict, bool]:
-    """gamma/beta (+quantized gamma) and res/ln site scalars for one
-    fused add+LN; returns (plan, res_quant_enabled)."""
+             ln_wsite: str, y_site: Optional[Tuple[Array, Array]],
+             r_site: Tuple[Array, Array]) -> Tuple[Dict, bool]:
+    """gamma/beta (+quantized gamma) and site scalars for one fused
+    add+LN; returns (plan, res_quant_enabled).
+
+    ``y_site``/``r_site``: payload params of the two add inputs (the
+    producing matmul's fold site and the previous ln/entry site), used by
+    the payload-residual flow; ``y_site`` None when the fold site is
+    disabled (payload flow unavailable)."""
     gamma = params_ln["scale"].astype(jnp.float32)
     beta = params_ln["bias"].astype(jnp.float32)
     if ln_wsite in qcfg and qcfg[ln_wsite].enabled:
@@ -151,13 +157,17 @@ def _ln_plan(qcfg, qstate, params_ln: Mapping, res_site: str, ln_site: str,
                              axis=0 if c.per_channel else None)
     res_quant = _act_enabled(qcfg, res_site)
     if res_quant:
-        r_s, r_sh = act_site_scalars(qcfg, qstate, res_site)
+        res_s, res_sh = act_site_scalars(qcfg, qstate, res_site)
     else:
-        r_s, r_sh = jnp.ones(()), jnp.zeros(())
+        res_s, res_sh = jnp.ones(()), jnp.zeros(())
     l_s, l_sh = act_site_scalars(qcfg, qstate, ln_site)
+    y_s, y_sh = y_site if y_site is not None else (jnp.ones(()),
+                                                   jnp.zeros(()))
+    r_s, r_sh = r_site
     return {
         "gb": jnp.stack([gamma, beta]),
-        "scal": jnp.stack([r_s, r_sh, l_s, l_sh]).reshape(1, 4),
+        "scal": jnp.stack([y_s, y_sh, r_s, r_sh, res_s, res_sh,
+                           l_s, l_sh]).reshape(1, 8),
     }, res_quant
 
 
@@ -199,7 +209,8 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
 
         ln1, res1 = _ln_plan(qcfg, qstate, lp["attn_out"]["ln"],
                              p + "attn_out.res", p + "attn_out.ln.out",
-                             p + "attn_out.ln.w")
+                             p + "attn_out.ln.w",
+                             ao_out[0] if ao_fold else None, in_scal)
 
         ln1_scal = act_site_scalars(qcfg, qstate, p + "attn_out.ln.out")
         inter_out = [act_site_scalars(qcfg, qstate, p + "ffn.inter.out")]
@@ -217,7 +228,8 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
 
         ln2, res2 = _ln_plan(qcfg, qstate, lp["ffn"]["ln"],
                              p + "ffn.res", p + "ffn.ln.out",
-                             p + "ffn.ln.w")
+                             p + "ffn.ln.w",
+                             d_out[0] if d_fold else None, ln1_scal)
 
         layers.append({"qkv": qkv, "attn_scal": attn_scal,
                        "attn_out": attn_out, "ln1": ln1, "inter": inter,
@@ -280,6 +292,11 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
     hf = h.reshape(b * t, hdim).astype(out_dtype)
     es = plan["entry_scal"]
     h8 = EK.quantize_payload(hf, es[0, 0], es[0, 1])
+    # when every residual-feeding matmul has its fold site enabled, the
+    # residual stream itself rides int8 payloads: producers emit int8,
+    # add+LN reads two payloads and emits one, and the float stream never
+    # touches HBM (bit-exact — see fused_add_ln_payload)
+    payload_res = all(ao and d for ao, d in static.fold)
 
     def add_ln(y, r, lnp, res_quant):
         if ln_be == "pallas":
@@ -289,6 +306,15 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
         return EK.fused_add_ln_ref(y, r, lnp["gb"], lnp["scal"],
                                    eps=static.ln_eps, res_quant=res_quant,
                                    out_dtype=out_dtype)
+
+    def add_ln_payload(y8, r8, lnp, res_quant):
+        if ln_be == "pallas":
+            return EK.fused_add_ln_payload(
+                y8, r8, lnp["gb"], lnp["scal"], eps=static.ln_eps,
+                res_quant=res_quant, interpret=interpret)
+        return EK.fused_add_ln_payload_ref(
+            y8, r8, lnp["gb"], lnp["scal"], eps=static.ln_eps,
+            res_quant=res_quant)
 
     for i, lp in enumerate(plan["layers"]):
         qkv_w4, ao_w4, inter_w4, dense_w4 = static.w4[i]
@@ -305,14 +331,25 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
             c8 = EK.int8_attention_ref(qkv8, mask_bias, lp["attn_scal"],
                                        n_heads=static.n_heads, seq=t)
         y = _mm(mm_be, interpret, c8, lp["attn_out"], activation=None,
-                out_mode="fold" if ao_fold else "float",
+                out_mode="emit" if payload_res
+                else ("fold" if ao_fold else "float"),
                 out_dtype=out_dtype, w4=ao_w4)
-        h8, hf = add_ln(y, hf, lp["ln1"], res1)
+        if payload_res:
+            h8 = add_ln_payload(y, h8, lp["ln1"], res1)
+        else:
+            h8, hf = add_ln(y, hf, lp["ln1"], res1)
         i8 = _mm(mm_be, interpret, h8, lp["inter"],
                  activation=static.hidden_act, out_mode="emit",
                  out_dtype=out_dtype, w4=inter_w4)
         y = _mm(mm_be, interpret, i8, lp["dense"], activation=None,
-                out_mode="fold" if d_fold else "float",
+                out_mode="emit" if payload_res
+                else ("fold" if d_fold else "float"),
                 out_dtype=out_dtype, w4=dense_w4)
-        h8, hf = add_ln(y, hf, lp["ln2"], res2)
+        if payload_res:
+            h8 = add_ln_payload(y, h8, lp["ln2"], res2)
+        else:
+            h8, hf = add_ln(y, hf, lp["ln2"], res2)
+    if payload_res:
+        ls = plan["layers"][-1]["ln2"]["scal"]
+        hf = EK.dequantize_payload(h8, ls[0, 6], ls[0, 7]).astype(out_dtype)
     return hf.reshape(b, t, hdim)

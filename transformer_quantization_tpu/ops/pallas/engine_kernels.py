@@ -223,13 +223,21 @@ def int8_matmul_ref(x8, w8, vecs, scalars, *, activation=None,
 # ---------------------------------------------------------------------------
 
 
-def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref, *,
-                 n_batch, n_heads, seq, head_dim):
-    """One batch-block cell: full attention, batches x heads unrolled.
+def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
+                 scores_scr, *, n_batch, n_heads, seq, head_dim):
+    """One batch-block cell: phased attention over all heads at once.
 
     The q/k/v refs are (n_batch*seq, H) int8 blocks — full hidden width,
     because Mosaic block shapes need 128-divisible (or full) minor dims;
     per-head 64-lane slices happen in-register here instead.
+
+    Three phases per batch row, so the VPU work runs on one large
+    (n_heads*seq, seq) tile instead of n_heads small ones (the per-head
+    unrolled form measured ~6 us per head-batch — MXU and VPU serialized
+    on 16K-element tiles):
+      1. all per-head q@k^T dots into a VMEM scores scratch,
+      2. ONE fakequant+mask+softmax+probs-quant pass over the whole tile,
+      3. per-head p8@v dots, concatenated, context-site quantize.
 
     smem layout: [q_s, q_sh, k_s, k_sh, v_s, v_sh,
                   sc_s, sc_sh, p_s, p_sh, c_s, c_sh].
@@ -251,33 +259,47 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref, *,
         kj = qkv_k[rows, :]
         vj = qkv_v[rows, :]
         mask_j = mask_ref[pl.ds(base + j, 1), :]
-        ctx_heads = []
+
+        # phase 1: per-head q@k^T dots with the rank-1 payload-shift
+        # corrections applied in-register -> scratch (n_heads*seq, seq)
         for hh in range(n_heads):
             cols = slice(hh * head_dim, (hh + 1) * head_dim)
-            q8, k8, v8 = qj[:, cols], kj[:, cols], vj[:, cols]
+            q8, k8 = qj[:, cols], kj[:, cols]
             acc = jax.lax.dot_general(
                 q8, k8, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
             qsum = jnp.sum(q8.astype(jnp.float32), axis=1, keepdims=True)
             ksum = jnp.sum(k8.astype(jnp.float32), axis=1, keepdims=True)
-            scores = (q_s * k_s) * (acc + q_sh * ksum.T + k_sh * qsum
-                                    + head_dim * q_sh * k_sh)
-            # scores-site fake-quant on RAW scores, then 1/sqrt(d) + mask
-            # (quantized_bert.py:154, :189-190)
-            scores = fakequant_f32(scores, sc_s, sc_sh)
-            scores = scores * rsqrt_d + mask_j
-            m = jnp.max(scores, axis=1, keepdims=True)
-            e = jnp.exp(scores - m)
-            probs = e * (1.0 / jnp.sum(e, axis=1, keepdims=True))
-            p8 = jnp.clip(jnp.round(probs * (1.0 / p_s)) - p_sh,
-                          -128.0, 127.0).astype(jnp.int8)
+            scores_scr[hh * seq:(hh + 1) * seq, :] = (
+                acc + q_sh * ksum.T + k_sh * qsum
+                + head_dim * q_sh * k_sh)
+
+        # phase 2: ONE elementwise/softmax pass over the whole tile
+        scores = (q_s * k_s) * scores_scr[:, :]
+        # scores-site fake-quant on RAW scores, then 1/sqrt(d) + mask
+        # (quantized_bert.py:154, :189-190)
+        r = jnp.clip(jnp.round(scores * (1.0 / sc_s)) - sc_sh, -128.0, 127.0)
+        scores = (sc_s * rsqrt_d) * (r + sc_sh) + mask_j
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e * (1.0 / jnp.sum(e, axis=1, keepdims=True))
+        p8 = jnp.clip(jnp.round(probs * (1.0 / p_s)) - p_sh,
+                      -128.0, 127.0).astype(jnp.int8)
+
+        # phase 3: per-head p8 @ v8 dots, context-site quantize
+        vsum = jnp.sum(vj.astype(jnp.float32), axis=0, keepdims=True)
+        psum = jnp.sum(p8.astype(jnp.float32), axis=1, keepdims=True)
+        ctx_heads = []
+        for hh in range(n_heads):
+            hrows = slice(hh * seq, (hh + 1) * seq)
+            cols = slice(hh * head_dim, (hh + 1) * head_dim)
             acc2 = jax.lax.dot_general(
-                p8, v8, dimension_numbers=(((1,), (0,)), ((), ())),
+                p8[hrows, :], vj[:, cols],
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
-            vsum = jnp.sum(v8.astype(jnp.float32), axis=0, keepdims=True)
-            psum = jnp.sum(p8.astype(jnp.float32), axis=1, keepdims=True)
             ctx_heads.append(
-                (p_s * v_s) * (acc2 + p_sh * vsum + v_sh * psum
+                (p_s * v_s) * (acc2 + p_sh * vsum[:, cols]
+                               + v_sh * psum[hrows, :]
                                + seq * p_sh * v_sh))
         ctx = jnp.concatenate(ctx_heads, axis=1)
         out_ref[rows, :] = jnp.clip(
@@ -332,6 +354,7 @@ def int8_attention(qkv8: Array, mask_bias: Array, scalars: Array, *,
         out_specs=pl.BlockSpec((bb * seq, h), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mt, h), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((n_heads * seq, seq), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n_heads * seq * seq * d,
             bytes_accessed=4 * mt * h + b * seq * 4,
@@ -378,19 +401,46 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq):
 # ---------------------------------------------------------------------------
 
 
-def _add_ln_kernel(y_ref, r_ref, gb_ref, smem_ref, p_ref, f_ref, *, eps,
-                   res_quant):
-    x = y_ref[:].astype(jnp.float32) + r_ref[:].astype(jnp.float32)
+def _ln_body(x, gb_ref, smem_ref, *, eps, res_quant):
+    """res-site fake-quant -> LayerNorm -> ln-site quant levels.
+
+    smem layout (1, 8): [y_s, y_sh, r_s, r_sh, res_s, res_sh, ln_s, ln_sh]
+    (the first four are input-payload params, used by the payload kernel
+    only).
+    """
     if res_quant:
-        x = fakequant_f32(x, smem_ref[0, 0], smem_ref[0, 1])
+        x = fakequant_f32(x, smem_ref[0, 4], smem_ref[0, 5])
     mean = jnp.mean(x, axis=1, keepdims=True)
     xc = x - mean
     var = jnp.mean(xc * xc, axis=1, keepdims=True)
     z = xc * jax.lax.rsqrt(var + eps) * gb_ref[0, :] + gb_ref[1, :]
-    s_l, sh_l = smem_ref[0, 2], smem_ref[0, 3]
-    q = jnp.clip(jnp.round(z * (1.0 / s_l)) - sh_l, -128.0, 127.0)
+    s_l, sh_l = smem_ref[0, 6], smem_ref[0, 7]
+    return jnp.clip(jnp.round(z * (1.0 / s_l)) - sh_l, -128.0, 127.0), s_l, sh_l
+
+
+def _add_ln_kernel(y_ref, r_ref, gb_ref, smem_ref, p_ref, f_ref, *, eps,
+                   res_quant):
+    x = y_ref[:].astype(jnp.float32) + r_ref[:].astype(jnp.float32)
+    q, s_l, sh_l = _ln_body(x, gb_ref, smem_ref, eps=eps,
+                            res_quant=res_quant)
     p_ref[:] = q.astype(jnp.int8)
     f_ref[:] = (s_l * (q + sh_l)).astype(f_ref.dtype)
+
+
+def _add_ln_payload_kernel(y_ref, r_ref, gb_ref, smem_ref, p_ref, *, eps,
+                           res_quant):
+    """Payload-in/payload-out variant: the residual stream never touches
+    HBM as float. Reads two int8 payloads (4x less traffic than the f32
+    pair), reconstructs the float sum in-register (bit-exact: payload
+    levels are integers <= 255, exactly representable; the scale products
+    round identically to the float path), and emits only the ln-site
+    payload."""
+    y_s, y_sh = smem_ref[0, 0], smem_ref[0, 1]
+    r_s, r_sh = smem_ref[0, 2], smem_ref[0, 3]
+    x = (y_s * (y_ref[:].astype(jnp.float32) + y_sh)
+         + r_s * (r_ref[:].astype(jnp.float32) + r_sh))
+    q, _, _ = _ln_body(x, gb_ref, smem_ref, eps=eps, res_quant=res_quant)
+    p_ref[:] = q.astype(jnp.int8)
 
 
 @functools.partial(
@@ -404,10 +454,11 @@ def fused_add_ln(y: Array, r: Array, gb: Array, scalars: Array, *,
     in one HBM pass, emitting (int8 payload, float value).
 
     ``y``/``r``: (M, H) float. ``gb``: (2, H) f32 [gamma_q; beta].
-    ``scalars``: (1, 4) f32 [res_s, res_shift, ln_s, ln_shift].
-    Replaces four XLA elementwise passes over the residual stream
-    (quantized_bert.py:233-277 res-quant + LN, plus the consumer's
-    quantize-on-load).
+    ``scalars``: (1, 8) f32 [y_s, y_sh, r_s, r_sh, res_s, res_shift,
+    ln_s, ln_shift] (first four unused here; shared layout with
+    :func:`fused_add_ln_payload`). Replaces four XLA elementwise passes
+    over the residual stream (quantized_bert.py:233-277 res-quant + LN,
+    plus the consumer's quantize-on-load).
     """
     m, hdim = y.shape
     fbytes = 4 if out_dtype == jnp.float32 else 2
@@ -423,7 +474,7 @@ def fused_add_ln(y: Array, r: Array, gb: Array, scalars: Array, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, hdim), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((bm, hdim), lambda i: (i, 0),
@@ -445,16 +496,73 @@ def fused_add_ln(y: Array, r: Array, gb: Array, scalars: Array, *,
     )(y, r, gb, scalars)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "res_quant", "block_m", "interpret"))
+def fused_add_ln_payload(y8: Array, r8: Array, gb: Array, scalars: Array, *,
+                         eps: float, res_quant: bool = True,
+                         block_m: Optional[int] = None,
+                         interpret: bool = False) -> Array:
+    """Payload-in/payload-out fused add+LN: reads the producing matmul's
+    int8 payload and the int8 residual payload, emits only the ln-site
+    payload. The float residual stream never exists in HBM (9 bytes/elem
+    vs 17 for :func:`fused_add_ln` with f32 in/out).
+
+    ``scalars``: (1, 8) f32 [y_s, y_sh, r_s, r_sh, res_s, res_shift,
+    ln_s, ln_shift].
+    """
+    m, hdim = y8.shape
+    bm = _pick_block_m(m, hdim * 3, block_m)
+    kernel = functools.partial(_add_ln_payload_kernel, eps=eps,
+                               res_quant=res_quant)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, hdim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, hdim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hdim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, hdim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, hdim), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * m * hdim,
+            bytes_accessed=m * hdim * 3,
+            transcendentals=m),
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)),
+        interpret=interpret,
+    )(y8, r8, gb, scalars)
+
+
+def _ln_ref_body(x, gb, s, *, eps, res_quant):
+    if res_quant:
+        x = fakequant_f32(x, s[4], s[5])
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    z = xc * jax.lax.rsqrt(var + eps) * gb[0] + gb[1]
+    return jnp.clip(jnp.round(z / s[6]) - s[7], -128.0, 127.0)
+
+
 def fused_add_ln_ref(y, r, gb, scalars, *, eps, res_quant=True,
                      out_dtype=jnp.float32):
     """jnp oracle / XLA backend for :func:`fused_add_ln`."""
     s = scalars[0]
     x = y.astype(jnp.float32) + r.astype(jnp.float32)
-    if res_quant:
-        x = fakequant_f32(x, s[0], s[1])
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    xc = x - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    z = xc * jax.lax.rsqrt(var + eps) * gb[0] + gb[1]
-    q = jnp.clip(jnp.round(z / s[2]) - s[3], -128.0, 127.0)
-    return q.astype(jnp.int8), (s[2] * (q + s[3])).astype(out_dtype)
+    q = _ln_ref_body(x, gb, s, eps=eps, res_quant=res_quant)
+    return q.astype(jnp.int8), (s[6] * (q + s[7])).astype(out_dtype)
+
+
+def fused_add_ln_payload_ref(y8, r8, gb, scalars, *, eps, res_quant=True):
+    """jnp oracle / XLA backend for :func:`fused_add_ln_payload`."""
+    s = scalars[0]
+    x = (s[0] * (y8.astype(jnp.float32) + s[1])
+         + s[2] * (r8.astype(jnp.float32) + s[3]))
+    q = _ln_ref_body(x, gb, s, eps=eps, res_quant=res_quant)
+    return q.astype(jnp.int8)
