@@ -55,6 +55,20 @@ def main():
             params, batch, cfg, qcfg, qstate, static, plan, int_params,
             backend=args.backend, engine_dtype=dt)["logits"]
 
+    # compiled HLO: maps fusion.NN names in the trace to their root ops
+    hlo_roots = {}
+    try:
+        txt = f.lower(params, batch).compile().as_text()
+        with open(os.path.join("/tmp", "engine_hlo.txt"), "w") as fh:
+            fh.write(txt)
+        import re
+        for line in txt.splitlines():
+            m = re.match(r"\s*%?([\w.\-]+) = (.*)", line)
+            if m:
+                hlo_roots[m.group(1)] = m.group(2)[:160]
+    except Exception as e:  # pragma: no cover
+        print(f"# HLO dump failed: {e}", file=sys.stderr)
+
     for _ in range(3):
         out = f(params, batch)
     float(np.asarray(out).ravel()[0])
@@ -100,9 +114,35 @@ def main():
     items = sorted(dur_by_name.items(), key=lambda kv: -kv[1])
     print(f"# total device time {total:.2f} ms over 5 steps "
           f"({total / 5:.2f} ms/step)")
-    for name, dur in items[:40]:
+    import re
+
+    def root_of(name):
+        r = hlo_roots.get(name, "")
+        return re.sub(r"\s+", " ", r)[:120]
+
+    # grouped: same HLO-root signature (op kind + shape), else name prefix
+    grp_dur = defaultdict(float)
+    grp_cnt = defaultdict(int)
+    grp_example = {}
+    for name, dur in items:
+        if name.startswith("jit_"):
+            continue
+        r = hlo_roots.get(name)
+        if r:
+            key = re.sub(r"%[\w.\-]+", "_", r)[:100]
+        else:
+            key = re.sub(r"[.\d]+$", "", name)
+        grp_dur[key] += dur
+        grp_cnt[key] += cnt_by_name[name]
+        grp_example.setdefault(key, name)
+    print("\n# --- grouped by op signature ---")
+    for key, dur in sorted(grp_dur.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{dur / 5:8.3f} ms/step  x{grp_cnt[key] // 5:<4d} "
+              f"[{grp_example[key]}]  {key}")
+    print("\n# --- top single ops (with HLO root) ---")
+    for name, dur in items[:25]:
         print(f"{dur / 5:8.3f} ms/step  x{cnt_by_name[name] // 5:<4d} "
-              f"{name[:110]}")
+              f"{name[:60]}  :: {root_of(name)}")
 
 
 if __name__ == "__main__":

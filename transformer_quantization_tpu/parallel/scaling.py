@@ -32,15 +32,21 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from transformer_quantization_tpu.parallel.mesh import make_mesh
 
 
-def _time_step(step, args, iters: int, warmup: int = 2) -> float:
+def _time_step(step, args, iters: int, warmup: int = 2,
+               repeats: int = 3) -> float:
+    """Best-of-``repeats`` mean step time — the minimum is robust to
+    transient load on a shared host (virtual-mesh CI runs)."""
     for _ in range(warmup):
         out = step(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def shard_for_dp(batch: Dict[str, np.ndarray], mesh) -> Dict:
