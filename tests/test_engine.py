@@ -189,3 +189,33 @@ def test_engine_gelu_impls_match_generic(tiny_setup, impl):
                               gelu_impl=impl)
     np.testing.assert_allclose(np.asarray(out["logits"]), ref,
                                rtol=1e-3, atol=2e-3)
+
+
+def test_attention_skip_max_parity(tiny_setup):
+    """skip_max (statically-proven softmax without max-subtraction) gives
+    the same payloads as the subtracting form, including masked rows."""
+    cfg, params, qcfg, qstate, static, plan, int_params, batch = tiny_setup
+    assert static.attn_skip_max  # tiny model's scores grid proves it
+    rng = np.random.RandomState(3)
+    b, t, h = 4, 16, cfg.hidden_size
+    qkv8 = jnp.asarray(rng.randint(-128, 128, (b * t, 3 * h)), jnp.int8)
+    mask = jnp.asarray((np.arange(t)[None, :] < [[5], [16], [9], [12]]),
+                       jnp.float32)
+    bias = (1.0 - mask) * -10000.0
+    sc = plan["layers"][0]["attn_scal"]
+    out_skip = EK.int8_attention_ref(qkv8, bias, sc,
+                                     n_heads=cfg.num_attention_heads,
+                                     seq=t, skip_max=True)
+    out_sub = EK.int8_attention_ref(qkv8, bias, sc,
+                                    n_heads=cfg.num_attention_heads,
+                                    seq=t, skip_max=False)
+    # same probs up to fp rounding of the 2^-m rescale -> payloads may
+    # differ only by boundary-rounding; require near-total agreement
+    diff = np.abs(np.asarray(out_skip, np.int32)
+                  - np.asarray(out_sub, np.int32))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-3
+    k_skip = EK.int8_attention(qkv8, bias, sc,
+                               n_heads=cfg.num_attention_heads, seq=t,
+                               skip_max=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(k_skip), np.asarray(out_skip))

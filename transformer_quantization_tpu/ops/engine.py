@@ -32,6 +32,7 @@ from typing import Dict, List, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from transformer_quantization_tpu.ops.pallas import engine_kernels as EK
 from transformer_quantization_tpu.quant import quantizers as Q
@@ -58,6 +59,12 @@ class EngineStatic:
     fold: Tuple[Tuple[bool, bool], ...]
     # per layer: (attn_out.res enabled?, ffn.res enabled?)
     res_quant: Tuple[Tuple[bool, bool], ...]
+    # softmax can skip the max-subtraction: quantized scores are bounded
+    # by their site grid, so when max |scores|/sqrt(d)*log2(e) stays far
+    # below exp2's overflow threshold the subtraction is pure overhead
+    # (masked positions underflow to exactly 0). Proven at plan-build
+    # time from the concrete scores-site scales; False when unprovable.
+    attn_skip_max: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -240,10 +247,23 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
 
     entry_scal = jnp.stack(
         act_site_scalars(qcfg, qstate, entry_site)).reshape(1, 2)
+    # prove the softmax max-subtraction unnecessary: quantized scores are
+    # grid-bounded, |s2| <= 256 * sc_s / sqrt(d) * log2(e); when that is
+    # far below exp2's overflow threshold (~126) the subtraction is dead
+    # work. Needs concrete scale values — under a tracer, stay safe.
+    skip_max = False
+    try:
+        hidden = int(layer_params[0]["attn"]["q"]["bias"].shape[0])
+        head_dim = hidden // n_heads
+        worst = max(float(lp_["attn_scal"][0, 6]) for lp_ in layers)
+        bound = 256.0 * worst / float(np.sqrt(head_dim)) * float(np.log2(np.e))
+        skip_max = bound < 100.0
+    except Exception:
+        skip_max = False
     static = EngineStatic(
         n_layers=len(layer_params), n_heads=n_heads, ln_eps=ln_eps,
         hidden_act=hidden_act, w4=tuple(w4_flags), fold=tuple(fold_flags),
-        res_quant=tuple(res_flags))
+        res_quant=tuple(res_flags), attn_skip_max=skip_max)
     return static, {"layers": layers, "entry_scal": entry_scal}
 
 
@@ -355,10 +375,12 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
         if attn_be == "pallas":
             c8 = EK.int8_attention(qkv8, mask_bias, lp["attn_scal"],
                                    n_heads=static.n_heads, seq=t,
+                                   skip_max=static.attn_skip_max,
                                    interpret=interpret)
         else:
             c8 = EK.int8_attention_ref(qkv8, mask_bias, lp["attn_scal"],
-                                       n_heads=static.n_heads, seq=t)
+                                       n_heads=static.n_heads, seq=t,
+                                       skip_max=static.attn_skip_max)
         if fuse_ln:
             h8 = mm_add_ln(c8, lp["attn_out"], h8, lp["ln1"], res1, ao_w4)
         else:
