@@ -274,6 +274,83 @@ def albert_apply(params: Dict, batch: Mapping[str, Array], cfg: AlbertConfig,
     return outputs, ctx.export()
 
 
+# ---------------------------------------------------------------------------
+# Full-handoff int8 inference engine (ops/engine.py) — the fast serving path
+# ---------------------------------------------------------------------------
+
+
+def build_albert_engine(params: Dict, cfg: AlbertConfig,
+                        qcfg: QuantModelConfig, qstate: Mapping,
+                        int_params: Optional[Dict] = None,
+                        use_int4: bool = False):
+    """Engine plan for a calibrated ALBERT: the shared layer's sites and
+    weights ride the generic encoder plan with ``prefixes=["shared."]*n``
+    (models/bert.py:build_bert_engine for the shape of this). The plan
+    repeats references to the one shared weight set — no duplication on
+    device."""
+    from transformer_quantization_tpu.ops import engine as ENG
+
+    if int_params is None:
+        int_params = build_albert_int_params(params, qcfg, qstate,
+                                             use_int4=use_int4)
+    n = cfg.num_hidden_layers
+    static, plan = ENG.build_encoder_plan(
+        qcfg, qstate, int_params, [params["shared"]] * n,
+        n_heads=cfg.num_attention_heads, ln_eps=cfg.layer_norm_eps,
+        hidden_act=cfg.hidden_act, entry_site="emb_proj.out",
+        prefixes=["shared."] * n)
+    return static, plan, int_params
+
+
+def albert_engine_apply(params: Dict, batch: Mapping[str, Array],
+                        cfg: AlbertConfig, qcfg: QuantModelConfig,
+                        qstate: Mapping, static, plan, int_params: Dict, *,
+                        backend: str = "pallas", engine_dtype=jnp.float32,
+                        interpret: bool = False,
+                        gelu_impl: str = "tanh") -> Dict:
+    """Inference forward through the full-handoff int8 engine
+    (models/bert.py:bert_engine_apply for the shape of this)."""
+    from transformer_quantization_tpu.ops import engine as ENG
+
+    ctx = B.make_ctx(qcfg, qstate, QuantMode(), int_params=int_params)
+    input_ids, token_type_ids, position_ids, _ = B.prepare_inputs(batch)
+    h = B._embeddings(ctx, params, cfg, input_ids, token_type_ids,
+                      position_ids, False, None)
+    h = quant_linear(ctx, "emb_proj", h, params["emb_proj"]["kernel"],
+                     params["emb_proj"]["bias"], input_site="emb.ln.out")
+    attention_mask = batch.get("attention_mask")
+    if attention_mask is None:
+        bias_vec = jnp.zeros(input_ids.shape, jnp.float32)
+    else:
+        bias_vec = (1.0 - attention_mask.astype(jnp.float32)) * -10000.0
+    h = ENG.encoder_engine(h, bias_vec, static, plan, backend=backend,
+                           out_dtype=engine_dtype, interpret=interpret,
+                           gelu_impl=gelu_impl)
+    h = h.astype(jnp.float32)
+    h_site = "shared.ffn.ln.out"
+    pooled = quant_linear(ctx, "pooler.dense", h[:, 0],
+                          params["pooler"]["kernel"],
+                          params["pooler"]["bias"], activation="tanh",
+                          input_site=h_site)
+    logits = quant_linear(ctx, "classifier", pooled,
+                          params["classifier"]["kernel"],
+                          params["classifier"]["bias"],
+                          input_site="pooler.dense.out")
+    outputs = {"logits": logits, "pooled": pooled, "sequence_output": h}
+    labels = batch.get("labels")
+    if labels is not None:
+        if cfg.num_labels == 1:
+            outputs["loss"] = jnp.mean(
+                (logits.reshape(-1) - labels.reshape(-1).astype(jnp.float32))
+                ** 2)
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                                       axis=1)
+            outputs["loss"] = jnp.mean(nll)
+    return outputs
+
+
 def family():
     from transformer_quantization_tpu.models.registry import ModelFamily
 
@@ -299,6 +376,8 @@ def family():
         weight_site_tensors=albert_weight_site_tensors,
         adaround_specs=albert_adaround_specs,
         build_int_params=build_albert_int_params,
+        build_engine=build_albert_engine,
+        engine_apply=albert_engine_apply,
         shared_perm_groups=None,
         load_checkpoint=load_checkpoint,
         config_presets={

@@ -181,18 +181,28 @@ def _ln_plan(qcfg, qstate, params_ln: Mapping, res_site: str, ln_site: str,
 def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
                        layer_params: List[Mapping], *, n_heads: int,
                        ln_eps: float, hidden_act: str,
-                       entry_site: str) -> Tuple[EngineStatic, Dict]:
+                       entry_site: str,
+                       prefixes: Optional[List[str]] = None
+                       ) -> Tuple[EngineStatic, Dict]:
     """Validate + assemble the engine plan for a BERT-family encoder stack
     using the shared ``L{i}.*`` site naming (models/bert.py
-    declare_encoder_sites). Raises :class:`EngineIncompatible` if any
-    required edge can't ride the payload protocol."""
+    declare_encoder_sites). ``prefixes`` overrides the per-layer site
+    prefix (ALBERT passes ``["shared."] * n`` — cross-layer sharing means
+    every iteration reads the same sites/weights). Raises
+    :class:`EngineIncompatible` if any required edge can't ride the
+    payload protocol."""
     layers = []
     w4_flags = []
     fold_flags = []
     res_flags = []
     for i, lp in enumerate(layer_params):
-        p = f"L{i}."
-        in_site = entry_site if i == 0 else f"L{i - 1}.ffn.ln.out"
+        p = prefixes[i] if prefixes is not None else f"L{i}."
+        if i == 0:
+            in_site = entry_site
+        elif prefixes is not None:
+            in_site = prefixes[i - 1] + "ffn.ln.out"
+        else:
+            in_site = f"L{i - 1}.ffn.ln.out"
         in_scal = act_site_scalars(qcfg, qstate, in_site)
         qkv_out = [act_site_scalars(qcfg, qstate, p + f"attn.{x}.out")
                    for x in "qkv"]
