@@ -169,3 +169,35 @@ def test_albert_engine_parity():
     np.testing.assert_allclose(np.asarray(out_pl["logits"]),
                                np.asarray(out["logits"]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_distilbert_engine_parity():
+    """DistilBERT's standard L{i}. encoder rides the engine directly."""
+    fam, cfg, params = build_model("distilbert_base_uncased", tiny=True,
+                                   seed=3)
+    rng = np.random.RandomState(3)
+    batch = {"input_ids": jnp.asarray(rng.randint(0, cfg.vocab_size, (4, 16)),
+                                      jnp.int32),
+             "attention_mask": jnp.asarray(
+                 (np.arange(16)[None, :] < rng.randint(8, 17, (4, 1))),
+                 jnp.float32)}
+    qcfg = fam.declare_sites(sym_defaults(), cfg)
+    apply_fn = functools.partial(fam.apply, cfg=cfg)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [batch],
+        weight_tensors=fam.weight_site_tensors(params))
+    int_params = fam.build_int_params(params, qcfg, qstate, False)
+    ref, _ = fam.apply(params, batch, cfg, qcfg, qstate, mode,
+                       int_params=int_params)
+
+    static, plan, e_int = fam.build_engine(params, cfg, qcfg, qstate)
+    out = fam.engine_apply(params, batch, cfg, qcfg, qstate, static, plan,
+                           e_int, backend="xla")
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-3, atol=2e-3)
+    out_pl = fam.engine_apply(params, batch, cfg, qcfg, qstate, static,
+                              plan, e_int, backend="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(out_pl["logits"]),
+                               np.asarray(out["logits"]),
+                               rtol=1e-4, atol=1e-4)

@@ -176,6 +176,78 @@ def distilbert_apply(params: Dict, batch: Mapping[str, Array],
     return outputs, ctx.export()
 
 
+# ---------------------------------------------------------------------------
+# Full-handoff int8 inference engine (ops/engine.py) — the fast serving path
+# ---------------------------------------------------------------------------
+
+
+def build_distilbert_engine(params: Dict, cfg: DistilBertConfig,
+                            qcfg: QuantModelConfig, qstate: Mapping,
+                            int_params: Optional[Dict] = None,
+                            use_int4: bool = False):
+    """Engine plan for a calibrated DistilBERT — the standard ``L{i}.*``
+    encoder rides the generic plan directly
+    (models/bert.py:build_bert_engine for the shape of this)."""
+    from transformer_quantization_tpu.ops import engine as ENG
+
+    if int_params is None:
+        int_params = build_distilbert_int_params(params, qcfg, qstate,
+                                                 use_int4=use_int4)
+    static, plan = ENG.build_encoder_plan(
+        qcfg, qstate, int_params, params["layers"],
+        n_heads=cfg.num_attention_heads, ln_eps=cfg.layer_norm_eps,
+        hidden_act=cfg.hidden_act, entry_site="emb.ln.out")
+    return static, plan, int_params
+
+
+def distilbert_engine_apply(params: Dict, batch: Mapping[str, Array],
+                            cfg: DistilBertConfig, qcfg: QuantModelConfig,
+                            qstate: Mapping, static, plan,
+                            int_params: Dict, *,
+                            backend: str = "pallas",
+                            engine_dtype=jnp.float32,
+                            interpret: bool = False,
+                            gelu_impl: str = "tanh") -> Dict:
+    """Inference forward through the full-handoff int8 engine
+    (models/bert.py:bert_engine_apply for the shape of this)."""
+    from transformer_quantization_tpu.ops import engine as ENG
+
+    ctx = B.make_ctx(qcfg, qstate, QuantMode(), int_params=int_params)
+    input_ids, _, position_ids, _ = B.prepare_inputs(batch)
+    token_type_ids = jnp.zeros_like(input_ids)
+    h = B._embeddings(ctx, params, cfg, input_ids, token_type_ids,
+                      position_ids, False, None)
+    attention_mask = batch.get("attention_mask")
+    if attention_mask is None:
+        bias_vec = jnp.zeros(input_ids.shape, jnp.float32)
+    else:
+        bias_vec = (1.0 - attention_mask.astype(jnp.float32)) * -10000.0
+    h = ENG.encoder_engine(h, bias_vec, static, plan, backend=backend,
+                           out_dtype=engine_dtype, interpret=interpret,
+                           gelu_impl=gelu_impl)
+    h = h.astype(jnp.float32)
+    h_site = f"L{cfg.num_hidden_layers - 1}.ffn.ln.out"
+    c = params["classifier"]
+    x = quant_linear(ctx, "clf.pre", h[:, 0], c["pre"]["kernel"],
+                     c["pre"]["bias"], activation="relu",
+                     input_site=h_site)
+    logits = quant_linear(ctx, "clf.out", x, c["out"]["kernel"],
+                          c["out"]["bias"], input_site="clf.pre.out")
+    outputs = {"logits": logits, "sequence_output": h}
+    labels = batch.get("labels")
+    if labels is not None:
+        if cfg.num_labels == 1:
+            outputs["loss"] = jnp.mean(
+                (logits.reshape(-1) - labels.reshape(-1).astype(jnp.float32))
+                ** 2)
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                                       axis=1)
+            outputs["loss"] = jnp.mean(nll)
+    return outputs
+
+
 def family():
     from transformer_quantization_tpu.models.registry import ModelFamily
 
@@ -201,6 +273,8 @@ def family():
         weight_site_tensors=distilbert_weight_site_tensors,
         adaround_specs=distilbert_adaround_specs,
         build_int_params=build_distilbert_int_params,
+        build_engine=build_distilbert_engine,
+        engine_apply=distilbert_engine_apply,
         shared_perm_groups=B.shared_permutation_groups,
         load_checkpoint=load_checkpoint,
         config_presets={"distilbert_base_uncased": {}},
