@@ -159,3 +159,49 @@ def test_registry():
     fam, cfg, params = build_model("mobilebert_uncased", tiny=True)
     assert fam.name == "mobilebert"
     assert cfg.intra_bottleneck_size == 32
+
+
+@pytest.mark.parametrize("attn_case,cfg_kw", [
+    ("shared_kq", {}),
+    ("bottleneck", {"use_bottleneck_attention": True}),
+    # plain attention over the full hidden stream requires TH == H
+    # (HF constraint: q/k project from true_hidden_size)
+    ("plain", {"key_query_shared_bottleneck": False,
+               "intra_bottleneck_size": 32}),
+])
+def test_engine_parity(attn_case, cfg_kw):
+    """Full-handoff int8 engine == generic int path for every
+    bottleneck-attention topology (quantized_mobilebert.py:150-210)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, **cfg_kw)
+    params = M.init_mobilebert_params(jax.random.PRNGKey(7), cfg)
+    rng = np.random.RandomState(7)
+    batch = {"input_ids": jnp.asarray(
+                 rng.randint(0, cfg.vocab_size, (4, 16)), jnp.int32),
+             "attention_mask": jnp.asarray(
+                 (np.arange(16)[None, :] < rng.randint(8, 17, (4, 1))),
+                 jnp.float32)}
+    qcfg = M.declare_mobilebert_sites(sym_defaults(), cfg)
+    apply_fn = functools.partial(M.mobilebert_apply, cfg=cfg)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [batch],
+        weight_tensors=M.mobilebert_weight_site_tensors(params))
+    int_params = M.build_mobilebert_int_params(params, qcfg, qstate)
+    ref, _ = M.mobilebert_apply(params, batch, cfg, qcfg, qstate, mode,
+                                int_params=int_params)
+
+    static, plan, e_int = M.build_mobilebert_engine(params, cfg, qcfg,
+                                                    qstate)
+    assert static.attn_case == attn_case
+    out = M.mobilebert_engine_apply(params, batch, cfg, qcfg, qstate,
+                                    static, plan, e_int, backend="xla")
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-3, atol=2e-3)
+    out_pl = M.mobilebert_engine_apply(params, batch, cfg, qcfg, qstate,
+                                       static, plan, e_int,
+                                       backend="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(out_pl["logits"]),
+                               np.asarray(out["logits"]),
+                               rtol=1e-4, atol=1e-4)

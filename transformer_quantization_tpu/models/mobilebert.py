@@ -34,6 +34,7 @@ from typing import Dict, List, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from transformer_quantization_tpu.models import bert as B
 from transformer_quantization_tpu.ops.layers import (
@@ -697,6 +698,351 @@ def mobilebert_apply(params: Dict, batch: Mapping[str, Array],
 
 
 # ---------------------------------------------------------------------------
+# Full-handoff int8 inference engine (ops/engine.py kernels over the
+# inverted-bottleneck topology) — the fast serving path
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MobileBertEngineStatic:
+    """Hashable engine shape/flags for the MobileBERT topology."""
+
+    n_layers: int
+    n_heads: int
+    hidden: int        # true_hidden_size (bottleneck width)
+    n_ffn: int         # stacked FFNs before the final inter/out
+    attn_case: str     # 'bottleneck' | 'shared_kq' | 'plain'
+    hidden_act: str
+    # per layer: (res_attn_out, (res_ffn0, ...), res_out, res_out_bn)
+    res_quant: Tuple[Tuple, ...]
+    # per layer: w4 flag per matmul in plan order
+    w4: Tuple[Tuple[bool, ...], ...]
+    attn_skip_max: bool = False
+
+
+def _nonorm_plan(qcfg, qstate, norm_params: Mapping, wsite: str,
+                 res_site: Optional[str], out_site: str,
+                 r_site) -> Tuple[Dict, bool]:
+    """gamma_q/beta_q (shared concat(w,b) grid, ops/layers.py
+    quant_nonorm) + the (1, 8) scalar row for the fused matmul+norm
+    kernels. ``r_site``: (s, shift) of the residual payload or None."""
+    from transformer_quantization_tpu.ops import engine as ENG
+    from transformer_quantization_tpu.quant import quantizers as Q
+
+    gamma = norm_params["weight"].astype(jnp.float32)
+    beta = norm_params["bias"].astype(jnp.float32)
+    if wsite in qcfg and qcfg[wsite].enabled:
+        c = qcfg[wsite]
+        ENG._require(wsite in qstate, f"{wsite!r} not calibrated")
+        wb = Q.fake_quant(c.spec, qstate[wsite]["qp"],
+                          jnp.concatenate([gamma, beta]),
+                          axis=0 if c.per_channel else None)
+        gamma, beta = jnp.split(wb, 2)
+    res_quant = res_site is not None and ENG._act_enabled(qcfg, res_site)
+    if res_quant:
+        res_s, res_sh = ENG.act_site_scalars(qcfg, qstate, res_site)
+    else:
+        res_s, res_sh = jnp.ones(()), jnp.zeros(())
+    n_s, n_sh = ENG.act_site_scalars(qcfg, qstate, out_site)
+    r_s, r_sh = r_site if r_site is not None else (jnp.ones(()),
+                                                  jnp.zeros(()))
+    return {
+        "gb": jnp.stack([gamma, beta]),
+        "scal": jnp.stack([jnp.ones(()), jnp.zeros(()), r_s, r_sh,
+                           res_s, res_sh, n_s, n_sh]).reshape(1, 8),
+    }, res_quant
+
+
+def build_mobilebert_engine(params: Dict, cfg: MobileBertConfig,
+                            qcfg: QuantModelConfig, qstate: Mapping,
+                            int_params: Optional[Dict] = None,
+                            use_int4: bool = False):
+    """Assemble the full-handoff engine plan for a calibrated MobileBERT.
+
+    Every edge of the inverted-bottleneck layer rides int8 payloads:
+    bottleneck-in/attention matmuls fuse their NoNorm consumer
+    (reduction-free — even cheaper than the BERT add+LN epilogue), q|k
+    is one fused matmul over the shared bottleneck, v its own, and every
+    residual-feeding matmul (attn_out, stacked-FFN dense, out.dense,
+    out.bn.dense) runs add + res-quant + NoNorm + requant in its
+    epilogue. Raises EngineIncompatible for configs off this path
+    (callers fall back to mobilebert_apply with int_params).
+    """
+    from transformer_quantization_tpu.ops import engine as ENG
+
+    ENG._require(cfg.use_bottleneck,
+                 "mobilebert engine requires use_bottleneck")
+    if int_params is None:
+        int_params = build_mobilebert_int_params(params, qcfg, qstate,
+                                                 use_int4=use_int4)
+    if cfg.use_bottleneck_attention:
+        attn_case = "bottleneck"
+    elif cfg.key_query_shared_bottleneck:
+        attn_case = "shared_kq"
+    else:
+        attn_case = "plain"
+
+    site = lambda name: ENG.act_site_scalars(qcfg, qstate, name)  # noqa
+    layers = []
+    res_flags = []
+    w4_flags = []
+    for i, lp in enumerate(params["layers"]):
+        p = f"L{i}."
+        in_site = "emb.norm.out" if i == 0 else f"L{i - 1}.out.bn.norm.out"
+        h_scal = site(in_site)
+        w4s = []
+
+        def mm(names, biases, in_scal, outs):
+            plan, w4 = ENG._mm_plan(int_params, names, biases, in_scal,
+                                    outs)
+            w4s.append(w4)
+            return plan
+
+        bn = lp["bottleneck"]
+        bn_in = mm([p + "bn.in.dense"], [bn["input"]["dense"]["bias"]],
+                   h_scal, [site(p + "bn.in.dense.out")])
+        bn_in_norm, _ = _nonorm_plan(qcfg, qstate, bn["input"]["norm"],
+                                     p + "bn.in.norm.w", None,
+                                     p + "bn.in.norm.out", None)
+        li_scal = site(p + "bn.in.norm.out")
+
+        bn_attn = bn_attn_norm = None
+        if attn_case == "bottleneck":
+            qk_scal, v_scal = li_scal, li_scal
+        elif attn_case == "shared_kq":
+            ba = bn["attention"]
+            bn_attn = mm([p + "bn.attn.dense"], [ba["dense"]["bias"]],
+                         h_scal, [site(p + "bn.attn.dense.out")])
+            bn_attn_norm, _ = _nonorm_plan(qcfg, qstate, ba["norm"],
+                                           p + "bn.attn.norm.w", None,
+                                           p + "bn.attn.norm.out", None)
+            qk_scal, v_scal = site(p + "bn.attn.norm.out"), h_scal
+        else:
+            qk_scal, v_scal = h_scal, h_scal
+
+        a = lp["attn"]
+        qk = mm([p + "attn.q", p + "attn.k"],
+                [a["q"]["bias"], a["k"]["bias"]], qk_scal,
+                [site(p + "attn.q.out"), site(p + "attn.k.out")])
+        v = mm([p + "attn.v"], [a["v"]["bias"]], v_scal,
+               [site(p + "attn.v.out")])
+        attn_scal = jnp.concatenate(
+            [jnp.stack(site(p + s)) for s in
+             ("attn.q.out", "attn.k.out", "attn.v.out",
+              "attn.scores", "attn.probs", "attn.context")]).reshape(1, 12)
+
+        so = lp["attn_out"]
+        attn_out = mm([p + "attn_out.dense"], [so["dense"]["bias"]],
+                      site(p + "attn.context"),
+                      [site(p + "attn_out.dense.out")])
+        attn_out_norm, res_ao = _nonorm_plan(
+            qcfg, qstate, so["norm"], p + "attn_out.norm.w",
+            p + "attn_out.res", p + "attn_out.norm.out", li_scal)
+
+        x_site = p + "attn_out.norm.out"
+        ffns = []
+        res_ffn = []
+        for j, f in enumerate(lp["ffn"]):
+            inter = mm([p + f"ffn{j}.inter"], [f["inter"]["bias"]],
+                       site(x_site), [site(p + f"ffn{j}.inter.out")])
+            dense = mm([p + f"ffn{j}.dense"], [f["dense"]["bias"]],
+                       site(p + f"ffn{j}.inter.out"),
+                       [site(p + f"ffn{j}.dense.out")])
+            norm, rq = _nonorm_plan(qcfg, qstate, f["norm"],
+                                    p + f"ffn{j}.norm.w", p + f"ffn{j}.res",
+                                    p + f"ffn{j}.norm.out", site(x_site))
+            ffns.append({"inter": inter, "dense": dense, "norm": norm})
+            res_ffn.append(rq)
+            x_site = p + f"ffn{j}.norm.out"
+
+        o = lp["out"]
+        inter = mm([p + "ffn.inter"], [lp["inter"]["bias"]], site(x_site),
+                   [site(p + "ffn.inter.out")])
+        out_d = mm([p + "out.dense"], [o["dense"]["bias"]],
+                   site(p + "ffn.inter.out"), [site(p + "out.dense.out")])
+        out_norm, res_out = _nonorm_plan(
+            qcfg, qstate, o["norm"], p + "out.norm.w", p + "out.res",
+            p + "out.norm.out", site(x_site))
+        out_bn = mm([p + "out.bn.dense"], [o["bn_dense"]["bias"]],
+                    site(p + "out.norm.out"),
+                    [site(p + "out.bn.dense.out")])
+        out_bn_norm, res_obn = _nonorm_plan(
+            qcfg, qstate, o["bn_norm"], p + "out.bn.norm.w",
+            p + "out.bn.res", p + "out.bn.norm.out", h_scal)
+
+        layers.append({
+            "bn_in": bn_in, "bn_in_norm": bn_in_norm,
+            "bn_attn": bn_attn, "bn_attn_norm": bn_attn_norm,
+            "qk": qk, "v": v, "attn_scal": attn_scal,
+            "attn_out": attn_out, "attn_out_norm": attn_out_norm,
+            "ffns": ffns, "inter": inter,
+            "out": out_d, "out_norm": out_norm,
+            "out_bn": out_bn, "out_bn_norm": out_bn_norm,
+        })
+        res_flags.append((res_ao, tuple(res_ffn), res_out, res_obn))
+        w4_flags.append(tuple(w4s))
+
+    entry_scal = jnp.stack(site("emb.norm.out")).reshape(1, 2)
+    skip_max = False
+    try:
+        worst = max(float(lp_["attn_scal"][0, 6]) for lp_ in layers)
+        bound = (256.0 * worst / float(np.sqrt(cfg.head_dim))
+                 * float(np.log2(np.e)))
+        skip_max = bound < 100.0
+    except Exception:
+        skip_max = False
+    static = MobileBertEngineStatic(
+        n_layers=cfg.num_hidden_layers, n_heads=cfg.num_attention_heads,
+        hidden=cfg.true_hidden_size, n_ffn=cfg.num_stacked_ffn,
+        attn_case=attn_case, hidden_act=cfg.hidden_act,
+        res_quant=tuple(res_flags), w4=tuple(w4_flags),
+        attn_skip_max=skip_max)
+    return static, {"layers": layers, "entry_scal": entry_scal}, int_params
+
+
+def mobilebert_encoder_engine(h: Array, mask_bias: Array,
+                              static: MobileBertEngineStatic, plan: Dict, *,
+                              backend: str = "pallas",
+                              out_dtype=jnp.float32,
+                              interpret: bool = False) -> Array:
+    """Run the MobileBERT encoder stack on int8 payloads."""
+    from transformer_quantization_tpu.ops import engine as ENG
+    from transformer_quantization_tpu.ops.pallas import engine_kernels as EK
+
+    b, t, hdim = h.shape
+    mm_be, attn_be, ln_be = ENG.parse_backend(backend)
+    act = static.hidden_act
+    es = plan["entry_scal"]
+    h8 = EK.quantize_payload(h.reshape(b * t, hdim).astype(jnp.float32),
+                             es[0, 0], es[0, 1])
+
+    def mm(x8, mp, w4, activation=None):
+        if mm_be == "pallas":
+            return EK.int8_matmul(x8, mp["w"], mp["vecs"], mp["scal"],
+                                  activation=activation, out_mode="emit",
+                                  interpret=interpret, w4=w4)
+        return EK.int8_matmul_ref(x8, mp["w"], mp["vecs"], mp["scal"],
+                                  activation=activation, out_mode="emit",
+                                  w4=w4)
+
+    def mm_norm(x8, mp, np_, w4):
+        if mm_be == "pallas":
+            return EK.int8_matmul_norm(x8, mp["w"], mp["vecs"], mp["scal"],
+                                       np_["gb"], np_["scal"], eps=0.0,
+                                       res_quant=False, norm="nonorm",
+                                       interpret=interpret, w4=w4)
+        return EK.int8_matmul_norm_ref(x8, mp["w"], mp["vecs"], mp["scal"],
+                                       np_["gb"], np_["scal"], eps=0.0,
+                                       res_quant=False, norm="nonorm",
+                                       w4=w4)
+
+    def mm_add_norm(x8, mp, r8, np_, res_quant, w4):
+        if mm_be == "pallas":
+            return EK.int8_matmul_add_ln(
+                x8, mp["w"], mp["vecs"], mp["scal"], r8, np_["gb"],
+                np_["scal"], eps=0.0, res_quant=res_quant, norm="nonorm",
+                interpret=interpret, w4=w4)
+        return EK.int8_matmul_add_ln_ref(
+            x8, mp["w"], mp["vecs"], mp["scal"], r8, np_["gb"],
+            np_["scal"], eps=0.0, res_quant=res_quant, norm="nonorm",
+            w4=w4)
+
+    for i, lp in enumerate(plan["layers"]):
+        res_ao, res_ffn, res_out, res_obn = static.res_quant[i]
+        w4s = list(static.w4[i])
+        w4 = lambda: w4s.pop(0)  # noqa: E731 — plan order
+
+        li8 = mm_norm(h8, lp["bn_in"], lp["bn_in_norm"], w4())
+        if static.attn_case == "bottleneck":
+            qk_in, v_in = li8, li8
+        elif static.attn_case == "shared_kq":
+            sh8 = mm_norm(h8, lp["bn_attn"], lp["bn_attn_norm"], w4())
+            qk_in, v_in = sh8, h8
+        else:
+            qk_in, v_in = h8, h8
+
+        qk8 = mm(qk_in, lp["qk"], w4())       # (M, 2*hidden): [q | k]
+        v8 = mm(v_in, lp["v"], w4())          # (M, hidden)
+        if attn_be == "pallas":
+            c8 = EK.int8_attention_qkv(
+                qk8, qk8, v8, mask_bias, lp["attn_scal"],
+                n_heads=static.n_heads, seq=t, hidden=static.hidden,
+                cols=(0, 1, 0), skip_max=static.attn_skip_max,
+                interpret=interpret)
+        else:
+            c8 = EK.int8_attention_qkv_ref(
+                qk8, qk8, v8, mask_bias, lp["attn_scal"],
+                n_heads=static.n_heads, seq=t, hidden=static.hidden,
+                cols=(0, 1, 0), skip_max=static.attn_skip_max)
+
+        x8 = mm_add_norm(c8, lp["attn_out"], li8, lp["attn_out_norm"],
+                         res_ao, w4())
+        for j, f in enumerate(lp["ffns"]):
+            i8 = mm(x8, f["inter"], w4(), activation=act)
+            x8 = mm_add_norm(i8, f["dense"], x8, f["norm"], res_ffn[j],
+                             w4())
+        i8 = mm(x8, lp["inter"], w4(), activation=act)
+        y8 = mm_add_norm(i8, lp["out"], x8, lp["out_norm"], res_out, w4())
+        h8 = mm_add_norm(y8, lp["out_bn"], h8, lp["out_bn_norm"], res_obn,
+                         w4())
+
+    ls = plan["layers"][-1]["out_bn_norm"]["scal"]
+    hf = EK.dequantize_payload(h8, ls[0, 6], ls[0, 7]).astype(out_dtype)
+    return hf.reshape(b, t, hdim)
+
+
+def mobilebert_engine_apply(params: Dict, batch: Mapping[str, Array],
+                            cfg: MobileBertConfig, qcfg: QuantModelConfig,
+                            qstate: Mapping, static, plan,
+                            int_params: Dict, *,
+                            backend: str = "pallas",
+                            engine_dtype=jnp.float32,
+                            interpret: bool = False,
+                            gelu_impl: str = "tanh") -> Dict:
+    """Inference forward through the full-handoff int8 engine
+    (models/bert.py:bert_engine_apply for the shape of this)."""
+    ctx = B.make_ctx(qcfg, qstate, QuantMode(), int_params=int_params)
+    input_ids, token_type_ids, position_ids, _ = B.prepare_inputs(batch)
+    h = _embeddings(ctx, params, cfg, input_ids, token_type_ids,
+                    position_ids, False, None)
+    attention_mask = batch.get("attention_mask")
+    if attention_mask is None:
+        bias_vec = jnp.zeros(input_ids.shape, jnp.float32)
+    else:
+        bias_vec = (1.0 - attention_mask.astype(jnp.float32)) * -10000.0
+    h = mobilebert_encoder_engine(h, bias_vec, static, plan,
+                                  backend=backend, out_dtype=engine_dtype,
+                                  interpret=interpret)
+    h = h.astype(jnp.float32)
+    h_site = f"L{cfg.num_hidden_layers - 1}.out.bn.norm.out"
+    pooled = h[:, 0]
+    clf_site = h_site
+    if cfg.classifier_activation:
+        pooled = quant_linear(ctx, "pooler.dense", pooled,
+                              params["pooler"]["kernel"],
+                              params["pooler"]["bias"], activation="tanh",
+                              input_site=h_site)
+        clf_site = "pooler.dense.out"
+    logits = quant_linear(ctx, "classifier", pooled,
+                          params["classifier"]["kernel"],
+                          params["classifier"]["bias"],
+                          input_site=clf_site)
+    outputs = {"logits": logits, "pooled": pooled, "sequence_output": h}
+    labels = batch.get("labels")
+    if labels is not None:
+        if cfg.num_labels == 1:
+            outputs["loss"] = jnp.mean(
+                (logits.reshape(-1) - labels.reshape(-1).astype(jnp.float32))
+                ** 2)
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
+                                       axis=1)
+            outputs["loss"] = jnp.mean(nll)
+    return outputs
+
+
+# ---------------------------------------------------------------------------
 # Registry entry
 # ---------------------------------------------------------------------------
 
@@ -726,6 +1072,8 @@ def family():
         weight_site_tensors=mobilebert_weight_site_tensors,
         adaround_specs=mobilebert_adaround_specs,
         build_int_params=build_mobilebert_int_params,
+        build_engine=build_mobilebert_engine,
+        engine_apply=mobilebert_engine_apply,
         shared_perm_groups=None,
         load_checkpoint=load_checkpoint,
         config_presets={"mobilebert_uncased": {}},

@@ -323,24 +323,14 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
         ).astype(jnp.int8)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_heads", "seq", "batch_block", "skip_max",
-                     "interpret"))
-def int8_attention(qkv8: Array, mask_bias: Array, scalars: Array, *,
-                   n_heads: int, seq: int,
-                   batch_block: Optional[int] = None,
-                   skip_max: bool = False,
-                   interpret: bool = False) -> Array:
-    """Fused attention over the fused-QKV payload.
-
-    ``qkv8``: (B*T, 3*H) int8 — columns [q | k | v], head-minor inside
-    each third. ``mask_bias``: (B, T) f32 additive mask (-10000 on pads).
-    ``scalars``: (1, 12) f32 site params (see :func:`_attn_kernel`).
-    Returns the (B*T, H) int8 payload of the context site.
-    """
-    mt, h3 = qkv8.shape
-    h = h3 // 3
+def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
+                    mask_bias: Array, scalars: Array, *, n_heads: int,
+                    seq: int, hidden: int, batch_block: Optional[int],
+                    skip_max: bool, interpret: bool) -> Array:
+    """Shared pallas_call builder: each of q/k/v is an (M, n*hidden)
+    array; ``cols`` picks the hidden-wide block column per input."""
+    mt = q_arr.shape[0]
+    h = hidden
     d = h // n_heads
     b = mt // seq
     # batch sub-blocks per grid cell trade Mosaic per-cell overhead
@@ -356,14 +346,14 @@ def int8_attention(qkv8: Array, mask_bias: Array, scalars: Array, *,
     kernel = functools.partial(_attn_kernel, n_batch=bb, n_heads=n_heads,
                                seq=seq, head_dim=d, skip_max=skip_max)
     grid = (b // bb,)
-    spec = lambda third: pl.BlockSpec(  # noqa: E731
-        (bb * seq, h), lambda i, third=third: (i, third),
+    spec = lambda col: pl.BlockSpec(  # noqa: E731
+        (bb * seq, h), lambda i, col=col: (i, col),
         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            spec(0), spec(1), spec(2),
+            spec(cols[0]), spec(cols[1]), spec(cols[2]),
             pl.BlockSpec((b, seq), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 12), lambda i: (0, 0),
@@ -380,7 +370,52 @@ def int8_attention(qkv8: Array, mask_bias: Array, scalars: Array, *,
         compiler_params=(None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT)),
         interpret=interpret,
-    )(qkv8, qkv8, qkv8, mask_bias, scalars)
+    )(q_arr, k_arr, v_arr, mask_bias, scalars)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "seq", "batch_block", "skip_max",
+                     "interpret"))
+def int8_attention(qkv8: Array, mask_bias: Array, scalars: Array, *,
+                   n_heads: int, seq: int,
+                   batch_block: Optional[int] = None,
+                   skip_max: bool = False,
+                   interpret: bool = False) -> Array:
+    """Fused attention over the fused-QKV payload.
+
+    ``qkv8``: (B*T, 3*H) int8 — columns [q | k | v], head-minor inside
+    each third. ``mask_bias``: (B, T) f32 additive mask (-10000 on pads).
+    ``scalars``: (1, 12) f32 site params (see :func:`_attn_kernel`).
+    Returns the (B*T, H) int8 payload of the context site.
+    """
+    h = qkv8.shape[1] // 3
+    return _attention_call(qkv8, qkv8, qkv8, (0, 1, 2), mask_bias, scalars,
+                           n_heads=n_heads, seq=seq, hidden=h,
+                           batch_block=batch_block, skip_max=skip_max,
+                           interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "seq", "hidden", "cols", "batch_block",
+                     "skip_max", "interpret"))
+def int8_attention_qkv(q_arr: Array, k_arr: Array, v_arr: Array,
+                       mask_bias: Array, scalars: Array, *, n_heads: int,
+                       seq: int, hidden: int,
+                       cols: Tuple[int, int, int] = (0, 0, 0),
+                       batch_block: Optional[int] = None,
+                       skip_max: bool = False,
+                       interpret: bool = False) -> Array:
+    """Attention over SEPARATE q/k/v payload arrays (MobileBERT: q and k
+    come from a fused [q|k] matmul over the shared bottleneck while v is
+    its own matmul). ``cols[i]`` selects the ``hidden``-wide block column
+    inside each input — a fused producer's halves are addressed without
+    any slicing copies."""
+    return _attention_call(q_arr, k_arr, v_arr, cols, mask_bias, scalars,
+                           n_heads=n_heads, seq=seq, hidden=hidden,
+                           batch_block=batch_block, skip_max=skip_max,
+                           interpret=interpret)
 
 
 def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
@@ -428,28 +463,46 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
                     -128.0, 127.0).astype(jnp.int8).reshape(mt, h)
 
 
+def int8_attention_qkv_ref(q_arr, k_arr, v_arr, mask_bias, scalars, *,
+                           n_heads, seq, hidden, cols=(0, 0, 0),
+                           skip_max=False):
+    """jnp oracle / XLA backend for :func:`int8_attention_qkv`."""
+    h = hidden
+    q = q_arr[:, cols[0] * h:(cols[0] + 1) * h]
+    k = k_arr[:, cols[1] * h:(cols[1] + 1) * h]
+    v = v_arr[:, cols[2] * h:(cols[2] + 1) * h]
+    return int8_attention_ref(jnp.concatenate([q, k, v], axis=1),
+                              mask_bias, scalars, n_heads=n_heads, seq=seq,
+                              skip_max=skip_max)
+
+
 # ---------------------------------------------------------------------------
 # Kernel 3: fused residual add + res-site quant + LayerNorm + ln-site quant
 # ---------------------------------------------------------------------------
 
 
-def _ln_body(x, gb_ref, smem_ref, *, eps, res_quant):
-    """res-site fake-quant -> LayerNorm -> ln-site quant levels.
+def _ln_body(x, gb_ref, smem_ref, *, eps, res_quant, norm="layernorm"):
+    """res-site fake-quant -> LayerNorm/NoNorm -> norm-site quant levels.
 
     smem layout (1, 8): [y_s, y_sh, r_s, r_sh, res_s, res_sh, ln_s, ln_sh]
     (the first four are input-payload params, used by the payload kernel
-    only).
+    only). ``norm='nonorm'`` is MobileBERT's reduction-free affine
+    (ops/layers.py quant_nonorm): z = x * gamma_q + beta_q.
     """
     if res_quant:
         x = fakequant_f32(x, smem_ref[0, 4], smem_ref[0, 5])
-    # one-pass stats: E[x^2] - mean^2 runs both row reductions over the
-    # same tile read instead of serializing mean -> center -> var passes.
-    # Cancellation is benign here (LN inputs are O(1)-scale residuals;
-    # the max(., 0) guards the pathological case).
-    mean = jnp.mean(x, axis=1, keepdims=True)
-    ms = jnp.mean(x * x, axis=1, keepdims=True)
-    var = jnp.maximum(ms - mean * mean, 0.0)
-    z = (x - mean) * jax.lax.rsqrt(var + eps) * gb_ref[0, :] + gb_ref[1, :]
+    if norm == "nonorm":
+        z = x * gb_ref[0, :] + gb_ref[1, :]
+    else:
+        # one-pass stats: E[x^2] - mean^2 runs both row reductions over
+        # the same tile read instead of serializing mean -> center -> var
+        # passes. Cancellation is benign here (LN inputs are O(1)-scale
+        # residuals; the max(., 0) guards the pathological case).
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        ms = jnp.mean(x * x, axis=1, keepdims=True)
+        var = jnp.maximum(ms - mean * mean, 0.0)
+        z = ((x - mean) * jax.lax.rsqrt(var + eps) * gb_ref[0, :]
+             + gb_ref[1, :])
     s_l, sh_l = smem_ref[0, 6], smem_ref[0, 7]
     return jnp.clip(jnp.round(z * (1.0 / s_l)) - sh_l, -128.0, 127.0), s_l, sh_l
 
@@ -581,17 +634,18 @@ def fused_add_ln_payload(y8: Array, r8: Array, gb: Array, scalars: Array, *,
 # ---------------------------------------------------------------------------
 
 
-def _mm_add_ln_kernel(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
-                      ln_smem_ref, out_ref, *, eps, res_quant, w4):
-    """Residual-feeding matmul with the whole add+LN epilogue fused.
+def _mm_norm_core(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
+                  ln_smem_ref, out_ref, *, eps, res_quant, w4, norm):
+    """Residual-feeding matmul with the whole add+norm epilogue fused.
 
     Matmul part == :func:`_mm_kernel` with ``out_mode='fold'`` (the fold
     site's fake-quant, bit-identical to emit-payload -> dequantize-in-LN
-    of the separate two-kernel path), then residual add from the int8
-    residual payload, res-site fake-quant, LayerNorm, ln-site quantize —
-    the intermediate y payload never touches HBM and the LN pass's read
-    of it disappears (measured 4.17 ms/step across 24 separate add+LN
-    launches at B=128, S=128).
+    of the separate two-kernel path), then optional residual add from the
+    int8 residual payload (``r_ref`` None when the op has no residual,
+    e.g. MobileBERT bottleneck-in), res-site fake-quant, LayerNorm or
+    NoNorm, norm-site quantize — the intermediate y payload never touches
+    HBM and the norm pass's read of it disappears (measured 4.17 ms/step
+    across 24 separate add+LN launches at B=128, S=128).
     """
     in_s = smem_ref[0, 0]
     in_shift = smem_ref[0, 1]
@@ -614,24 +668,43 @@ def _mm_add_ln_kernel(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
     acc = acc.astype(jnp.float32)
     y = (in_s * vec_ref[0, :]) * (acc + in_shift * vec_ref[1, :])
     y = y + vec_ref[2, :]
-    # fold-site fake-quant (the attn_out.dense.out / ffn.dense.out site)
+    # fold-site fake-quant (the producing matmul's .out site)
     r = jnp.clip(jnp.round(y * (1.0 / vec_ref[3, :])) - vec_ref[4, :],
                  -128.0, 127.0)
     y = vec_ref[3, :] * (r + vec_ref[4, :])
-    r_s, r_sh = ln_smem_ref[0, 2], ln_smem_ref[0, 3]
-    x = y + r_s * (r_ref[:].astype(jnp.float32) + r_sh)
-    q, _, _ = _ln_body(x, gb_ref, ln_smem_ref, eps=eps, res_quant=res_quant)
+    if r_ref is not None:
+        r_s, r_sh = ln_smem_ref[0, 2], ln_smem_ref[0, 3]
+        y = y + r_s * (r_ref[:].astype(jnp.float32) + r_sh)
+    q, _, _ = _ln_body(y, gb_ref, ln_smem_ref, eps=eps,
+                       res_quant=res_quant, norm=norm)
     out_ref[:] = q.astype(jnp.int8)
+
+
+def _mm_add_ln_kernel(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
+                      ln_smem_ref, out_ref, *, eps, res_quant, w4,
+                      norm="layernorm"):
+    _mm_norm_core(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
+                  ln_smem_ref, out_ref, eps=eps, res_quant=res_quant,
+                  w4=w4, norm=norm)
+
+
+def _mm_norm_kernel(x_ref, w_ref, vec_ref, smem_ref, gb_ref, ln_smem_ref,
+                    out_ref, *, eps, res_quant, w4, norm):
+    _mm_norm_core(x_ref, w_ref, vec_ref, smem_ref, None, gb_ref,
+                  ln_smem_ref, out_ref, eps=eps, res_quant=res_quant,
+                  w4=w4, norm=norm)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "res_quant", "block_m", "interpret", "w4"))
+    static_argnames=("eps", "res_quant", "block_m", "interpret", "w4",
+                     "norm"))
 def int8_matmul_add_ln(x8: Array, w8: Array, vecs: Array, scalars: Array,
                        r8: Array, gb: Array, ln_scalars: Array, *,
                        eps: float, res_quant: bool = True,
                        block_m: Optional[int] = None,
-                       interpret: bool = False, w4: bool = False) -> Array:
+                       interpret: bool = False, w4: bool = False,
+                       norm: str = "layernorm") -> Array:
     """Fused (payload matmul -> fold-site fake-quant -> +residual payload
     -> res-site fake-quant -> LayerNorm -> ln-site payload).
 
@@ -647,7 +720,7 @@ def int8_matmul_add_ln(x8: Array, w8: Array, vecs: Array, scalars: Array,
     n = w8.shape[0]
     bm = _pick_block_m(m, k + 2 * n + 64, block_m)
     kernel = functools.partial(_mm_add_ln_kernel, eps=eps,
-                               res_quant=res_quant, w4=w4)
+                               res_quant=res_quant, w4=w4, norm=norm)
     return pl.pallas_call(
         kernel,
         grid=(m // bm,),
@@ -677,24 +750,82 @@ def int8_matmul_add_ln(x8: Array, w8: Array, vecs: Array, scalars: Array,
 
 
 def int8_matmul_add_ln_ref(x8, w8, vecs, scalars, r8, gb, ln_scalars, *,
-                           eps, res_quant=True, w4=False):
-    """jnp oracle / XLA-composed backend for :func:`int8_matmul_add_ln`."""
+                           eps, res_quant=True, w4=False,
+                           norm="layernorm"):
+    """jnp oracle / XLA-composed backend for :func:`int8_matmul_add_ln`.
+    ``r8`` None == no residual (the :func:`int8_matmul_norm` form)."""
     y = int8_matmul_ref(x8, w8, vecs, scalars, activation=None,
                         out_mode="fold", w4=w4)
     s = ln_scalars[0]
-    x = y + s[2] * (r8.astype(jnp.float32) + s[3])
-    q = _ln_ref_body(x, gb, s, eps=eps, res_quant=res_quant)
+    if r8 is not None:
+        y = y + s[2] * (r8.astype(jnp.float32) + s[3])
+    q = _ln_ref_body(y, gb, s, eps=eps, res_quant=res_quant, norm=norm)
     return q.astype(jnp.int8)
 
 
-def _ln_ref_body(x, gb, s, *, eps, res_quant):
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "res_quant", "block_m", "interpret", "w4",
+                     "norm"))
+def int8_matmul_norm(x8: Array, w8: Array, vecs: Array, scalars: Array,
+                     gb: Array, ln_scalars: Array, *, eps: float,
+                     res_quant: bool = False,
+                     block_m: Optional[int] = None,
+                     interpret: bool = False, w4: bool = False,
+                     norm: str = "nonorm") -> Array:
+    """No-residual variant of :func:`int8_matmul_add_ln` — payload matmul
+    -> fold-site fake-quant -> LayerNorm/NoNorm -> norm-site payload
+    (MobileBERT's bottleneck-in / bottleneck-attention branches)."""
+    m, k = x8.shape
+    n = w8.shape[0]
+    bm = _pick_block_m(m, k + n + 64, block_m)
+    kernel = functools.partial(_mm_norm_kernel, eps=eps,
+                               res_quant=res_quant, w4=w4, norm=norm)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w8.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k + 12 * m * n,
+            bytes_accessed=m * k + n * k + m * n,
+            transcendentals=m if norm == "layernorm" else 0),
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)),
+        interpret=interpret,
+    )(x8, w8, vecs, scalars, gb, ln_scalars)
+
+
+def int8_matmul_norm_ref(x8, w8, vecs, scalars, gb, ln_scalars, *, eps,
+                         res_quant=False, w4=False, norm="nonorm"):
+    """jnp oracle / XLA backend for :func:`int8_matmul_norm`."""
+    return int8_matmul_add_ln_ref(x8, w8, vecs, scalars, None, gb,
+                                  ln_scalars, eps=eps, res_quant=res_quant,
+                                  w4=w4, norm=norm)
+
+
+def _ln_ref_body(x, gb, s, *, eps, res_quant, norm="layernorm"):
     if res_quant:
         x = fakequant_f32(x, s[4], s[5])
-    # mirrors _ln_body's one-pass stats op-for-op (bit-equal in tests)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    ms = jnp.mean(x * x, axis=-1, keepdims=True)
-    var = jnp.maximum(ms - mean * mean, 0.0)
-    z = (x - mean) * jax.lax.rsqrt(var + eps) * gb[0] + gb[1]
+    if norm == "nonorm":
+        z = x * gb[0] + gb[1]
+    else:
+        # mirrors _ln_body's one-pass stats op-for-op (bit-equal in tests)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        ms = jnp.mean(x * x, axis=-1, keepdims=True)
+        var = jnp.maximum(ms - mean * mean, 0.0)
+        z = (x - mean) * jax.lax.rsqrt(var + eps) * gb[0] + gb[1]
     return jnp.clip(jnp.round(z / s[6]) - s[7], -128.0, 127.0)
 
 
