@@ -201,3 +201,59 @@ def test_distilbert_engine_parity():
     np.testing.assert_allclose(np.asarray(out_pl["logits"]),
                                np.asarray(out["logits"]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_squeezebert_engine_parity():
+    """SqueezeBERT's grouped convs densify to block-diagonal kernels and
+    ride the shared BERT engine; off-block zeros quantize exactly (0 is
+    always on the symmetric grid), so the engine matches the grouped
+    fake-quant generic path."""
+    fam, cfg, params = build_model("squeezebert_uncased", tiny=True, seed=5)
+    rng = np.random.RandomState(5)
+    batch = {"input_ids": jnp.asarray(rng.randint(0, cfg.vocab_size, (4, 16)),
+                                      jnp.int32),
+             "attention_mask": jnp.asarray(
+                 (np.arange(16)[None, :] < rng.randint(8, 17, (4, 1))),
+                 jnp.float32)}
+    qcfg = fam.declare_sites(sym_defaults(), cfg)
+    apply_fn = functools.partial(fam.apply, cfg=cfg)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [batch],
+        weight_tensors=fam.weight_site_tensors(params))
+    int_params = fam.build_int_params(params, qcfg, qstate, False)
+    ref, _ = fam.apply(params, batch, cfg, qcfg, qstate, mode,
+                       int_params=int_params)
+
+    static, plan, e_int = fam.build_engine(params, cfg, qcfg, qstate)
+    out = fam.engine_apply(params, batch, cfg, qcfg, qstate, static, plan,
+                           e_int, backend="xla")
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-3, atol=2e-3)
+    out_pl = fam.engine_apply(params, batch, cfg, qcfg, qstate, static,
+                              plan, e_int, backend="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(out_pl["logits"]),
+                               np.asarray(out["logits"]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_squeezebert_blockdiag_densify_exact():
+    """Densified int8 grouped matmul == grouped fake-quant matmul
+    (the engine's exactness argument, checked directly)."""
+    from transformer_quantization_tpu.models import squeezebert as S
+    from transformer_quantization_tpu.ops import int_linear as IL
+    from transformer_quantization_tpu.quant import quantizers as Q
+
+    rng = np.random.RandomState(6)
+    g, out_f, in_f = 4, 16, 16
+    w = jnp.asarray(rng.normal(0, 0.2, (out_f, in_f // g)), jnp.float32)
+    wd = S._block_diag_kernel(w, g)
+    spec = Q.QuantizerSpec(method=Q.QMethod.symmetric_uniform, n_bits=8)
+    qp = Q.set_quant_range(spec, jnp.min(w, axis=1), jnp.max(w, axis=1))
+    packed = IL.pack_weight_int8(spec, qp, wd)
+    # every off-block int must be exactly zero
+    blocks = np.asarray(packed["w_int"]).reshape(g, out_f // g, in_f)
+    for j in range(g):
+        m = np.ones((out_f // g, in_f), bool)
+        m[:, j * (in_f // g):(j + 1) * (in_f // g)] = False
+        assert np.all(blocks[j][m] == 0)

@@ -290,6 +290,118 @@ def squeezebert_apply(params: Dict, batch: Mapping[str, Array],
     return outputs, ctx.export()
 
 
+# ---------------------------------------------------------------------------
+# Full-handoff int8 inference engine (ops/engine.py) — the fast serving path
+# ---------------------------------------------------------------------------
+
+
+def _group_counts(cfg: SqueezeBertConfig) -> Dict[str, int]:
+    return {
+        "attn.q": cfg.q_groups, "attn.k": cfg.k_groups,
+        "attn.v": cfg.v_groups,
+        "attn_out.dense": cfg.post_attention_groups,
+        "ffn.inter": cfg.intermediate_groups,
+        "ffn.dense": cfg.output_groups,
+    }
+
+
+def _block_diag_kernel(kernel: Array, groups: int,
+                       fill: float = 0.0) -> Array:
+    """Densify a grouped kernel (O, I/g) into the equivalent
+    block-diagonal dense kernel (O, I). ``fill`` sets the off-block
+    entries (0 for weights; -1 for AdaRound alphas so the hard rounding
+    ``floor(0/s) + (alpha >= 0)`` keeps the zeros exactly zero)."""
+    out_f, ig = kernel.shape
+    og = out_f // groups
+    blocks = kernel.reshape(groups, og, ig)
+    wd = jnp.full((out_f, ig * groups), fill, kernel.dtype)
+    for j in range(groups):
+        wd = wd.at[j * og:(j + 1) * og, j * ig:(j + 1) * ig].set(blocks[j])
+    return wd
+
+
+def _densify_for_engine(params: Dict, cfg: SqueezeBertConfig,
+                        qstate: Mapping) -> Tuple[Dict, Dict]:
+    """Block-diagonal dense view of the grouped encoder + a matching
+    qstate (AdaRound alphas densified with a hard round-down fill).
+
+    Exactness: weight packing is symmetric-only
+    (ops/int_linear.py:can_pack_weight), the range clamps guarantee
+    0 in [x_min, x_max], and ``round(0/s) == 0`` — so the off-block zeros
+    quantize to exactly 0 and the dense int8 matmul equals the grouped
+    fake-quant op bit-for-bit (modulo float-summation order). The 4x MXU
+    FLOP overhead of the zero blocks is cheap next to full kernel fusion
+    (int8 MXU runs at ~4x the VPU fake-quant path's effective rate).
+    """
+    group_of = _group_counts(cfg)
+    qstate2 = dict(qstate)
+    new_layers = []
+    for i, layer in enumerate(params["layers"]):
+        nl = {
+            "attn": {x: dict(layer["attn"][x]) for x in "qkv"},
+            "attn_out": {"dense": dict(layer["attn_out"]["dense"]),
+                         "ln": layer["attn_out"]["ln"]},
+            "ffn": {"inter": dict(layer["ffn"]["inter"]),
+                    "dense": dict(layer["ffn"]["dense"]),
+                    "ln": layer["ffn"]["ln"]},
+        }
+        for suffix, g in group_of.items():
+            if g <= 1:
+                continue
+            top, leaf = suffix.split(".")
+            slot = nl[top][leaf]
+            slot["kernel"] = _block_diag_kernel(slot["kernel"], g)
+            wsite = f"L{i}.{suffix}.w"
+            entry = qstate.get(wsite)
+            if entry is not None and entry.get("alpha") is not None:
+                qstate2[wsite] = dict(
+                    entry, alpha=_block_diag_kernel(entry["alpha"], g,
+                                                    fill=-1.0))
+        new_layers.append(nl)
+    return {**params, "layers": new_layers}, qstate2
+
+
+def build_squeezebert_engine(params: Dict, cfg: SqueezeBertConfig,
+                             qcfg: QuantModelConfig, qstate: Mapping,
+                             int_params: Optional[Dict] = None,
+                             use_int4: bool = False):
+    """Assemble the full-handoff engine plan for a calibrated SqueezeBERT.
+
+    The grouped convs densify to block-diagonal kernels (exact — see
+    :func:`_densify_for_engine`) and the encoder then rides the shared
+    BERT engine plan: SqueezeBERT's site inventory and layer pytree are
+    BERT-shaped by construction (declare_squeezebert_sites reuses
+    declare_encoder_sites)."""
+    dense_params, qstate2 = _densify_for_engine(params, cfg, qstate)
+    eng_int = B.build_bert_int_params(dense_params, qcfg, qstate2,
+                                      use_int4=use_int4)
+    static, plan, _ = B.build_bert_engine(dense_params, cfg, qcfg, qstate2,
+                                          int_params=eng_int,
+                                          use_int4=use_int4)
+    # the caller's generic-path int_params (embeddings/pooler/classifier
+    # are dense sites packed identically in both sets)
+    if int_params is None:
+        int_params = build_squeezebert_int_params(params, qcfg, qstate,
+                                                  use_int4=use_int4)
+    return static, plan, int_params
+
+
+def squeezebert_engine_apply(params: Dict, batch: Mapping[str, Array],
+                             cfg: SqueezeBertConfig,
+                             qcfg: QuantModelConfig, qstate: Mapping,
+                             static, plan, int_params: Dict, *,
+                             backend: str = "pallas",
+                             engine_dtype=jnp.float32,
+                             interpret: bool = False,
+                             gelu_impl: str = "tanh") -> Dict:
+    """Engine forward: embeddings/head via the generic site machinery,
+    encoder on int8 payloads (the plan holds the densified weights)."""
+    return B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                               plan, int_params, backend=backend,
+                               engine_dtype=engine_dtype,
+                               interpret=interpret, gelu_impl=gelu_impl)
+
+
 def family():
     from transformer_quantization_tpu.models.registry import ModelFamily
 
@@ -315,6 +427,8 @@ def family():
         weight_site_tensors=squeezebert_weight_site_tensors,
         adaround_specs=squeezebert_adaround_specs,
         build_int_params=build_squeezebert_int_params,
+        build_engine=build_squeezebert_engine,
+        engine_apply=squeezebert_engine_apply,
         shared_perm_groups=B.shared_permutation_groups,
         load_checkpoint=load_checkpoint,
         config_presets={"squeezebert_uncased": {}},
