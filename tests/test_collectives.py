@@ -1,10 +1,10 @@
 """Quantized collectives under shard_map on the virtual 8-device mesh."""
 
 import jax
+from jax import shard_map
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from transformer_quantization_tpu.parallel import collectives as C
@@ -35,7 +35,7 @@ def test_all_gather_int8_close_to_exact(mesh):
         return C.all_gather_int8(xs, "tp", axis=-1)
 
     got = jax.jit(shard_map(f, mesh=mesh, in_specs=P(None, "tp"),
-                            out_specs=P(None, None), check_rep=False))(x)
+                            out_specs=P(None, None), check_vma=False))(x)
     assert got.shape == x.shape
     # error bounded by per-row shard absmax / 127 / 2
     err = float(jnp.max(jnp.abs(got - x)))
@@ -55,7 +55,7 @@ def test_row_parallel_matmul_int8(mesh):
 
     got = jax.jit(shard_map(f, mesh=mesh, in_specs=(P(None, "tp"),
                                                     P(None, "tp")),
-                            out_specs=P(None, None), check_rep=False))(x, w)
+                            out_specs=P(None, None), check_vma=False))(x, w)
     # relative error small vs int8-compressed partials
     rel = float(jnp.max(jnp.abs(got - exact)) / jnp.max(jnp.abs(exact)))
     assert rel < 0.02, rel
@@ -69,7 +69,7 @@ def test_psum_scatter_int8(mesh):
         return C.psum_scatter_int8(xs, "tp", scatter_dimension=0)
 
     got = jax.jit(shard_map(f, mesh=mesh, in_specs=P(None, None),
-                            out_specs=P("tp", None), check_rep=False))(x)
+                            out_specs=P("tp", None), check_vma=False))(x)
     # every shard holds the same x here, so the reduction is 4*x scattered
     exact = 4.0 * x
     rel = float(jnp.max(jnp.abs(got - exact)) / jnp.max(jnp.abs(exact)))
@@ -92,7 +92,7 @@ def test_psum_scatter_int8_matches_lax_psum_scatter(mesh):
     ours, exact = jax.jit(shard_map(
         f, mesh=mesh, in_specs=P("tp", None, None),
         out_specs=(P("tp", None, None), P("tp", None, None)),
-        check_rep=False))(x)
+        check_vma=False))(x)
     assert ours.shape == exact.shape == (4, 2, 16)
     rel = float(jnp.max(jnp.abs(ours - exact)) / jnp.max(jnp.abs(exact)))
     # n-1 = 3 requantized hops; per-hop error ~absmax/254
@@ -113,7 +113,7 @@ def test_psum_scatter_int8_scatter_last_dim(mesh):
     ours, exact = jax.jit(shard_map(
         f, mesh=mesh, in_specs=P("tp", None, None),
         out_specs=(P("tp", None, None), P("tp", None, None)),
-        check_rep=False))(x)
+        check_vma=False))(x)
     assert ours.shape == exact.shape == (4, 8, 4)
     rel = float(jnp.max(jnp.abs(ours - exact)) / jnp.max(jnp.abs(exact)))
     assert rel < 0.05, rel

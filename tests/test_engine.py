@@ -219,3 +219,30 @@ def test_attention_skip_max_parity(tiny_setup):
                                n_heads=cfg.num_attention_heads, seq=t,
                                skip_max=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(k_skip), np.asarray(out_skip))
+
+
+def test_attention_grouped_dots_bit_equal(tiny_setup):
+    """The grouped block-diagonal MXU formulation (group>1) is
+    bit-identical to the per-head dots and to the jnp oracle — masks kill
+    the cross-head terms exactly and the f32 correction adds keep the
+    same association order."""
+    cfg, params, qcfg, qstate, static, plan, int_params, batch = tiny_setup
+    rng = np.random.RandomState(7)
+    b, t, h = 4, 16, cfg.hidden_size
+    qkv8 = jnp.asarray(rng.randint(-128, 128, (b * t, 3 * h)), jnp.int8)
+    mask = jnp.asarray((np.arange(t)[None, :] < [[5], [16], [9], [12]]),
+                       jnp.float32)
+    bias = (1.0 - mask) * -10000.0
+    sc = plan["layers"][0]["attn_scal"]
+    nh = cfg.num_attention_heads
+    want = EK.int8_attention_ref(qkv8, bias, sc, n_heads=nh, seq=t)
+    groups = [g for g in (1, 2, 4) if nh % g == 0]
+    assert len(groups) >= 2
+    for g in groups:
+        got = EK.int8_attention(qkv8, bias, sc, n_heads=nh, seq=t,
+                                interpret=True, group=g)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # auto heuristic picks a group filling the MXU depth when possible
+    auto = EK.int8_attention(qkv8, bias, sc, n_heads=nh, seq=t,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(auto), np.asarray(want))

@@ -224,7 +224,8 @@ def int8_matmul_ref(x8, w8, vecs, scalars, *, activation=None,
 
 
 def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
-                 scores_scr, *, n_batch, n_heads, seq, head_dim, skip_max):
+                 scores_scr, *, n_batch, n_heads, seq, head_dim, skip_max,
+                 group=1):
     """One batch-block cell: phased attention over all heads at once.
 
     The q/k/v refs are (n_batch*seq, H) int8 blocks — full hidden width,
@@ -239,6 +240,16 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
       2. ONE fakequant+mask+softmax+probs-quant pass over the whole tile,
       3. per-head p8@v dots, concatenated, context-site quantize.
 
+    ``group`` packs g heads per MXU dot in phases 1+3 via block-diagonal
+    operands built with lane-mask selects: a per-head dot contracts only
+    head_dim (64) lanes — half the MXU's 128 systolic depth at M=N=seq —
+    so the grouped form trades g× zero-padding FLOPs for full contraction
+    depth (g*head_dim >= 128) and g×-larger M. Head h of group p lives in
+    rows h*seq of the group operand and lanes h*head_dim of the group's
+    column slice; masks kill the cross-head terms, so results are
+    bit-identical to the per-head dots (integer MXU accumulation, and the
+    f32 correction adds keep the same association order).
+
     smem layout: [q_s, q_sh, k_s, k_sh, v_s, v_sh,
                   sc_s, sc_sh, p_s, p_sh, c_s, c_sh].
     """
@@ -252,6 +263,15 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
     # the mask ref holds the FULL (B, T) array (tiny); Mosaic block shapes
     # can't be (n_batch, T) with n_batch < 8, so rows index dynamically
     base = pl.program_id(0) * n_batch
+    g = group
+    gw = g * head_dim
+    # (1, gw) boolean lane masks selecting head h's lanes within a group
+    # (iota-built: pallas kernels can't capture array constants; int8
+    # elementwise multiply doesn't lower in Mosaic, so masking is select)
+    if g > 1:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), 1)
+        lmask = [(lane >= h * head_dim) & (lane < (h + 1) * head_dim)
+                 for h in range(g)]
 
     for j in range(n_batch):
         rows = slice(j * seq, (j + 1) * seq)
@@ -260,19 +280,44 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
         vj = qkv_v[rows, :]
         mask_j = mask_ref[pl.ds(base + j, 1), :]
 
-        # phase 1: per-head q@k^T dots with the rank-1 payload-shift
-        # corrections applied in-register -> scratch (n_heads*seq, seq)
-        for hh in range(n_heads):
-            cols = slice(hh * head_dim, (hh + 1) * head_dim)
-            q8, k8 = qj[:, cols], kj[:, cols]
-            acc = jax.lax.dot_general(
-                q8, k8, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
-            qsum = jnp.sum(q8.astype(jnp.float32), axis=1, keepdims=True)
-            ksum = jnp.sum(k8.astype(jnp.float32), axis=1, keepdims=True)
-            scores_scr[hh * seq:(hh + 1) * seq, :] = (
-                acc + q_sh * ksum.T + k_sh * qsum
-                + head_dim * q_sh * k_sh)
+        # phase 1: q@k^T dots with the rank-1 payload-shift corrections
+        # applied in-register -> scratch (n_heads*seq, seq)
+        if g > 1:
+            for p in range(n_heads // g):
+                cols = slice(p * gw, (p + 1) * gw)
+                qp, kp = qj[:, cols], kj[:, cols]
+                qbd = jnp.concatenate(
+                    [jnp.where(lmask[h], qp, 0) for h in range(g)], axis=0)
+                acc = jax.lax.dot_general(
+                    qbd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                ksum_rows = jnp.concatenate(
+                    [jnp.broadcast_to(
+                        jnp.sum(jnp.where(lmask[h], kp, 0)
+                                .astype(jnp.float32), axis=1,
+                                keepdims=True).T, (seq, seq))
+                     for h in range(g)], axis=0)
+                qsum_col = jnp.concatenate(
+                    [jnp.sum(jnp.where(lmask[h], qp, 0)
+                             .astype(jnp.float32), axis=1, keepdims=True)
+                     for h in range(g)], axis=0)
+                scores_scr[p * g * seq:(p + 1) * g * seq, :] = (
+                    acc + q_sh * ksum_rows + k_sh * qsum_col
+                    + head_dim * q_sh * k_sh)
+        else:
+            for hh in range(n_heads):
+                cols = slice(hh * head_dim, (hh + 1) * head_dim)
+                q8, k8 = qj[:, cols], kj[:, cols]
+                acc = jax.lax.dot_general(
+                    q8, k8, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                qsum = jnp.sum(q8.astype(jnp.float32), axis=1,
+                               keepdims=True)
+                ksum = jnp.sum(k8.astype(jnp.float32), axis=1,
+                               keepdims=True)
+                scores_scr[hh * seq:(hh + 1) * seq, :] = (
+                    acc + q_sh * ksum.T + k_sh * qsum
+                    + head_dim * q_sh * k_sh)
 
         # phase 2: ONE elementwise/softmax pass over the whole tile, with
         # every scale folded so each step is a single VPU op chain:
@@ -301,22 +346,43 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
         p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)) - p_sh,
                       -128.0, 127.0).astype(jnp.int8)
 
-        # phase 3: per-head p8 @ v8 dots; the (p_s v_s) dequant scale and
-        # the context-site 1/c_s fold into one multiplier pv_over_c
+        # phase 3: p8 @ v8 dots; the (p_s v_s) dequant scale and the
+        # context-site 1/c_s fold into one multiplier pv_over_c
         pv_over_c = p_s * v_s * (1.0 / c_s)
         vsum = jnp.sum(vj.astype(jnp.float32), axis=0, keepdims=True)
         psum = jnp.sum(p8.astype(jnp.float32), axis=1, keepdims=True)
         ctx_heads = []
-        for hh in range(n_heads):
-            hrows = slice(hh * seq, (hh + 1) * seq)
-            cols = slice(hh * head_dim, (hh + 1) * head_dim)
-            acc2 = jax.lax.dot_general(
-                p8[hrows, :], vj[:, cols],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
-            ctx_heads.append(acc2 + p_sh * vsum[:, cols]
-                             + v_sh * psum[hrows, :]
-                             + seq * p_sh * v_sh)
+        if g > 1:
+            for p in range(n_heads // g):
+                cols = slice(p * gw, (p + 1) * gw)
+                vp = vj[:, cols]
+                vbd = jnp.concatenate(
+                    [jnp.where(lmask[h], vp, 0) for h in range(g)], axis=0)
+                ap = jnp.concatenate(
+                    [p8[(p * g + h) * seq:(p * g + h + 1) * seq, :]
+                     for h in range(g)], axis=1)
+                acc2 = jax.lax.dot_general(
+                    ap, vbd, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                psum_cols = sum(
+                    jnp.where(lmask[h],
+                              psum[(p * g + h) * seq:
+                                   (p * g + h + 1) * seq, :], 0.0)
+                    for h in range(g))
+                ctx_heads.append(acc2 + p_sh * vsum[:, cols]
+                                 + v_sh * psum_cols
+                                 + seq * p_sh * v_sh)
+        else:
+            for hh in range(n_heads):
+                hrows = slice(hh * seq, (hh + 1) * seq)
+                cols = slice(hh * head_dim, (hh + 1) * head_dim)
+                acc2 = jax.lax.dot_general(
+                    p8[hrows, :], vj[:, cols],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                ctx_heads.append(acc2 + p_sh * vsum[:, cols]
+                                 + v_sh * psum[hrows, :]
+                                 + seq * p_sh * v_sh)
         ctx = jnp.concatenate(ctx_heads, axis=1)
         out_ref[rows, :] = jnp.clip(
             jnp.round(ctx * pv_over_c) - c_sh, -128.0, 127.0
@@ -326,7 +392,8 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
 def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
                     mask_bias: Array, scalars: Array, *, n_heads: int,
                     seq: int, hidden: int, batch_block: Optional[int],
-                    skip_max: bool, interpret: bool) -> Array:
+                    skip_max: bool, interpret: bool,
+                    group: Optional[int] = None) -> Array:
     """Shared pallas_call builder: each of q/k/v is an (M, n*hidden)
     array; ``cols`` picks the hidden-wide block column per input."""
     mt = q_arr.shape[0]
@@ -343,8 +410,16 @@ def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
         bb = batch_block
         while b % bb:
             bb = max(1, bb // 2)
+    if group is None:
+        # smallest head-group whose contraction g*d fills the MXU's 128
+        # systolic depth (scripts/attn_group_probe.py: g=2 at d=64 is the
+        # sweet spot — larger g only inflates the zero-padding FLOPs)
+        group = 1
+        while d * group < 128 and n_heads % (group * 2) == 0:
+            group *= 2
     kernel = functools.partial(_attn_kernel, n_batch=bb, n_heads=n_heads,
-                               seq=seq, head_dim=d, skip_max=skip_max)
+                               seq=seq, head_dim=d, skip_max=skip_max,
+                               group=group)
     grid = (b // bb,)
     spec = lambda col: pl.BlockSpec(  # noqa: E731
         (bb * seq, h), lambda i, col=col: (i, col),
@@ -376,37 +451,40 @@ def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "seq", "batch_block", "skip_max",
-                     "interpret"))
+                     "interpret", "group"))
 def int8_attention(qkv8: Array, mask_bias: Array, scalars: Array, *,
                    n_heads: int, seq: int,
                    batch_block: Optional[int] = None,
                    skip_max: bool = False,
-                   interpret: bool = False) -> Array:
+                   interpret: bool = False,
+                   group: Optional[int] = None) -> Array:
     """Fused attention over the fused-QKV payload.
 
     ``qkv8``: (B*T, 3*H) int8 — columns [q | k | v], head-minor inside
     each third. ``mask_bias``: (B, T) f32 additive mask (-10000 on pads).
     ``scalars``: (1, 12) f32 site params (see :func:`_attn_kernel`).
+    ``group``: heads per MXU dot (None = auto; see :func:`_attn_kernel`).
     Returns the (B*T, H) int8 payload of the context site.
     """
     h = qkv8.shape[1] // 3
     return _attention_call(qkv8, qkv8, qkv8, (0, 1, 2), mask_bias, scalars,
                            n_heads=n_heads, seq=seq, hidden=h,
                            batch_block=batch_block, skip_max=skip_max,
-                           interpret=interpret)
+                           interpret=interpret, group=group)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "seq", "hidden", "cols", "batch_block",
-                     "skip_max", "interpret"))
+                     "skip_max", "interpret", "group"))
 def int8_attention_qkv(q_arr: Array, k_arr: Array, v_arr: Array,
                        mask_bias: Array, scalars: Array, *, n_heads: int,
                        seq: int, hidden: int,
                        cols: Tuple[int, int, int] = (0, 0, 0),
                        batch_block: Optional[int] = None,
                        skip_max: bool = False,
-                       interpret: bool = False) -> Array:
+                       interpret: bool = False,
+                       group: Optional[int] = None) -> Array:
     """Attention over SEPARATE q/k/v payload arrays (MobileBERT: q and k
     come from a fused [q|k] matmul over the shared bottleneck while v is
     its own matmul). ``cols[i]`` selects the ``hidden``-wide block column
@@ -415,7 +493,7 @@ def int8_attention_qkv(q_arr: Array, k_arr: Array, v_arr: Array,
     return _attention_call(q_arr, k_arr, v_arr, cols, mask_bias, scalars,
                            n_heads=n_heads, seq=seq, hidden=hidden,
                            batch_block=batch_block, skip_max=skip_max,
-                           interpret=interpret)
+                           interpret=interpret, group=group)
 
 
 def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
