@@ -246,3 +246,71 @@ def test_attention_grouped_dots_bit_equal(tiny_setup):
     auto = EK.int8_attention(qkv8, bias, sc, n_heads=nh, seq=t,
                              interpret=True)
     np.testing.assert_array_equal(np.asarray(auto), np.asarray(want))
+
+
+def test_ffn_megakernel_bit_equals_separate_pair(tiny_setup):
+    """int8_ffn_ln == int8_matmul(emit, act) -> int8_matmul_add_ln,
+    bit-for-bit, in both the pallas-interpret kernel and the oracle."""
+    cfg, params, qcfg, qstate, static, plan, int_params, batch = tiny_setup
+    lp = plan["layers"][0]
+    rng = np.random.RandomState(11)
+    m, h = 64, cfg.hidden_size
+    x8 = jnp.asarray(rng.randint(-128, 128, (m, h)), jnp.int8)
+    r8 = jnp.asarray(rng.randint(-128, 128, (m, h)), jnp.int8)
+    act = {"gelu": "gelu_new"}.get(cfg.hidden_act, cfg.hidden_act)
+    i8 = EK.int8_matmul_ref(x8, lp["inter"]["w"], lp["inter"]["vecs"],
+                            lp["inter"]["scal"], activation=act,
+                            out_mode="emit")
+    want = EK.int8_matmul_add_ln_ref(
+        i8, lp["dense"]["w"], lp["dense"]["vecs"], lp["dense"]["scal"],
+        r8, lp["ln2"]["gb"], lp["ln2"]["scal"], eps=static.ln_eps,
+        res_quant=True)
+    got_ref = EK.int8_ffn_ln_ref(
+        x8, lp["inter"]["w"], lp["inter"]["vecs"], lp["inter"]["scal"],
+        lp["dense"]["w"], lp["dense"]["vecs"], lp["dense"]["scal"],
+        r8, lp["ln2"]["gb"], lp["ln2"]["scal"], activation=act,
+        eps=static.ln_eps, res_quant=True)
+    np.testing.assert_array_equal(np.asarray(got_ref), np.asarray(want))
+    got_k = EK.int8_ffn_ln(
+        x8, lp["inter"]["w"], lp["inter"]["vecs"], lp["inter"]["scal"],
+        lp["dense"]["w"], lp["dense"]["vecs"], lp["dense"]["scal"],
+        r8, lp["ln2"]["gb"], lp["ln2"]["scal"], activation=act,
+        eps=static.ln_eps, res_quant=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want))
+
+
+def test_attn_megakernel_bit_equals_separate_chain(tiny_setup):
+    """int8_attn_ln == int8_matmul(emit) -> int8_attention ->
+    int8_matmul_add_ln, bit-for-bit (oracle and pallas-interpret)."""
+    cfg, params, qcfg, qstate, static, plan, int_params, batch = tiny_setup
+    lp = plan["layers"][0]
+    rng = np.random.RandomState(13)
+    b, t, h = 4, 16, cfg.hidden_size
+    x8 = jnp.asarray(rng.randint(-128, 128, (b * t, h)), jnp.int8)
+    mask = jnp.asarray((np.arange(t)[None, :] < [[5], [16], [9], [12]]),
+                       jnp.float32)
+    bias = (1.0 - mask) * -10000.0
+    qkv8 = EK.int8_matmul_ref(x8, lp["qkv"]["w"], lp["qkv"]["vecs"],
+                              lp["qkv"]["scal"], out_mode="emit")
+    c8 = EK.int8_attention_ref(qkv8, bias, lp["attn_scal"],
+                               n_heads=cfg.num_attention_heads, seq=t,
+                               skip_max=static.attn_skip_max)
+    want = EK.int8_matmul_add_ln_ref(
+        c8, lp["attn_out"]["w"], lp["attn_out"]["vecs"],
+        lp["attn_out"]["scal"], x8, lp["ln1"]["gb"], lp["ln1"]["scal"],
+        eps=static.ln_eps, res_quant=True)
+    args = (x8, lp["qkv"]["w"], lp["qkv"]["vecs"], lp["qkv"]["scal"],
+            bias, lp["attn_scal"], lp["attn_out"]["w"],
+            lp["attn_out"]["vecs"], lp["attn_out"]["scal"],
+            lp["ln1"]["gb"], lp["ln1"]["scal"])
+    got_ref = EK.int8_attn_ln_ref(*args, n_heads=cfg.num_attention_heads,
+                                  seq=t, eps=static.ln_eps,
+                                  res_quant=True,
+                                  skip_max=static.attn_skip_max)
+    np.testing.assert_array_equal(np.asarray(got_ref), np.asarray(want))
+    for g in (1, 2):
+        got_k = EK.int8_attn_ln(*args, n_heads=cfg.num_attention_heads,
+                                seq=t, eps=static.ln_eps, res_quant=True,
+                                skip_max=static.attn_skip_max,
+                                interpret=True, group=g)
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want))

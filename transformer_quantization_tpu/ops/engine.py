@@ -370,16 +370,47 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
             x8, mp["w"], mp["vecs"], mp["scal"], r8, lnp["gb"],
             lnp["scal"], eps=static.ln_eps, res_quant=res_quant, w4=w4)
 
+    def ffn_block(x8, ip, dp, r8, lnp, res_quant, w4i, w4d):
+        # whole FFN in one kernel: profiling showed XLA spills the
+        # (M, intermediate) int8 inter payload to HBM (~100 MB/layer
+        # round-trip at B=128, S=128); the fusion keeps it in VMEM
+        if mm_be == "pallas":
+            return EK.int8_ffn_ln(
+                x8, ip["w"], ip["vecs"], ip["scal"], dp["w"], dp["vecs"],
+                dp["scal"], r8, lnp["gb"], lnp["scal"],
+                activation=hidden_act, eps=static.ln_eps,
+                res_quant=res_quant, interpret=interpret, w4i=w4i, w4d=w4d)
+        return EK.int8_ffn_ln_ref(
+            x8, ip["w"], ip["vecs"], ip["scal"], dp["w"], dp["vecs"],
+            dp["scal"], r8, lnp["gb"], lnp["scal"], activation=hidden_act,
+            eps=static.ln_eps, res_quant=res_quant, w4i=w4i, w4d=w4d)
+
     # residual-feeding matmuls fuse their whole add+LN consumer when the
     # matmul and LN stages run on the same backend (bit-identical to the
     # separate pair; kills the y-payload HBM round-trip + 2 launches/layer)
     fuse_ln = payload_res and mm_be == ln_be
+    # ... and the whole attention block (qkv matmul -> attention ->
+    # attn_out -> add+LN) becomes ONE kernel when everything is pallas:
+    # the (M, 3H) qkv payload spills to HBM between separate kernels
+    fuse_attn = fuse_ln and mm_be == "pallas" and attn_be == "pallas"
 
     for i, lp in enumerate(plan["layers"]):
         qkv_w4, ao_w4, inter_w4, dense_w4 = static.w4[i]
         ao_fold, d_fold = static.fold[i]
         res1, res2 = static.res_quant[i]
 
+        if fuse_attn:
+            h8 = EK.int8_attn_ln(
+                h8, lp["qkv"]["w"], lp["qkv"]["vecs"], lp["qkv"]["scal"],
+                mask_bias, lp["attn_scal"], lp["attn_out"]["w"],
+                lp["attn_out"]["vecs"], lp["attn_out"]["scal"],
+                lp["ln1"]["gb"], lp["ln1"]["scal"],
+                n_heads=static.n_heads, seq=t, eps=static.ln_eps,
+                res_quant=res1, skip_max=static.attn_skip_max,
+                interpret=interpret, w4q=qkv_w4, w4o=ao_w4)
+            h8 = ffn_block(h8, lp["inter"], lp["dense"], h8, lp["ln2"],
+                           res2, inter_w4, dense_w4)
+            continue
         qkv8 = _mm(mm_be, interpret, h8, lp["qkv"], activation=None,
                    out_mode="emit", out_dtype=out_dtype, w4=qkv_w4)
         if attn_be == "pallas":
@@ -402,12 +433,13 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
                 h8 = add_ln_payload(y, h8, lp["ln1"], res1)
             else:
                 h8, hf = add_ln(y, hf, lp["ln1"], res1)
-        i8 = _mm(mm_be, interpret, h8, lp["inter"],
-                 activation=hidden_act, out_mode="emit",
-                 out_dtype=out_dtype, w4=inter_w4)
         if fuse_ln:
-            h8 = mm_add_ln(i8, lp["dense"], h8, lp["ln2"], res2, dense_w4)
+            h8 = ffn_block(h8, lp["inter"], lp["dense"], h8, lp["ln2"],
+                           res2, inter_w4, dense_w4)
         else:
+            i8 = _mm(mm_be, interpret, h8, lp["inter"],
+                     activation=hidden_act, out_mode="emit",
+                     out_dtype=out_dtype, w4=inter_w4)
             y = _mm(mm_be, interpret, i8, lp["dense"], activation=None,
                     out_mode="emit" if payload_res
                     else ("fold" if d_fold else "float"),

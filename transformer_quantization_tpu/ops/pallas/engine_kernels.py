@@ -94,16 +94,10 @@ def fakequant_f32(x: Array, s, shift) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _mm_kernel(x_ref, w_ref, vec_ref, smem_ref, out_ref, *, activation,
-               out_mode, w4):
-    """One (BM, K) payload tile against the full (N, K) int8 weight.
-
-    ``vec_ref`` rows: 0 wscale, 1 colsum, 2 bias, 3 out_s, 4 out_shift
-    (all (1, N) f32). ``smem_ref``: [in_s, in_shift].
-    """
-    in_s = smem_ref[0, 0]
-    in_shift = smem_ref[0, 1]
-    x8 = x_ref[:]
+def _int_dot(x8, w_ref, w4):
+    """(BM, K) int8 tile @ full (N, K) int8 (or (N, K/2) packed-int4)
+    weight ref -> f32 accumulator. The packed-int4 form unpacks nibbles
+    in-register and contracts each half of x against its nibble plane."""
     dims = (((1,), (1,)), ((), ()))
     if w4:
         p = w_ref[:].astype(jnp.int32)
@@ -119,7 +113,19 @@ def _mm_kernel(x_ref, w_ref, vec_ref, smem_ref, out_ref, *, activation,
     else:
         acc = jax.lax.dot_general(x8, w_ref[:], dimension_numbers=dims,
                                   preferred_element_type=jnp.int32)
-    acc = acc.astype(jnp.float32)
+    return acc.astype(jnp.float32)
+
+
+def _mm_kernel(x_ref, w_ref, vec_ref, smem_ref, out_ref, *, activation,
+               out_mode, w4):
+    """One (BM, K) payload tile against the full (N, K) int8 weight.
+
+    ``vec_ref`` rows: 0 wscale, 1 colsum, 2 bias, 3 out_s, 4 out_shift
+    (all (1, N) f32). ``smem_ref``: [in_s, in_shift].
+    """
+    in_s = smem_ref[0, 0]
+    in_shift = smem_ref[0, 1]
+    acc = _int_dot(x_ref[:], w_ref, w4)
     # x = s_x (p + shift)  =>  x @ W^T = s_x s_w (p @ w8^T + shift colsum)
     y = (in_s * vec_ref[0, :]) * (acc + in_shift * vec_ref[1, :])
     y = y + vec_ref[2, :]
@@ -253,16 +259,27 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
     smem layout: [q_s, q_sh, k_s, k_sh, v_s, v_sh,
                   sc_s, sc_sh, p_s, p_sh, c_s, c_sh].
     """
-    q_s, q_sh = smem_ref[0, 0], smem_ref[0, 1]
-    k_s, k_sh = smem_ref[0, 2], smem_ref[0, 3]
-    v_s, v_sh = smem_ref[0, 4], smem_ref[0, 5]
-    sc_s, sc_sh = smem_ref[0, 6], smem_ref[0, 7]
-    p_s, p_sh = smem_ref[0, 8], smem_ref[0, 9]
-    c_s, c_sh = smem_ref[0, 10], smem_ref[0, 11]
-    rsqrt_d = np.float32(1.0 / np.sqrt(head_dim))
+    sv = tuple(smem_ref[0, i] for i in range(12))
     # the mask ref holds the FULL (B, T) array (tiny); Mosaic block shapes
     # can't be (n_batch, T) with n_batch < 8, so rows index dynamically
     base = pl.program_id(0) * n_batch
+    for j in range(n_batch):
+        rows = slice(j * seq, (j + 1) * seq)
+        mask_j = mask_ref[pl.ds(base + j, 1), :]
+        out_ref[rows, :] = _attn_row(
+            qkv_q[rows, :], qkv_k[rows, :], qkv_v[rows, :], mask_j, sv,
+            scores_scr, n_heads=n_heads, seq=seq, head_dim=head_dim,
+            skip_max=skip_max, group=group)
+
+
+def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
+              head_dim, skip_max, group):
+    """Attention phases for ONE batch row's (seq, H) q/k/v payload tiles;
+    returns the (seq, H) int8 context-site payload. Shared by the
+    standalone attention kernel and the fused attention megakernel."""
+    (q_s, q_sh, k_s, k_sh, v_s, v_sh,
+     sc_s, sc_sh, p_s, p_sh, c_s, c_sh) = sv
+    rsqrt_d = np.float32(1.0 / np.sqrt(head_dim))
     g = group
     gw = g * head_dim
     # (1, gw) boolean lane masks selecting head h's lanes within a group
@@ -273,120 +290,112 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
         lmask = [(lane >= h * head_dim) & (lane < (h + 1) * head_dim)
                  for h in range(g)]
 
-    for j in range(n_batch):
-        rows = slice(j * seq, (j + 1) * seq)
-        qj = qkv_q[rows, :]
-        kj = qkv_k[rows, :]
-        vj = qkv_v[rows, :]
-        mask_j = mask_ref[pl.ds(base + j, 1), :]
+    # phase 1: q@k^T dots with the rank-1 payload-shift corrections
+    # applied in-register -> scratch (n_heads*seq, seq)
+    if g > 1:
+        for p in range(n_heads // g):
+            cols = slice(p * gw, (p + 1) * gw)
+            qp, kp = qj[:, cols], kj[:, cols]
+            qbd = jnp.concatenate(
+                [jnp.where(lmask[h], qp, 0) for h in range(g)], axis=0)
+            acc = jax.lax.dot_general(
+                qbd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            ksum_rows = jnp.concatenate(
+                [jnp.broadcast_to(
+                    jnp.sum(jnp.where(lmask[h], kp, 0)
+                            .astype(jnp.float32), axis=1,
+                            keepdims=True).T, (seq, seq))
+                 for h in range(g)], axis=0)
+            qsum_col = jnp.concatenate(
+                [jnp.sum(jnp.where(lmask[h], qp, 0)
+                         .astype(jnp.float32), axis=1, keepdims=True)
+                 for h in range(g)], axis=0)
+            scores_scr[p * g * seq:(p + 1) * g * seq, :] = (
+                acc + q_sh * ksum_rows + k_sh * qsum_col
+                + head_dim * q_sh * k_sh)
+    else:
+        for hh in range(n_heads):
+            cols = slice(hh * head_dim, (hh + 1) * head_dim)
+            q8, k8 = qj[:, cols], kj[:, cols]
+            acc = jax.lax.dot_general(
+                q8, k8, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            qsum = jnp.sum(q8.astype(jnp.float32), axis=1,
+                           keepdims=True)
+            ksum = jnp.sum(k8.astype(jnp.float32), axis=1,
+                           keepdims=True)
+            scores_scr[hh * seq:(hh + 1) * seq, :] = (
+                acc + q_sh * ksum.T + k_sh * qsum
+                + head_dim * q_sh * k_sh)
 
-        # phase 1: q@k^T dots with the rank-1 payload-shift corrections
-        # applied in-register -> scratch (n_heads*seq, seq)
-        if g > 1:
-            for p in range(n_heads // g):
-                cols = slice(p * gw, (p + 1) * gw)
-                qp, kp = qj[:, cols], kj[:, cols]
-                qbd = jnp.concatenate(
-                    [jnp.where(lmask[h], qp, 0) for h in range(g)], axis=0)
-                acc = jax.lax.dot_general(
-                    qbd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32).astype(jnp.float32)
-                ksum_rows = jnp.concatenate(
-                    [jnp.broadcast_to(
-                        jnp.sum(jnp.where(lmask[h], kp, 0)
-                                .astype(jnp.float32), axis=1,
-                                keepdims=True).T, (seq, seq))
-                     for h in range(g)], axis=0)
-                qsum_col = jnp.concatenate(
-                    [jnp.sum(jnp.where(lmask[h], qp, 0)
-                             .astype(jnp.float32), axis=1, keepdims=True)
-                     for h in range(g)], axis=0)
-                scores_scr[p * g * seq:(p + 1) * g * seq, :] = (
-                    acc + q_sh * ksum_rows + k_sh * qsum_col
-                    + head_dim * q_sh * k_sh)
-        else:
-            for hh in range(n_heads):
-                cols = slice(hh * head_dim, (hh + 1) * head_dim)
-                q8, k8 = qj[:, cols], kj[:, cols]
-                acc = jax.lax.dot_general(
-                    q8, k8, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32).astype(jnp.float32)
-                qsum = jnp.sum(q8.astype(jnp.float32), axis=1,
-                               keepdims=True)
-                ksum = jnp.sum(k8.astype(jnp.float32), axis=1,
-                               keepdims=True)
-                scores_scr[hh * seq:(hh + 1) * seq, :] = (
-                    acc + q_sh * ksum.T + k_sh * qsum
-                    + head_dim * q_sh * k_sh)
+    # phase 2: ONE elementwise/softmax pass over the whole tile, with
+    # every scale folded so each step is a single VPU op chain:
+    #   - scores-site fake-quant on RAW scores (quantized_bert.py:154)
+    #     via one fused multiplier qk_over_sc = q_s k_s / sc_s,
+    #   - 1/sqrt(d), mask and log2(e) folded into (a, mask2), so the
+    #     softmax exponential is a bare exp2 (the VPU-native op; exp
+    #     lowers to exp2 + a multiply),
+    #   - softmax denominator and probs-site scale folded into one
+    #     multiplier before the probs round.
+    log2e = np.float32(np.log2(np.e))
+    qk_over_sc = q_s * k_s * (1.0 / sc_s)
+    a = sc_s * rsqrt_d * log2e
+    mask2 = mask_j * log2e + a * sc_sh
+    r = jnp.clip(jnp.round(scores_scr[:, :] * qk_over_sc) - sc_sh,
+                 -128.0, 127.0)
+    s2 = a * r + mask2
+    if skip_max:
+        # quantized scores are grid-bounded (|s2| provably << 126,
+        # checked at plan time); masked lanes underflow to exactly 0
+        e = jnp.exp2(s2)
+    else:
+        m = jnp.max(s2, axis=1, keepdims=True)
+        e = jnp.exp2(s2 - m)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)) - p_sh,
+                  -128.0, 127.0).astype(jnp.int8)
 
-        # phase 2: ONE elementwise/softmax pass over the whole tile, with
-        # every scale folded so each step is a single VPU op chain:
-        #   - scores-site fake-quant on RAW scores (quantized_bert.py:154)
-        #     via one fused multiplier qk_over_sc = q_s k_s / sc_s,
-        #   - 1/sqrt(d), mask and log2(e) folded into (a, mask2), so the
-        #     softmax exponential is a bare exp2 (the VPU-native op; exp
-        #     lowers to exp2 + a multiply),
-        #   - softmax denominator and probs-site scale folded into one
-        #     multiplier before the probs round.
-        log2e = np.float32(np.log2(np.e))
-        qk_over_sc = q_s * k_s * (1.0 / sc_s)
-        a = sc_s * rsqrt_d * log2e
-        mask2 = mask_j * log2e + a * sc_sh
-        r = jnp.clip(jnp.round(scores_scr[:, :] * qk_over_sc) - sc_sh,
-                     -128.0, 127.0)
-        s2 = a * r + mask2
-        if skip_max:
-            # quantized scores are grid-bounded (|s2| provably << 126,
-            # checked at plan time); masked lanes underflow to exactly 0
-            e = jnp.exp2(s2)
-        else:
-            m = jnp.max(s2, axis=1, keepdims=True)
-            e = jnp.exp2(s2 - m)
-        denom = jnp.sum(e, axis=1, keepdims=True)
-        p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)) - p_sh,
-                      -128.0, 127.0).astype(jnp.int8)
-
-        # phase 3: p8 @ v8 dots; the (p_s v_s) dequant scale and the
-        # context-site 1/c_s fold into one multiplier pv_over_c
-        pv_over_c = p_s * v_s * (1.0 / c_s)
-        vsum = jnp.sum(vj.astype(jnp.float32), axis=0, keepdims=True)
-        psum = jnp.sum(p8.astype(jnp.float32), axis=1, keepdims=True)
-        ctx_heads = []
-        if g > 1:
-            for p in range(n_heads // g):
-                cols = slice(p * gw, (p + 1) * gw)
-                vp = vj[:, cols]
-                vbd = jnp.concatenate(
-                    [jnp.where(lmask[h], vp, 0) for h in range(g)], axis=0)
-                ap = jnp.concatenate(
-                    [p8[(p * g + h) * seq:(p * g + h + 1) * seq, :]
-                     for h in range(g)], axis=1)
-                acc2 = jax.lax.dot_general(
-                    ap, vbd, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32).astype(jnp.float32)
-                psum_cols = sum(
-                    jnp.where(lmask[h],
-                              psum[(p * g + h) * seq:
-                                   (p * g + h + 1) * seq, :], 0.0)
-                    for h in range(g))
-                ctx_heads.append(acc2 + p_sh * vsum[:, cols]
-                                 + v_sh * psum_cols
-                                 + seq * p_sh * v_sh)
-        else:
-            for hh in range(n_heads):
-                hrows = slice(hh * seq, (hh + 1) * seq)
-                cols = slice(hh * head_dim, (hh + 1) * head_dim)
-                acc2 = jax.lax.dot_general(
-                    p8[hrows, :], vj[:, cols],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32).astype(jnp.float32)
-                ctx_heads.append(acc2 + p_sh * vsum[:, cols]
-                                 + v_sh * psum[hrows, :]
-                                 + seq * p_sh * v_sh)
-        ctx = jnp.concatenate(ctx_heads, axis=1)
-        out_ref[rows, :] = jnp.clip(
-            jnp.round(ctx * pv_over_c) - c_sh, -128.0, 127.0
-        ).astype(jnp.int8)
+    # phase 3: p8 @ v8 dots; the (p_s v_s) dequant scale and the
+    # context-site 1/c_s fold into one multiplier pv_over_c
+    pv_over_c = p_s * v_s * (1.0 / c_s)
+    vsum = jnp.sum(vj.astype(jnp.float32), axis=0, keepdims=True)
+    psum = jnp.sum(p8.astype(jnp.float32), axis=1, keepdims=True)
+    ctx_heads = []
+    if g > 1:
+        for p in range(n_heads // g):
+            cols = slice(p * gw, (p + 1) * gw)
+            vp = vj[:, cols]
+            vbd = jnp.concatenate(
+                [jnp.where(lmask[h], vp, 0) for h in range(g)], axis=0)
+            ap = jnp.concatenate(
+                [p8[(p * g + h) * seq:(p * g + h + 1) * seq, :]
+                 for h in range(g)], axis=1)
+            acc2 = jax.lax.dot_general(
+                ap, vbd, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            psum_cols = sum(
+                jnp.where(lmask[h],
+                          psum[(p * g + h) * seq:
+                               (p * g + h + 1) * seq, :], 0.0)
+                for h in range(g))
+            ctx_heads.append(acc2 + p_sh * vsum[:, cols]
+                             + v_sh * psum_cols
+                             + seq * p_sh * v_sh)
+    else:
+        for hh in range(n_heads):
+            hrows = slice(hh * seq, (hh + 1) * seq)
+            cols = slice(hh * head_dim, (hh + 1) * head_dim)
+            acc2 = jax.lax.dot_general(
+                p8[hrows, :], vj[:, cols],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            ctx_heads.append(acc2 + p_sh * vsum[:, cols]
+                             + v_sh * psum[hrows, :]
+                             + seq * p_sh * v_sh)
+    ctx = jnp.concatenate(ctx_heads, axis=1)
+    return jnp.clip(jnp.round(ctx * pv_over_c) - c_sh, -128.0, 127.0
+                    ).astype(jnp.int8)
 
 
 def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
@@ -727,23 +736,7 @@ def _mm_norm_core(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
     """
     in_s = smem_ref[0, 0]
     in_shift = smem_ref[0, 1]
-    x8 = x_ref[:]
-    dims = (((1,), (1,)), ((), ()))
-    if w4:
-        p = w_ref[:].astype(jnp.int32)
-        lo = p & 0xF
-        hi = p >> 4
-        lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.int8)
-        hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.int8)
-        k2 = x8.shape[1] // 2
-        acc = (jax.lax.dot_general(x8[:, :k2], lo, dimension_numbers=dims,
-                                   preferred_element_type=jnp.int32)
-               + jax.lax.dot_general(x8[:, k2:], hi, dimension_numbers=dims,
-                                     preferred_element_type=jnp.int32))
-    else:
-        acc = jax.lax.dot_general(x8, w_ref[:], dimension_numbers=dims,
-                                  preferred_element_type=jnp.int32)
-    acc = acc.astype(jnp.float32)
+    acc = _int_dot(x_ref[:], w_ref, w4)
     y = (in_s * vec_ref[0, :]) * (acc + in_shift * vec_ref[1, :])
     y = y + vec_ref[2, :]
     # fold-site fake-quant (the producing matmul's .out site)
@@ -923,3 +916,271 @@ def fused_add_ln_payload_ref(y8, r8, gb, scalars, *, eps, res_quant=True):
          + s[2] * (r8.astype(jnp.float32) + s[3]))
     q = _ln_ref_body(x, gb, s, eps=eps, res_quant=res_quant)
     return q.astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 5: whole FFN block in ONE pass
+#   inter matmul (+act) -> inter.out requant -> dense matmul -> fold-site
+#   fake-quant -> +residual payload -> res-site fake-quant -> LayerNorm ->
+#   ln-site payload
+# ---------------------------------------------------------------------------
+
+
+def _ffn_kernel(x_ref, wi_ref, vi_ref, si_ref, wd_ref, vd_ref, sd_ref,
+                r_ref, gb_ref, ln_smem_ref, out_ref, *, activation, eps,
+                res_quant, w4i, w4d, norm):
+    """One (BM, K) payload tile through the whole FFN block.
+
+    The (BM, N1) inter payload lives only in VMEM registers: profiling
+    showed XLA spills the full (M, N1) int8 inter tensor to HBM
+    (s8[16384,3072] with no S(1) layout — a ~100 MB/layer round-trip at
+    B=128, S=128), which this fusion deletes. Stage 1 reproduces
+    :func:`_mm_kernel` with ``out_mode='emit'`` op-for-op; stage 2 is
+    :func:`_mm_norm_core` — so the fused output is bit-identical to the
+    separate pair.
+    """
+    in_s, in_shift = si_ref[0, 0], si_ref[0, 1]
+    acc = _int_dot(x_ref[:], wi_ref, w4i)
+    y = (in_s * vi_ref[0, :]) * (acc + in_shift * vi_ref[1, :])
+    y = y + vi_ref[2, :]
+    act = _ACTS[activation]
+    if act is not None:
+        y = act(y)
+    i8 = jnp.clip(jnp.round(y * (1.0 / vi_ref[3, :])) - vi_ref[4, :],
+                  -128.0, 127.0).astype(jnp.int8)
+
+    d_in_s, d_in_shift = sd_ref[0, 0], sd_ref[0, 1]
+    acc2 = _int_dot(i8, wd_ref, w4d)
+    y2 = (d_in_s * vd_ref[0, :]) * (acc2 + d_in_shift * vd_ref[1, :])
+    y2 = y2 + vd_ref[2, :]
+    r2 = jnp.clip(jnp.round(y2 * (1.0 / vd_ref[3, :])) - vd_ref[4, :],
+                  -128.0, 127.0)
+    y2 = vd_ref[3, :] * (r2 + vd_ref[4, :])
+    r_s, r_sh = ln_smem_ref[0, 2], ln_smem_ref[0, 3]
+    y2 = y2 + r_s * (r_ref[:].astype(jnp.float32) + r_sh)
+    q, _, _ = _ln_body(y2, gb_ref, ln_smem_ref, eps=eps,
+                       res_quant=res_quant, norm=norm)
+    out_ref[:] = q.astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "eps", "res_quant", "block_m",
+                     "interpret", "w4i", "w4d", "norm"))
+def int8_ffn_ln(x8: Array, wi: Array, vi: Array, si: Array, wd: Array,
+                vd: Array, sd: Array, r8: Array, gb: Array,
+                ln_scalars: Array, *, activation, eps: float,
+                res_quant: bool = True, block_m: Optional[int] = None,
+                interpret: bool = False, w4i: bool = False,
+                w4d: bool = False, norm: str = "layernorm") -> Array:
+    """Fused FFN block: (payload inter matmul + act -> inter.out payload
+    -> dense matmul -> fold-site fake-quant -> +residual payload ->
+    res-site fake-quant -> LayerNorm -> ln-site payload) in one kernel.
+
+    ``x8``: (M, K1) int8 payload (the attn_out ln site). ``wi``: (N1, K1)
+    int8 (or packed int4) inter weight, ``vi``/``si`` its epilogue
+    vectors/scalars as :func:`int8_matmul`. ``wd``: (N2, N1) dense
+    weight, ``vd``/``sd`` its vectors/scalars (``sd`` = the inter.out
+    site params). ``r8``: (M, N2) residual payload. ``gb``/``ln_scalars``
+    as :func:`int8_matmul_add_ln`. Bit-identical to
+    int8_matmul(out_mode='emit', activation) followed by
+    :func:`int8_matmul_add_ln`.
+    """
+    m, k1 = x8.shape
+    n1 = vi.shape[1]
+    n2 = wd.shape[0]
+    # row bytes: x tile + f32 inter accumulator + i8 inter + residual+out
+    bm = _pick_block_m(m, k1 + 5 * n1 + 2 * n2 + 64, block_m)
+    kernel = functools.partial(_ffn_kernel, activation=activation, eps=eps,
+                               res_quant=res_quant, w4i=w4i, w4d=w4d,
+                               norm=norm)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wi.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, n1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(wd.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, n2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, n2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n2), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n1 * (k1 + n2) + 20 * m * (n1 + n2),
+            bytes_accessed=m * k1 + n1 * k1 + n2 * n1 + 2 * m * n2,
+            transcendentals=m * n1 + m),
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)),
+        interpret=interpret,
+    )(x8, wi, vi, si, wd, vd, sd, r8, gb, ln_scalars)
+
+
+def int8_ffn_ln_ref(x8, wi, vi, si, wd, vd, sd, r8, gb, ln_scalars, *,
+                    activation, eps, res_quant=True, w4i=False, w4d=False,
+                    norm="layernorm"):
+    """jnp oracle / XLA-composed backend for :func:`int8_ffn_ln`."""
+    i8 = int8_matmul_ref(x8, wi, vi, si, activation=activation,
+                         out_mode="emit", w4=w4i)
+    return int8_matmul_add_ln_ref(i8, wd, vd, sd, r8, gb, ln_scalars,
+                                  eps=eps, res_quant=res_quant, w4=w4d,
+                                  norm=norm)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 6: whole attention block in ONE pass
+#   fused q|k|v matmul -> per-column site requant -> attention phases ->
+#   attn_out matmul -> fold-site fake-quant -> +layer-input residual ->
+#   res-site fake-quant -> LayerNorm -> ln-site payload
+# ---------------------------------------------------------------------------
+
+
+def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
+                      wo_ref, vo_ref, so_ref, gb_ref, ln_smem_ref, out_ref,
+                      scores_scr, *, n_batch, n_heads, seq, head_dim,
+                      skip_max, group, w4q, w4o, eps, res_quant, norm):
+    """One (n_batch*seq, H) cell through the whole attention block.
+
+    Stage 1 == :func:`_mm_kernel` (out_mode='emit') for the fused q|k|v
+    matmul, kept in-register — profiling showed the (M, 3H) qkv payload
+    spills to HBM between the separate kernels (~75 MB/layer round-trip
+    at B=128, S=128). Stage 2 == :func:`_attn_row` per batch row.
+    Stage 3 == :func:`_mm_norm_core` for attn_out + add + LN, with the
+    layer-input payload (``x_ref`` itself) as the residual. Bit-identical
+    to the separate three-kernel chain.
+    """
+    in_s, in_shift = sq_ref[0, 0], sq_ref[0, 1]
+    x8 = x_ref[:]
+    acc = _int_dot(x8, wq_ref, w4q)
+    y = (in_s * vq_ref[0, :]) * (acc + in_shift * vq_ref[1, :])
+    y = y + vq_ref[2, :]
+    qkv8 = jnp.clip(jnp.round(y * (1.0 / vq_ref[3, :])) - vq_ref[4, :],
+                    -128.0, 127.0).astype(jnp.int8)
+
+    sv = tuple(asm_ref[0, i] for i in range(12))
+    base = pl.program_id(0) * n_batch
+    h = n_heads * head_dim
+    c8_rows = []
+    for j in range(n_batch):
+        rows = slice(j * seq, (j + 1) * seq)
+        mask_j = mask_ref[pl.ds(base + j, 1), :]
+        c8_rows.append(_attn_row(
+            qkv8[rows, 0:h], qkv8[rows, h:2 * h], qkv8[rows, 2 * h:3 * h],
+            mask_j, sv, scores_scr, n_heads=n_heads, seq=seq,
+            head_dim=head_dim, skip_max=skip_max, group=group))
+    c8 = jnp.concatenate(c8_rows, axis=0)
+
+    o_s, o_sh = so_ref[0, 0], so_ref[0, 1]
+    acc2 = _int_dot(c8, wo_ref, w4o)
+    y2 = (o_s * vo_ref[0, :]) * (acc2 + o_sh * vo_ref[1, :])
+    y2 = y2 + vo_ref[2, :]
+    r2 = jnp.clip(jnp.round(y2 * (1.0 / vo_ref[3, :])) - vo_ref[4, :],
+                  -128.0, 127.0)
+    y2 = vo_ref[3, :] * (r2 + vo_ref[4, :])
+    r_s, r_sh = ln_smem_ref[0, 2], ln_smem_ref[0, 3]
+    y2 = y2 + r_s * (x8.astype(jnp.float32) + r_sh)
+    q, _, _ = _ln_body(y2, gb_ref, ln_smem_ref, eps=eps,
+                       res_quant=res_quant, norm=norm)
+    out_ref[:] = q.astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "seq", "eps", "res_quant", "batch_block",
+                     "skip_max", "group", "interpret", "w4q", "w4o",
+                     "norm"))
+def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
+                 mask_bias: Array, attn_scal: Array, wo: Array, vo: Array,
+                 so: Array, gb: Array, ln_scalars: Array, *, n_heads: int,
+                 seq: int, eps: float, res_quant: bool = True,
+                 batch_block: Optional[int] = None, skip_max: bool = False,
+                 group: Optional[int] = None, interpret: bool = False,
+                 w4q: bool = False, w4o: bool = False,
+                 norm: str = "layernorm") -> Array:
+    """Fused attention block: (payload q|k|v matmul -> site payloads ->
+    attention -> attn_out matmul -> fold-site fake-quant -> +layer-input
+    residual -> res-site fake-quant -> LayerNorm -> ln-site payload).
+
+    ``x8``: (B*T, H) int8 payload of the layer-input ln site (also the
+    residual). ``wq``/``vq``/``sq``: the fused q|k|v matmul plan as
+    :func:`int8_matmul` ((3H, H) weight, (5, 3H) vecs). ``mask_bias``:
+    (B, T) f32. ``attn_scal``: (1, 12) attention site params.
+    ``wo``/``vo``/``so``: attn_out matmul plan ((H, H) weight; ``so`` =
+    context-site scalars). ``gb``/``ln_scalars`` as
+    :func:`int8_matmul_add_ln`. Bit-identical to int8_matmul(emit) ->
+    int8_attention -> int8_matmul_add_ln.
+    """
+    mt, hdim = x8.shape
+    b = mt // seq
+    d = hdim // n_heads
+    n3 = vq.shape[1]
+    if batch_block is None:
+        bb = 1
+        while b % (bb * 2) == 0 and (bb * 2) * seq <= 512:
+            bb *= 2
+    else:
+        bb = batch_block
+        while b % bb:
+            bb = max(1, bb // 2)
+    if group is None:
+        group = 1
+        while d * group < 128 and n_heads % (group * 2) == 0:
+            group *= 2
+    kernel = functools.partial(
+        _attn_mega_kernel, n_batch=bb, n_heads=n_heads, seq=seq,
+        head_dim=d, skip_max=skip_max, group=group, w4q=w4q, w4o=w4o,
+        eps=eps, res_quant=res_quant, norm=norm)
+    blk = lambda r, c: pl.BlockSpec(  # noqa: E731
+        (r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[
+            blk(bb * seq, hdim),            # x8
+            full(wq.shape), full((5, n3)), smem((1, 2)),
+            full((b, seq)),                 # mask
+            smem((1, 12)),                  # attention sites
+            full(wo.shape), full((5, hdim)), smem((1, 2)),
+            full((2, hdim)), smem((1, 8)),
+        ],
+        out_specs=blk(bb * seq, hdim),
+        out_shape=jax.ShapeDtypeStruct((mt, hdim), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((n_heads * seq, seq), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mt * hdim * (n3 + hdim)
+            + 4 * b * n_heads * seq * seq * d + 30 * mt * hdim,
+            bytes_accessed=2 * mt * hdim + n3 * hdim + hdim * hdim
+            + b * seq * 4,
+            transcendentals=b * n_heads * seq * seq + mt),
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)),
+        interpret=interpret,
+    )(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so, gb, ln_scalars)
+
+
+def int8_attn_ln_ref(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so,
+                     gb, ln_scalars, *, n_heads, seq, eps,
+                     res_quant=True, skip_max=False, w4q=False, w4o=False,
+                     norm="layernorm"):
+    """jnp oracle / XLA-composed backend for :func:`int8_attn_ln`."""
+    qkv8 = int8_matmul_ref(x8, wq, vq, sq, activation=None,
+                           out_mode="emit", w4=w4q)
+    c8 = int8_attention_ref(qkv8, mask_bias, attn_scal, n_heads=n_heads,
+                            seq=seq, skip_max=skip_max)
+    return int8_matmul_add_ln_ref(c8, wo, vo, so, x8, gb, ln_scalars,
+                                  eps=eps, res_quant=res_quant, w4=w4o,
+                                  norm=norm)
