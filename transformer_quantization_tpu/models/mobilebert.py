@@ -947,6 +947,22 @@ def mobilebert_encoder_engine(h: Array, mask_bias: Array,
             np_["scal"], eps=0.0, res_quant=res_quant, norm="nonorm",
             w4=w4)
 
+    def ffn(x8, ip, dp, r8, np_, res_quant, w4i, w4d):
+        # whole (inter -> act -> dense -> +residual -> NoNorm) block in
+        # one kernel (int8_ffn_ln) — MobileBERT's small FFN shapes are
+        # launch-overhead-bound, so halving the launches matters as much
+        # as keeping the inter payload in VMEM
+        if mm_be == "pallas":
+            return EK.int8_ffn_ln(
+                x8, ip["w"], ip["vecs"], ip["scal"], dp["w"], dp["vecs"],
+                dp["scal"], r8, np_["gb"], np_["scal"], activation=act,
+                eps=0.0, res_quant=res_quant, norm="nonorm",
+                interpret=interpret, w4i=w4i, w4d=w4d)
+        return EK.int8_ffn_ln_ref(
+            x8, ip["w"], ip["vecs"], ip["scal"], dp["w"], dp["vecs"],
+            dp["scal"], r8, np_["gb"], np_["scal"], activation=act,
+            eps=0.0, res_quant=res_quant, norm="nonorm", w4i=w4i, w4d=w4d)
+
     for i, lp in enumerate(plan["layers"]):
         res_ao, res_ffn, res_out, res_obn = static.res_quant[i]
         w4s = list(static.w4[i])
@@ -978,11 +994,10 @@ def mobilebert_encoder_engine(h: Array, mask_bias: Array,
         x8 = mm_add_norm(c8, lp["attn_out"], li8, lp["attn_out_norm"],
                          res_ao, w4())
         for j, f in enumerate(lp["ffns"]):
-            i8 = mm(x8, f["inter"], w4(), activation=act)
-            x8 = mm_add_norm(i8, f["dense"], x8, f["norm"], res_ffn[j],
-                             w4())
-        i8 = mm(x8, lp["inter"], w4(), activation=act)
-        y8 = mm_add_norm(i8, lp["out"], x8, lp["out_norm"], res_out, w4())
+            x8 = ffn(x8, f["inter"], f["dense"], x8, f["norm"],
+                     res_ffn[j], w4(), w4())
+        y8 = ffn(x8, lp["inter"], lp["out"], x8, lp["out_norm"], res_out,
+                 w4(), w4())
         h8 = mm_add_norm(y8, lp["out_bn"], h8, lp["out_bn_norm"], res_obn,
                          w4())
 
