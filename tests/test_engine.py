@@ -314,3 +314,73 @@ def test_attn_megakernel_bit_equals_separate_chain(tiny_setup):
                                 skip_max=static.attn_skip_max,
                                 interpret=True, group=g)
         np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want))
+
+
+def test_w4a8_engine_megakernels_interpret_matches_xla():
+    """W4A8 (packed-int4 weights) through the full engine: the megakernel
+    w4 branches (w4q/w4o/w4i/w4d) agree with the XLA-composed oracle."""
+    from transformer_quantization_tpu.quant.manager import init_weight_qstate
+    from transformer_quantization_tpu.quant.qconfig import Phase
+    import dataclasses
+
+    cfg = B.BertConfig(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                       num_attention_heads=4, intermediate_size=128,
+                       max_position_embeddings=64, num_labels=2)
+    params, qcfg8, qstate8 = G._calibrated_bert(cfg, batch_size=2, seq=16)
+    d4 = dataclasses.replace(G._w8a8_defaults(), n_bits=4, n_bits_act=8)
+    qcfg = B.declare_bert_sites(d4, cfg)
+    qstate = init_weight_qstate(qcfg, B.bert_weight_site_tensors(params))
+    rng = np.random.RandomState(5)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, 128, (4, 16)), jnp.int32),
+        "attention_mask": jnp.asarray(
+            (np.arange(16)[None, :] < rng.randint(8, 17, (4, 1))),
+            jnp.float32),
+        "token_type_ids": jnp.zeros((4, 16), jnp.int32),
+    }
+    _, qstate = B.bert_apply(params, batch, cfg, qcfg, qstate,
+                             QuantMode(act_phase=Phase.estimate))
+    int4_params = B.build_bert_int_params(params, qcfg, qstate,
+                                          use_int4=True)
+    static, plan, _ = B.build_bert_engine(params, cfg, qcfg, qstate,
+                                          int_params=int4_params,
+                                          use_int4=True)
+    assert any(any(f) for f in static.w4)  # int4 actually in play
+    ref = B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                              plan, int4_params, backend="xla")
+    out = B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                              plan, int4_params, backend="pallas",
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_per_channel_weight_engine_interpret_matches_xla():
+    """Per-channel weight scales ride the engine's per-column epilogue
+    vectors (engine _bcast): pallas-interpret == XLA oracle."""
+    import dataclasses
+
+    cfg = B.BertConfig(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                       num_attention_heads=4, intermediate_size=128,
+                       max_position_embeddings=64, num_labels=2)
+    d = dataclasses.replace(G._w8a8_defaults(), per_channel_weights=True)
+    params, qcfg, qstate = G._calibrated_bert(cfg, batch_size=2, seq=16,
+                                              defaults=d)
+    int_params = B.build_bert_int_params(params, qcfg, qstate)
+    static, plan, _ = B.build_bert_engine(params, cfg, qcfg, qstate,
+                                          int_params=int_params)
+    rng = np.random.RandomState(9)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, 128, (4, 16)), jnp.int32),
+        "attention_mask": jnp.ones((4, 16), jnp.float32),
+        "token_type_ids": jnp.zeros((4, 16), jnp.int32),
+    }
+    ref = B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                              plan, int_params, backend="xla")
+    out = B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                              plan, int_params, backend="pallas",
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-5, atol=1e-5)
