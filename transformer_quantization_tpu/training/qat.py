@@ -28,27 +28,36 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import optax
+from jax.flatten_util import ravel_pytree
 
 from transformer_quantization_tpu.quant.qconfig import (
     Phase,
     QuantModelConfig,
     QuantMode,
 )
+from transformer_quantization_tpu.quant.quantizers import QuantParams
 
 
 def split_learnable_ranges(qcfg: QuantModelConfig, qstate: Dict
                            ) -> Tuple[Dict, Dict]:
-    """Split trainable QuantParams out of the quant state.
+    """Split the trainable range parameters out of the quant state.
 
-    Returns ``(learnable, rest)`` where ``learnable[site] = QuantParams``.
-    Only initialized, enabled sites participate (the reference only converts
-    initialized quantizers, base_quantized_classes.py:11-16).
+    Returns ``(learnable, rest)`` where ``learnable[site] = {'delta':…,
+    'zero_float':…}``. Only initialized, enabled sites participate (the
+    reference only converts initialized quantizers,
+    base_quantized_classes.py:11-16), and only ``delta``/``zero_float``
+    become trainable — exactly the two buffers the reference flips to
+    ``nn.Parameter`` (quantizers.py:284-288). The ``signed`` flag stays a
+    buffer in ``rest`` (as ``qp_signed``) so optimizer transforms such as
+    weight decay can never corrupt it.
     """
     learnable, rest = {}, {}
     for name, st in qstate.items():
         if name in qcfg and qcfg[name].enabled and "qp" in st:
-            learnable[name] = st["qp"]
-            rest[name] = {k: v for k, v in st.items() if k != "qp"}
+            qp = st["qp"]
+            learnable[name] = {"delta": qp.delta, "zero_float": qp.zero_float}
+            rest[name] = dict({k: v for k, v in st.items() if k != "qp"},
+                              qp_signed=qp.signed)
         else:
             rest[name] = st
     return learnable, rest
@@ -58,7 +67,11 @@ def merge_learnable_ranges(learnable: Dict, rest: Dict) -> Dict:
     out = {}
     for name, st in rest.items():
         if name in learnable:
-            out[name] = dict(st, qp=learnable[name])
+            st = {k: v for k, v in st.items() if k != "qp_signed"}
+            out[name] = dict(st, qp=QuantParams(
+                delta=learnable[name]["delta"],
+                zero_float=learnable[name]["zero_float"],
+                signed=rest[name]["qp_signed"]))
         else:
             out[name] = st
     return out
@@ -129,17 +142,25 @@ def make_qat_train_step(apply_fn: Callable, qcfg: QuantModelConfig,
     """
     mode = qat_mode(qat)
 
-    def loss_fn(trainable, rest_qstate, batch, rng):
-        params = trainable["params"]
-        qstate = merge_learnable_ranges(trainable["ranges"], rest_qstate)
-        out, new_qstate = apply_fn(params, batch, qcfg=qcfg, qstate=qstate,
-                                   mode=mode, train=True, dropout_rng=rng)
-        return out["loss"], new_qstate
-
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3) if donate else ())
     def step(params, learnable, rest_qstate, opt_state, batch, rng):
         rng, dropout_rng = jax.random.split(rng)
-        trainable = {"params": params, "ranges": learnable}
+        # Pack the hundreds of small per-site range leaves into ONE flat
+        # vector before the optimizer sees them: Adam over ~800 scalar
+        # leaves emits ~10 tiny unfusable ops per leaf, which dominated
+        # both compile time and step time (see scripts/qat_bench.py);
+        # over one packed vector it is a handful of fused ops.
+        flat_ranges, unravel = ravel_pytree(learnable)
+        trainable = {"params": params, "ranges": flat_ranges}
+
+        def loss_fn(trainable, rest_qstate, batch, rng):
+            qstate = merge_learnable_ranges(unravel(trainable["ranges"]),
+                                            rest_qstate)
+            out, new_qstate = apply_fn(trainable["params"], batch, qcfg=qcfg,
+                                       qstate=qstate, mode=mode, train=True,
+                                       dropout_rng=rng)
+            return out["loss"], new_qstate
+
         (loss, new_qstate), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(trainable, rest_qstate, batch, dropout_rng)
         updates, opt_state = tx.update(grads, opt_state, trainable)
@@ -148,10 +169,13 @@ def make_qat_train_step(apply_fn: Callable, qcfg: QuantModelConfig,
         if learnable:
             # learnable ranges advance via the optimizer; keep them out of
             # the threaded state so they aren't double-tracked
-            new_learnable = trainable["ranges"]
-            new_rest = {k: ({kk: vv for kk, vv in v.items() if kk != "qp"}
-                            if k in learnable else v)
-                        for k, v in new_qstate.items()}
+            new_learnable = unravel(trainable["ranges"])
+            new_rest = {}
+            for k, v in new_qstate.items():
+                if k in learnable:
+                    v = {kk: vv for kk, vv in v.items() if kk != "qp"}
+                    v["qp_signed"] = new_qstate[k]["qp"].signed
+                new_rest[k] = v
         return (trainable["params"], new_learnable, new_rest, opt_state, rng,
                 loss)
 
@@ -165,5 +189,8 @@ def init_qat_state(qcfg: QuantModelConfig, qat: QATConfig, params, qstate,
         learnable, rest = split_learnable_ranges(qcfg, qstate)
     else:
         learnable, rest = {}, dict(qstate)
-    opt_state = tx.init({"params": params, "ranges": learnable})
+    # optimizer state lives on the packed range vector (see the packing
+    # note in make_qat_train_step)
+    flat_ranges, _ = ravel_pytree(learnable)
+    opt_state = tx.init({"params": params, "ranges": flat_ranges})
     return params, learnable, rest, opt_state
