@@ -57,9 +57,10 @@ def main():
     }
 
     def apply_fn(params, b, qcfg=None, qstate=None, mode=None, train=False,
-                 dropout_rng=None):
+                 dropout_rng=None, compute_dtype=None):
         out, qs = B.bert_apply(params, b, cfg, qcfg, qstate, mode,
-                               train=train, dropout_rng=dropout_rng)
+                               train=train, dropout_rng=dropout_rng,
+                               compute_dtype=compute_dtype)
         return out, qs
 
     tcfg = TrainConfig(batch_size=args.batch, num_epochs=1)
@@ -69,13 +70,19 @@ def main():
     variants = [
         ("qat_learn_ranges", QAT.QATConfig(learn_ranges=True)),
         ("qat_estimate_fix", QAT.QATConfig(learn_ranges=False)),
+        ("qat_estimate_fix_amp",
+         QAT.QATConfig(learn_ranges=False, compute_dtype="bfloat16")),
+        ("qat_learn_ranges_amp",
+         QAT.QATConfig(learn_ranges=True, compute_dtype="bfloat16")),
         ("baseline_fp32", None),
+        ("baseline_amp", "amp"),
     ]
     for name, qat_cfg in variants:
         t0 = time.perf_counter()
-        if qat_cfg is None:
+        if qat_cfg is None or qat_cfg == "amp":
             qc, qs = QuantModelConfig(()), {}
-            qat_cfg = QAT.QATConfig()
+            qat_cfg = QAT.QATConfig(
+                compute_dtype="bfloat16" if qat_cfg == "amp" else None)
         else:
             qc, qs = qcfg, qstate
         step = QAT.make_qat_train_step(apply_fn, qc, qat_cfg, tx,

@@ -44,6 +44,63 @@ def test_qat_estimate_ranges_trains_from_scratch(tmp_path):
     assert score > 0.75, score
 
 
+def test_amp_qat_trains(tmp_path):
+    """--amp (bf16 matmuls/activations, f32 master weights + range math +
+    loss + optimizer — the reference's --amp autocast, TPU-native form)
+    fits synthetic data in estimate-ranges-train mode."""
+    score = cli.main(["train-quantized", "--task", "rte", "--synthetic-data",
+                      "--tiny-model", "--max-seq-length", "32",
+                      "--seed", "1000", "--num-epochs", "6",
+                      "--batch-size", "16", "--learning-rate", "3e-4",
+                      "--weight-quant-method", "current_minmax",
+                      "--num-est-batches", "2",
+                      "--est-ranges-batch-size", "8", "--amp"])
+    assert score > 0.75, score
+
+
+def test_amp_master_state_stays_f32():
+    """One AMP QAT step: params/ranges/loss remain float32 leaves."""
+    import jax
+    import jax.numpy as jnp
+    from transformer_quantization_tpu.models import bert as B
+    from transformer_quantization_tpu.training import qat as QAT
+    import optax
+
+    from transformer_quantization_tpu.quant.manager import init_weight_qstate
+    from transformer_quantization_tpu.quant.qconfig import QuantDefaults
+
+    cfg = B.BertConfig(vocab_size=128, hidden_size=32,
+                       num_hidden_layers=1, num_attention_heads=2,
+                       intermediate_size=64, max_position_embeddings=64)
+    params = B.init_bert_params(jax.random.PRNGKey(0), cfg)
+    qcfg = B.declare_bert_sites(QuantDefaults(), cfg)
+    qstate = init_weight_qstate(qcfg, B.bert_weight_site_tensors(params))
+
+    def apply_fn(p, b, qcfg=None, qstate=None, mode=None, train=False,
+                 dropout_rng=None, compute_dtype=None):
+        return B.bert_apply(p, b, cfg, qcfg, qstate, mode, train=train,
+                            dropout_rng=dropout_rng,
+                            compute_dtype=compute_dtype)
+
+    qat_cfg = QAT.QATConfig(compute_dtype="bfloat16")
+    tx = optax.adamw(1e-4)
+    step = QAT.make_qat_train_step(apply_fn, qcfg, qat_cfg, tx, donate=False)
+    p, learnable, rest, opt = QAT.init_qat_state(qcfg, qat_cfg, params,
+                                                 qstate, tx)
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, 128, (4, 16)), jnp.int32),
+        "attention_mask": jnp.ones((4, 16), jnp.float32),
+        "token_type_ids": jnp.zeros((4, 16), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 2, (4,)), jnp.int32),
+    }
+    out = step(p, learnable, rest, opt, batch, jax.random.PRNGKey(0))
+    new_params, loss = out[0], out[-1]
+    assert loss.dtype == jnp.float32 and np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(new_params):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+
+
 def test_qat_learn_ranges_finetune(tmp_path):
     """The reference QAT workflow (README.md:187-200): start from a
     TRAINED fp32 checkpoint, then fine-tune with learnable ranges.

@@ -90,6 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--warmup-ratio", type=float, default=0.0)
         g.add_argument("--gradient-accumulation-steps", type=int, default=1)
         g.add_argument("--eval-batch-size", type=int, default=32)
+        g.add_argument("--amp", action="store_true",
+                       help="mixed-precision training: bf16 matmuls/"
+                            "activations, f32 master weights, range math, "
+                            "statistics, loss, and optimizer (the "
+                            "reference's --amp fp16 autocast, "
+                            "transformer_click_options.py training group; "
+                            "bf16 needs no loss scaling)")
         g = sp.add_argument_group("progress")
         # the reference's progress option group
         # (transformer_click_options.py:288-400)
@@ -419,14 +426,16 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                              eval_every=args.eval_every,
                              save_every=args.save_every,
                              eval_batch_size=args.eval_batch_size)
-        qat_cfg = None
+        amp_dtype = "bfloat16" if args.amp else None
+        qat_cfg = QAT.QATConfig(compute_dtype=amp_dtype)
         if quantized:
             qat_cfg = QAT.QATConfig(
                 learn_ranges=args.learn_ranges,
                 fix_weight_ranges=args.fix_weight_ranges,
                 fix_act_ranges=args.fix_act_ranges,
                 learning_rate=args.learning_rate,
-                range_learning_rate=args.range_learning_rate)
+                range_learning_rate=args.range_learning_rate,
+                compute_dtype=amp_dtype)
 
         save_fn = None
         if args.output_dir and args.save_every:

@@ -161,18 +161,22 @@ def roberta_apply(params: Dict, batch: Mapping[str, Array],
                   int_params: Optional[Dict] = None,
                   use_pallas: bool = False,
                   capture_sites=None,
-                  capture_pre_act: bool = False) -> Tuple[Dict, Dict]:
+                  capture_pre_act: bool = False,
+                  compute_dtype=None) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
                      capture_sites=capture_sites,
-                     capture_pre_act=capture_pre_act)
+                     capture_pre_act=capture_pre_act,
+                     compute_dtype=compute_dtype)
     pos_ids = batch.get("position_ids")
     if pos_ids is None:
         pos_ids = create_position_ids_from_input_ids(batch["input_ids"],
                                                      cfg.pad_token_id)
     input_ids, token_type_ids, position_ids, mask_bias = B.prepare_inputs(
         batch, position_ids=pos_ids)
+    if compute_dtype is not None and mask_bias is not None:
+        mask_bias = mask_bias.astype(compute_dtype)
     rngs = B.make_dropout_rngs(cfg, train, dropout_rng)
 
     h = B._embeddings(ctx, params, cfg, input_ids, token_type_ids,

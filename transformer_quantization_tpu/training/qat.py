@@ -87,6 +87,13 @@ class QATConfig:
     learning_rate: float = 5e-5
     range_learning_rate: Optional[float] = None  # None -> same as lr
     weight_decay: float = 0.0
+    # TPU-native mixed-precision training (the reference's --amp /
+    # HF TrainingArguments fp16, transformer_click_options.py training
+    # group): matmuls and activation storage ride this dtype inside the
+    # train step while master weights, quantizer range math, LayerNorm/
+    # softmax statistics, the loss, and the optimizer all stay float32.
+    # bf16 has fp32's exponent range, so no loss scaling is needed.
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16"
 
 
 def qat_mode(qat: QATConfig, weight_quant: bool = True,
@@ -141,6 +148,10 @@ def make_qat_train_step(apply_fn: Callable, qcfg: QuantModelConfig,
     ``learnable`` is empty unless ``learn_ranges``.
     """
     mode = qat_mode(qat)
+    extra = {}
+    if qat.compute_dtype is not None:
+        import jax.numpy as jnp
+        extra["compute_dtype"] = jnp.dtype(qat.compute_dtype)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3) if donate else ())
     def step(params, learnable, rest_qstate, opt_state, batch, rng):
@@ -158,7 +169,7 @@ def make_qat_train_step(apply_fn: Callable, qcfg: QuantModelConfig,
                                             rest_qstate)
             out, new_qstate = apply_fn(trainable["params"], batch, qcfg=qcfg,
                                        qstate=qstate, mode=mode, train=True,
-                                       dropout_rng=rng)
+                                       dropout_rng=rng, **extra)
             return out["loss"], new_qstate
 
         (loss, new_qstate), grads = jax.value_and_grad(
