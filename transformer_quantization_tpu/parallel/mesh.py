@@ -31,11 +31,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from transformer_quantization_tpu.models.bert import BertConfig
 
 
-def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """dp x tp x sp device mesh.
+
+    ``sp`` (sequence parallel) shards the time dimension of activations;
+    it is a pure annotation axis — models are unchanged and GSPMD inserts
+    the all-gathers attention needs (scores contract the full sequence)
+    while embeddings/LayerNorm/FFN stay sequence-sharded.
+    """
     devices = devices if devices is not None else jax.devices()
-    assert dp * tp <= len(devices), (dp, tp, len(devices))
-    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+    assert dp * tp * sp <= len(devices), (dp, tp, sp, len(devices))
+    arr = np.asarray(devices[: dp * tp * sp]).reshape(dp, tp, sp)
+    return Mesh(arr, ("dp", "tp", "sp"))
 
 
 def _lin_col(shard_bias: bool = True) -> Dict:
@@ -138,8 +145,9 @@ def family_param_pspecs(family: str, cfg) -> Dict:
     raise KeyError(family)
 
 
-def batch_pspec() -> Dict:
-    return P("dp")
+def batch_pspec(seq_shard: bool = False) -> P:
+    """(B, T)-shaped model inputs: batch over dp, optionally seq over sp."""
+    return P("dp", "sp") if seq_shard else P("dp")
 
 
 def shard_params(params, mesh: Mesh, pspecs=None, cfg: Optional[BertConfig] = None):
@@ -151,6 +159,11 @@ def shard_params(params, mesh: Mesh, pspecs=None, cfg: Optional[BertConfig] = No
         is_leaf=lambda x: x is None)
 
 
-def shard_batch(batch, mesh: Mesh):
-    s = NamedSharding(mesh, P("dp"))
-    return {k: jax.device_put(v, s) for k, v in batch.items()}
+def shard_batch(batch, mesh: Mesh, seq_shard: bool = False):
+    """Place a host batch on the mesh: (B, T) arrays over (dp[, sp]),
+    1-D arrays (labels) over dp only."""
+    s2 = NamedSharding(mesh, batch_pspec(seq_shard and "sp" in
+                                         mesh.axis_names))
+    s1 = NamedSharding(mesh, P("dp"))
+    return {k: jax.device_put(v, s2 if getattr(v, "ndim", 1) >= 2 else s1)
+            for k, v in batch.items()}
