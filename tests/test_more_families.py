@@ -257,3 +257,40 @@ def test_squeezebert_blockdiag_densify_exact():
         m = np.ones((out_f // g, in_f), bool)
         m[:, j * (in_f // g):(j + 1) * (in_f // g)] = False
         assert np.all(blocks[j][m] == 0)
+
+
+@pytest.mark.parametrize("model_name", ["bert_base_uncased", "roberta_base",
+                                        "mobilebert_uncased",
+                                        "distilbert_base_uncased",
+                                        "albert_base_v2",
+                                        "squeezebert_uncased"])
+def test_amp_qat_step_all_families(model_name):
+    """One --amp QAT train step (bf16 matmuls, f32 master state) per
+    family: finite f32 loss, f32 parameter leaves."""
+    import jax
+    import optax
+    from transformer_quantization_tpu.quant.manager import init_weight_qstate
+    from transformer_quantization_tpu.training import qat as QAT
+
+    fam, cfg, params = build_model(model_name, tiny=True, seed=0)
+    qcfg = fam.declare_sites(sym_defaults(), cfg)
+    qstate = init_weight_qstate(qcfg, fam.weight_site_tensors(params))
+
+    apply_fn = functools.partial(fam.apply, cfg=cfg)
+    qat_cfg = QAT.QATConfig(compute_dtype="bfloat16")
+    tx = optax.adamw(1e-4)
+    step = QAT.make_qat_train_step(apply_fn, qcfg, qat_cfg, tx, donate=False)
+    p, learnable, rest, opt = QAT.init_qat_state(qcfg, qat_cfg, params,
+                                                 qstate, tx)
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, cfg.vocab_size, (4, 16)),
+                                 jnp.int32),
+        "attention_mask": jnp.ones((4, 16), jnp.float32),
+        "labels": jnp.asarray(rng.randint(0, 2, (4,)), jnp.int32),
+    }
+    out = step(p, learnable, rest, opt, batch, jax.random.PRNGKey(0))
+    loss = out[-1]
+    assert loss.dtype == jnp.float32 and np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(out[0]):
+        assert leaf.dtype == jnp.float32, leaf.dtype

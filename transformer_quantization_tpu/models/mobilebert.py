@@ -683,15 +683,8 @@ def mobilebert_apply(params: Dict, batch: Mapping[str, Array],
     outputs = {"logits": logits, "pooled": pooled, "sequence_output": h}
     labels = batch.get("labels")
     if labels is not None:
-        if cfg.num_labels == 1:
-            outputs["loss"] = jnp.mean(
-                (logits.reshape(-1) - labels.reshape(-1).astype(jnp.float32))
-                ** 2)
-        else:
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
-                                       axis=1)
-            outputs["loss"] = jnp.mean(nll)
+        outputs["loss"] = B.classification_loss(logits, labels,
+                                                cfg.num_labels)
     if capture_sites:
         outputs["captures"] = getattr(ctx, "captures", {})
     return outputs, ctx.export()
@@ -1045,15 +1038,8 @@ def mobilebert_engine_apply(params: Dict, batch: Mapping[str, Array],
     outputs = {"logits": logits, "pooled": pooled, "sequence_output": h}
     labels = batch.get("labels")
     if labels is not None:
-        if cfg.num_labels == 1:
-            outputs["loss"] = jnp.mean(
-                (logits.reshape(-1) - labels.reshape(-1).astype(jnp.float32))
-                ** 2)
-        else:
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
-                                       axis=1)
-            outputs["loss"] = jnp.mean(nll)
+        outputs["loss"] = B.classification_loss(logits, labels,
+                                                cfg.num_labels)
     return outputs
 
 
