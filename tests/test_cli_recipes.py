@@ -162,3 +162,18 @@ def test_engine_falls_back_when_incompatible(caplog):
                  "--weight-quant-method", "current_minmax")
     assert 0.0 <= s <= 1.0
     assert any("engine unavailable" in r.message for r in caplog.records)
+
+
+def test_dynamic_per_token_int8_engine_matches_simulation():
+    """--dynamic --per-token with --engine xla executes the real int8 path
+    (packed weights, per-token epilogue scales) and must score exactly like
+    the fake-quant simulation on the same data."""
+    sim = _run("--per-token", "--dynamic", "--seed", "1000")
+    eng = _run("--per-token", "--dynamic", "--engine", "xla",
+               "--seed", "1000")
+    assert eng == pytest.approx(sim, abs=1e-9), (sim, eng)
+
+
+def test_dynamic_per_tensor_int8_engine():
+    s = _run("--dynamic", "--engine", "xla")
+    assert 0.0 <= s <= 1.0

@@ -9,6 +9,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from transformer_quantization_tpu.models import bert as B
@@ -254,3 +255,51 @@ def test_quant_activation_wrapper_tied():
         np.asarray(y_untied),
         np.asarray(Q.fake_quant(qcfg["pool"].spec, qs["pool"]["qp"],
                                 avg_pool(x))), rtol=1e-6)
+
+
+class TestDynamicIntPath:
+    """--dynamic (+--per-token) executing on the real int8 path: per-batch /
+    per-token input scales fold into the matmul epilogue (axis scales are
+    constant along the contraction dim), so dynamic quantized inference no
+    longer needs the fake-quant fallback."""
+
+    def _setup(self, per_token: bool):
+        params = B.init_bert_params(jax.random.PRNGKey(0), CFG)
+        d = QuantDefaults(method=QMethod.symmetric_uniform,
+                          act_method=QMethod.asymmetric_uniform, n_bits=8,
+                          weight_range_method=RangeMethod.current_minmax,
+                          act_range_method=RangeMethod.current_minmax)
+        qcfg = B.declare_bert_sites(d, CFG)
+        if per_token:
+            qcfg = B.apply_peg_wiring(qcfg, CFG.num_hidden_layers,
+                                      per_token=True)
+        rng = np.random.RandomState(7)
+        batch = {
+            "input_ids": jnp.asarray(rng.randint(0, CFG.vocab_size, (4, 16))),
+            "attention_mask": jnp.ones((4, 16), jnp.float32),
+        }
+        apply_fn = functools.partial(B.bert_apply, cfg=CFG)
+        qstate, mode = prepare_quantized_model(
+            apply_fn, params, qcfg, [batch],
+            weight_tensors=B.bert_weight_site_tensors(params), dynamic=True)
+        int_params = B.build_bert_int_params(params, qcfg, qstate)
+        return params, qcfg, qstate, mode, int_params, batch
+
+    @pytest.mark.parametrize("per_token", [False, True])
+    def test_dynamic_int_matches_fake_quant(self, per_token):
+        params, qcfg, qstate, mode, int_params, batch = self._setup(per_token)
+        out_fake, _ = B.bert_apply(params, batch, CFG, qcfg, qstate, mode)
+        out_int, _ = B.bert_apply(params, batch, CFG, qcfg, qstate, mode,
+                                  int_params=int_params)
+        np.testing.assert_allclose(np.asarray(out_int["logits"]),
+                                   np.asarray(out_fake["logits"]),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_per_token_scales_are_per_position(self):
+        # two sequences with very different magnitudes at different
+        # positions: per-token dynamic ranges must differ along T
+        params, qcfg, qstate, mode, int_params, batch = self._setup(True)
+        _, qs = B.bert_apply(params, batch, CFG, qcfg, qstate, mode)
+        qp = qs["L0.attn.q.out"]["qp"]
+        assert qp.delta.shape == (16,)
+        assert float(jnp.std(qp.delta)) > 0.0

@@ -503,10 +503,33 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
 
         Rebuilt per qstate: the plan bakes site scales, and e.g. the
         AdaRound multi-eval re-estimates act ranges per setting."""
-        if (not quantized or getattr(args, "engine", "off") == "off"
-                or args.dynamic or fam.build_engine is None):
+        if not quantized or getattr(args, "engine", "off") == "off":
             return None
         import jax as _jax
+
+        if args.dynamic:
+            # dynamic (incl. per-token) ranges re-estimate inside the
+            # forward, so the megakernel plan (baked scales) can't apply —
+            # but the generic int path can: packed int8 weights + per-batch
+            # / per-token input scales folded into the matmul epilogue
+            # (ops/layers.py _int8_fast_path axis folding)
+            int_params = fam.build_int_params(params, qcfg, qs, False)
+            backend = ("xla" if args.engine == "xla"
+                       or (args.engine == "auto"
+                           and _jax.default_backend() == "cpu")
+                       else "pallas")
+            logger.info("dynamic int8 path active for eval (backend=%s)",
+                        backend)
+
+            def dynamic_int_apply(params, batch, qcfg=None, qstate=None,
+                                  mode=None, **kw):
+                return fam.apply(params, batch, cfg, qcfg, qstate, mode,
+                                 int_params=int_params,
+                                 use_pallas=backend == "pallas", **kw)
+
+            return dynamic_int_apply
+        if fam.build_engine is None:
+            return None
 
         from transformer_quantization_tpu.ops.engine import EngineIncompatible
 
@@ -533,7 +556,10 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
 
     def eval_mean(qs, mode):
         split_scores, res = [], {}
-        engine_fwd = make_engine_apply(qs) if mode == full_q else None
+        use_engine = (mode == full_q
+                      or (getattr(args, "dynamic", False)
+                          and mode == eval_mode))
+        engine_fwd = make_engine_apply(qs) if use_engine else None
         for split_name, arr in eval_splits:
             fwd = engine_fwd if engine_fwd is not None else apply_fn
             with timer.phase("eval"):

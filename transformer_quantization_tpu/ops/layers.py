@@ -51,7 +51,13 @@ def _maybe_capture(ctx, name: str, x: Array, y: Array) -> None:
 
 
 def _int8_fast_path(ctx, name: str, input_site: Optional[str]):
-    """Packed int8 weights + per-tensor quantized input -> MXU int path."""
+    """Packed int8 weights + quantized input -> MXU int path.
+
+    The input site may be per-tensor or per-axis (e.g. per-token, axis=1):
+    axis scales are constant along the contraction dim, so they fold into
+    the epilogue like the per-tensor scalar does. Per-channel / grouped
+    input scales vary along the contracted features and cannot fold.
+    """
     int_params = getattr(ctx, "int_params", None)
     if not int_params or name not in int_params:
         return None
@@ -60,8 +66,8 @@ def _int8_fast_path(ctx, name: str, input_site: Optional[str]):
     in_cfg = ctx.cfg[input_site]
     if not (in_cfg.enabled and ctx.mode.act_quant and ctx.mode.weight_quant):
         return None
-    if in_cfg.axis is not None or in_cfg.per_channel:
-        return None  # per-axis input scales can't fold into one matmul scale
+    if in_cfg.per_channel or in_cfg.n_groups:
+        return None  # scales vary along the contracted features
     wname = f"{name}.w"
     if wname in ctx.cfg and not ctx.cfg[wname].enabled:
         return None
@@ -89,11 +95,21 @@ def quant_linear(ctx, name: str, x: Array, w: Array, b: Optional[Array],
 
     act = _resolve_act(activation)
     fast = _int8_fast_path(ctx, name, input_site)
+    if fast is not None and fast[0].axis == x.ndim - 1:
+        fast = None  # per-embd (axis=last): scales vary along contraction
     if fast is not None:
         in_cfg, in_qp, packed = fast
+        if in_cfg.axis is not None:
+            from transformer_quantization_tpu.quant import quantizers as Q
+
+            # per-token (axis=1 on (B,T,d)) ranges: broadcast the reduced
+            # (T,) params to (1,T,1) — dynamic per-token quantization then
+            # executes on the real int8 path with per-row epilogue scales
+            in_qp = Q.expand_qparams(in_qp, x.ndim, in_cfg.axis)
         out_site = f"{name}.out"
         capturing = bool(getattr(ctx, "capture_sites", None))
-        if getattr(ctx, "use_pallas", False) and not capturing:
+        if (getattr(ctx, "use_pallas", False) and not capturing
+                and in_cfg.axis is None):
             from transformer_quantization_tpu.ops.pallas import (
                 fused_int8_linear,
             )
