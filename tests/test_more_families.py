@@ -294,3 +294,47 @@ def test_amp_qat_step_all_families(model_name):
     assert loss.dtype == jnp.float32 and np.isfinite(float(loss))
     for leaf in jax.tree.leaves(out[0]):
         assert leaf.dtype == jnp.float32, leaf.dtype
+
+
+@pytest.mark.parametrize("model_name", ["bert_base_uncased", "roberta_base",
+                                        "mobilebert_uncased",
+                                        "distilbert_base_uncased",
+                                        "albert_base_v2",
+                                        "squeezebert_uncased"])
+def test_remat_step_matches_plain(model_name):
+    """jax.checkpoint rematerialization: one QAT step with --remat must
+    produce the same loss AND the same updated params as without (remat
+    changes the memory/FLOPs schedule, not the math)."""
+    import jax
+    import optax
+    from transformer_quantization_tpu.quant.manager import init_weight_qstate
+    from transformer_quantization_tpu.training import qat as QAT
+
+    fam, cfg, params = build_model(model_name, tiny=True, seed=0)
+    qcfg = fam.declare_sites(sym_defaults(), cfg)
+    qstate = init_weight_qstate(qcfg, fam.weight_site_tensors(params))
+    apply_fn = functools.partial(fam.apply, cfg=cfg)
+    tx = optax.adamw(1e-4)
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, cfg.vocab_size, (4, 16)),
+                                 jnp.int32),
+        "attention_mask": jnp.ones((4, 16), jnp.float32),
+        "labels": jnp.asarray(rng.randint(0, 2, (4,)), jnp.int32),
+    }
+
+    outs = {}
+    for remat in (False, True):
+        qat_cfg = QAT.QATConfig(remat=remat)
+        step = QAT.make_qat_train_step(apply_fn, qcfg, qat_cfg, tx,
+                                       donate=False)
+        p, learnable, rest, opt = QAT.init_qat_state(qcfg, qat_cfg, params,
+                                                     qstate, tx)
+        out = step(p, learnable, rest, opt, batch, jax.random.PRNGKey(0))
+        outs[remat] = (out[0], out[-1])
+    np.testing.assert_allclose(float(outs[True][1]), float(outs[False][1]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[True][0]),
+                    jax.tree.leaves(outs[False][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--warmup-ratio", type=float, default=0.0)
         g.add_argument("--gradient-accumulation-steps", type=int, default=1)
         g.add_argument("--eval-batch-size", type=int, default=32)
+        g.add_argument("--remat", action="store_true",
+                       help="rematerialize encoder layers in the backward "
+                            "pass (jax.checkpoint): ~1/3 extra FLOPs for "
+                            "O(layers) less activation memory, letting "
+                            "batch sizes grow past HBM limits")
         g.add_argument("--amp", action="store_true",
                        help="mixed-precision training: bf16 matmuls/"
                             "activations, f32 master weights, range math, "
@@ -427,7 +432,7 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                              save_every=args.save_every,
                              eval_batch_size=args.eval_batch_size)
         amp_dtype = "bfloat16" if args.amp else None
-        qat_cfg = QAT.QATConfig(compute_dtype=amp_dtype)
+        qat_cfg = QAT.QATConfig(compute_dtype=amp_dtype, remat=args.remat)
         if quantized:
             qat_cfg = QAT.QATConfig(
                 learn_ranges=args.learn_ranges,
@@ -435,7 +440,7 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                 fix_act_ranges=args.fix_act_ranges,
                 learning_rate=args.learning_rate,
                 range_learning_rate=args.range_learning_rate,
-                compute_dtype=amp_dtype)
+                compute_dtype=amp_dtype, remat=args.remat)
 
         save_fn = None
         if args.output_dir and args.save_every:

@@ -221,7 +221,8 @@ def albert_apply(params: Dict, batch: Mapping[str, Array], cfg: AlbertConfig,
                  use_pallas: bool = False,
                  capture_sites=None,
                  capture_pre_act: bool = False,
-                 compute_dtype=None) -> Tuple[Dict, Dict]:
+                 compute_dtype=None,
+                 remat: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
@@ -242,8 +243,11 @@ def albert_apply(params: Dict, batch: Mapping[str, Array], cfg: AlbertConfig,
     h_site = "emb_proj.out"
     for i in range(cfg.num_hidden_layers):
         layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
-        h = B._layer(ctx, params["shared"], cfg, h, mask_bias, "shared.",
-                     train, layer_rngs, h_site=h_site)
+        h = B.maybe_remat_layer(
+            ctx, remat,
+            lambda sub, p_i, h, r, hs=h_site: B._layer(
+                sub, p_i, cfg, h, mask_bias, "shared.", train, r, h_site=hs),
+            params["shared"], h, layer_rngs)
         h_site = "shared.ffn.ln.out"
 
     pooled = quant_linear(ctx, "pooler.dense", h[:, 0],

@@ -637,15 +637,48 @@ def make_dropout_rngs(cfg, train: bool, dropout_rng):
 
 
 def run_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
-                first_site: str):
-    """Encoder-layer stack shared by BERT and RoBERTa."""
+                first_site: str, remat: bool = False):
+    """Encoder-layer stack shared by BERT and RoBERTa.
+
+    ``remat=True`` wraps each layer in :func:`jax.checkpoint`: activations
+    are recomputed in the backward pass instead of stored, trading ~1/3
+    extra FLOPs for O(layers) less live memory — the TPU-native answer to
+    growing QAT batch sizes into HBM limits. Quant-state updates thread
+    through the checkpointed region as explicit inputs/outputs (a per-layer
+    ctx clone), so estimate-phase range updates still work.
+    """
     h_site = first_site
     for i in range(cfg.num_hidden_layers):
         layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
-        h = _layer(ctx, params["layers"][i], cfg, h, mask_bias, f"L{i}.",
-                   train, layer_rngs, h_site=h_site)
+        h = maybe_remat_layer(
+            ctx, remat,
+            lambda sub, p_i, h, r, prefix=f"L{i}.", hs=h_site: _layer(
+                sub, p_i, cfg, h, mask_bias, prefix, train, r, h_site=hs),
+            params["layers"][i], h, layer_rngs)
         h_site = f"L{i}.ffn.ln.out"
     return h, h_site
+
+
+def maybe_remat_layer(ctx, remat: bool, layer_fn, params_i, h, layer_rngs):
+    """Run ``layer_fn(sub_ctx, params_i, h, layer_rngs)``, optionally under
+    :func:`jax.checkpoint` (see :func:`run_encoder`). The quant state
+    threads through the rematerialized region as explicit inputs/outputs
+    via a shallow per-layer ctx clone, so estimate-phase range updates
+    survive; capture mode disables remat (captures would leak tracers)."""
+    import copy
+
+    if not remat or getattr(ctx, "capture_sites", None):
+        return layer_fn(ctx, params_i, h, layer_rngs)
+
+    def fn(p_i, h, qstate, r):
+        sub = copy.copy(ctx)
+        sub.qstate = dict(qstate)
+        y = layer_fn(sub, p_i, h, r)
+        return y, sub.export()
+
+    h, new_qs = jax.checkpoint(fn)(params_i, h, ctx.qstate, layer_rngs)
+    ctx.qstate = dict(new_qs)
+    return h
 
 
 def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
@@ -660,7 +693,8 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                capture_pre_act: bool = False,
                compute_dtype=None,
                attention_dtype=None,
-               int8_attention: bool = False) -> Tuple[Dict, Dict]:
+               int8_attention: bool = False,
+               remat: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``.
 
     ``batch`` holds ``input_ids`` (B, T) plus optional ``attention_mask``,
@@ -702,7 +736,7 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
     h = _embeddings(ctx, params, cfg, input_ids, token_type_ids, position_ids,
                     train, rngs[0] if rngs else None)
     h, h_site = run_encoder(ctx, params, cfg, h, mask_bias, train, rngs,
-                            first_site="emb.ln.out")
+                            first_site="emb.ln.out", remat=remat)
 
     outputs = _classification_head(ctx, params, cfg, h, h_site, batch,
                                    train, rngs)

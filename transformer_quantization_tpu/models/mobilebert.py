@@ -636,7 +636,8 @@ def mobilebert_apply(params: Dict, batch: Mapping[str, Array],
                      capture_sites=None,
                      capture_pre_act: bool = False,
                      compute_dtype=None,
-                     int8_attention: bool = False) -> Tuple[Dict, Dict]:
+                     int8_attention: bool = False,
+                     remat: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
@@ -658,8 +659,11 @@ def mobilebert_apply(params: Dict, batch: Mapping[str, Array],
                     train, rngs[0] if rngs else None)
     h_site = "emb.norm.out"
     for i in range(cfg.num_hidden_layers):
-        h = _layer(ctx, params["layers"][i], cfg, h, mask_bias, f"L{i}.",
-                   train, rngs[1 + i] if rngs else None, h_site=h_site)
+        h = B.maybe_remat_layer(
+            ctx, remat,
+            lambda sub, p_i, h, r, prefix=f"L{i}.", hs=h_site: _layer(
+                sub, p_i, cfg, h, mask_bias, prefix, train, r, h_site=hs),
+            params["layers"][i], h, rngs[1 + i] if rngs else None)
         h_site = (f"L{i}.out.bn.norm.out" if cfg.use_bottleneck
                   else f"L{i}.out.norm.out")
 

@@ -162,7 +162,8 @@ def roberta_apply(params: Dict, batch: Mapping[str, Array],
                   use_pallas: bool = False,
                   capture_sites=None,
                   capture_pre_act: bool = False,
-                  compute_dtype=None) -> Tuple[Dict, Dict]:
+                  compute_dtype=None,
+                  remat: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
@@ -182,7 +183,7 @@ def roberta_apply(params: Dict, batch: Mapping[str, Array],
     h = B._embeddings(ctx, params, cfg, input_ids, token_type_ids,
                       position_ids, train, rngs[0] if rngs else None)
     h, h_site = B.run_encoder(ctx, params, cfg, h, mask_bias, train, rngs,
-                              first_site="emb.ln.out")
+                              first_site="emb.ln.out", remat=remat)
 
     outputs = _roberta_head(ctx, params, cfg, h, h_site, batch, train, rngs)
     if capture_sites:

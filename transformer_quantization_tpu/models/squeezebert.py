@@ -240,7 +240,8 @@ def squeezebert_apply(params: Dict, batch: Mapping[str, Array],
                       use_pallas: bool = False,
                       capture_sites=None,
                       capture_pre_act: bool = False,
-                      compute_dtype=None) -> Tuple[Dict, Dict]:
+                      compute_dtype=None,
+                      remat: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
@@ -258,8 +259,11 @@ def squeezebert_apply(params: Dict, batch: Mapping[str, Array],
     h_site = "emb.ln.out"
     for i in range(cfg.num_hidden_layers):
         layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
-        h = _sq_layer(ctx, params["layers"][i], cfg, h, mask_bias, f"L{i}.",
-                      train, layer_rngs, h_site=h_site)
+        h = B.maybe_remat_layer(
+            ctx, remat,
+            lambda sub, p_i, h, r, prefix=f"L{i}.", hs=h_site: _sq_layer(
+                sub, p_i, cfg, h, mask_bias, prefix, train, r, h_site=hs),
+            params["layers"][i], h, layer_rngs)
         h_site = f"L{i}.ffn.ln.out"
 
     pooled = quant_linear(ctx, "pooler.dense", h[:, 0],

@@ -94,6 +94,11 @@ class QATConfig:
     # softmax statistics, the loss, and the optimizer all stay float32.
     # bf16 has fp32's exponent range, so no loss scaling is needed.
     compute_dtype: Optional[str] = None  # e.g. "bfloat16"
+    # rematerialize encoder layers in the backward pass (jax.checkpoint):
+    # ~1/3 extra forward FLOPs for O(layers) less live activation memory —
+    # lets QAT batch sizes grow past HBM limits (no reference counterpart;
+    # torch.utils.checkpoint is the rough analogue)
+    remat: bool = False
 
 
 def qat_mode(qat: QATConfig, weight_quant: bool = True,
@@ -152,6 +157,8 @@ def make_qat_train_step(apply_fn: Callable, qcfg: QuantModelConfig,
     if qat.compute_dtype is not None:
         import jax.numpy as jnp
         extra["compute_dtype"] = jnp.dtype(qat.compute_dtype)
+    if qat.remat:
+        extra["remat"] = True
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3) if donate else ())
     def step(params, learnable, rest_qstate, opt_state, batch, rng):
