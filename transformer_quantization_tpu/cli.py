@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--max-grad-norm", type=float, default=1.0)
         g.add_argument("--warmup-ratio", type=float, default=0.0)
         g.add_argument("--gradient-accumulation-steps", type=int, default=1)
+        g.add_argument("--max-steps", type=int, default=None,
+                       help="stop after N optimizer steps (HF max_steps); "
+                            "the LR schedule still spans num_epochs, so an "
+                            "interrupted run resumes exactly")
         g.add_argument("--eval-batch-size", type=int, default=32)
         g.add_argument("--remat", action="store_true",
                        help="rematerialize encoder layers in the backward "
@@ -108,6 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--eval-every", type=int, default=None,
                        help="mid-train eval on the validation set every N "
                             "steps (reference --eval_steps)")
+        g.add_argument("--resume", action="store_true",
+                       help="resume an interrupted training run from the "
+                            "full train state (model + ranges + optimizer "
+                            "+ RNG + step) saved at --save-every cadence "
+                            "under --output-dir; data order replays "
+                            "deterministically")
         g.add_argument("--save-every", type=int, default=None,
                        help="mid-train checkpoint every N steps into "
                             "--output-dir (reference --save_steps)")
@@ -430,7 +440,8 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                              log_every=args.log_every,
                              eval_every=args.eval_every,
                              save_every=args.save_every,
-                             eval_batch_size=args.eval_batch_size)
+                             eval_batch_size=args.eval_batch_size,
+                             max_steps=args.max_steps)
         amp_dtype = "bfloat16" if args.amp else None
         qat_cfg = QAT.QATConfig(compute_dtype=amp_dtype, remat=args.remat)
         if quantized:
@@ -470,12 +481,18 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
 
         if quantized:
             _residual_hists(0)
+        train_state_path = None
+        if args.output_dir and args.save_every:
+            train_state_path = os.path.join(args.output_dir,
+                                            f"train_state_{task.name}")
         with timer.phase("train"):
             params, qstate = T.train(apply_fn, params, task, train_arr, tcfg,
                                      qcfg=qcfg, qstate=qstate,
                                      qat_cfg=qat_cfg, log_fn=logger.info,
                                      eval_arrays=val_arr,
-                                     tb_writer=tb_writer, save_fn=save_fn)
+                                     tb_writer=tb_writer, save_fn=save_fn,
+                                     train_state_path=train_state_path,
+                                     resume=args.resume)
         if quantized:
             # fix ranges after training for final eval (main.py:659-663)
             eval_mode = QuantMode(weight_quant=weight_quant,

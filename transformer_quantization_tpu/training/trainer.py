@@ -10,6 +10,7 @@ row). Works for the FP32 baseline (qcfg=None), PTQ eval, and QAT.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -45,6 +46,10 @@ class TrainConfig:
     eval_every: Optional[int] = None   # mid-train eval every N steps
     save_every: Optional[int] = None   # checkpoint every N steps
     eval_batch_size: int = 32
+    # stop after N optimizer steps (HF TrainingArguments max_steps); the
+    # LR schedule still spans the full num_epochs horizon, so an
+    # interrupted-then-resumed run matches an uninterrupted one exactly
+    max_steps: Optional[int] = None
 
 
 def make_eval_step(apply_fn: Callable, qcfg: Optional[QuantModelConfig],
@@ -101,13 +106,53 @@ def make_optimizer(tcfg: TrainConfig, steps_total: int
     return tx
 
 
+def save_train_state(path: str, params, learnable, rest, opt_state, rng,
+                     step_i: int) -> None:
+    """Full mid-train state: model + ranges + optimizer + RNG + position.
+
+    The optimizer pytree (optax NamedTuples) is stored as ordered leaves
+    and re-hung on a freshly-initialized state's treedef at load time —
+    robust to any optax structure without pickling."""
+    from transformer_quantization_tpu.utils import checkpoint as CK
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    CK.save_tree(path + ".model.npz",
+                 {"params": params, "learnable": learnable, "rest": rest})
+    opt_leaves = {f"leaf_{i}": np.asarray(x)
+                  for i, x in enumerate(jax.tree.leaves(opt_state))}
+    np.savez(path + ".opt.npz", __step__=np.asarray(step_i),
+             __rng__=np.asarray(rng), **opt_leaves)
+
+
+def load_train_state(path: str, opt_template) -> Tuple:
+    """Inverse of :func:`save_train_state`; ``opt_template`` is a freshly
+    built ``tx.init(...)`` state providing the treedef."""
+    from transformer_quantization_tpu.utils import checkpoint as CK
+
+    model = CK.load_tree(path + ".model.npz")
+    with np.load(path + ".opt.npz") as z:
+        step_i = int(z["__step__"])
+        rng = jax.numpy.asarray(z["__rng__"])
+        n = len([k for k in z.files if k.startswith("leaf_")])
+        leaves = [jax.numpy.asarray(z[f"leaf_{i}"]) for i in range(n)]
+    opt_state = jax.tree.unflatten(jax.tree.structure(opt_template), leaves)
+    return (model["params"], model.get("learnable") or {},
+            model.get("rest") or {}, opt_state, rng, step_i)
+
+
+def has_train_state(path: str) -> bool:
+    return os.path.exists(path + ".opt.npz")
+
+
 def train(apply_fn: Callable, params, task: GlueTask,
           train_arrays: Dict[str, np.ndarray], tcfg: TrainConfig, *,
           qcfg: Optional[QuantModelConfig] = None, qstate: Optional[Dict] = None,
           qat_cfg: Optional[QAT.QATConfig] = None,
           eval_arrays: Optional[Dict[str, np.ndarray]] = None,
           log_fn: Callable = print, tb_writer=None,
-          save_fn: Optional[Callable] = None) -> Tuple:
+          save_fn: Optional[Callable] = None,
+          train_state_path: Optional[str] = None,
+          resume: bool = False) -> Tuple:
     """Train loop. Baseline mode (qcfg=None) or QAT (qcfg+qstate+qat_cfg).
 
     Returns ``(params, qstate)`` with QAT ranges merged & ready to fix.
@@ -133,19 +178,31 @@ def train(apply_fn: Callable, params, task: GlueTask,
     params, learnable, rest, opt_state = QAT.init_qat_state(
         qcfg or QuantModelConfig(()), qat_cfg, params, qstate, tx)
 
+    start_step = 0
+    rng = jax.random.PRNGKey(tcfg.seed)
+    if resume and train_state_path and has_train_state(train_state_path):
+        params, learnable, rest, opt_state, rng, start_step = \
+            load_train_state(train_state_path, opt_state)
+        log_fn(f"resumed train state from {train_state_path} "
+               f"at step {start_step}")
+
     quantized = qcfg is not None and len(qcfg.sites) > 0
     mid_eval_mode = (QuantMode() if quantized else FP32_MODE)
 
     def current_qstate():
         return QAT.merge_learnable_ranges(learnable, rest)
 
-    rng = jax.random.PRNGKey(tcfg.seed)
     data_rng = np.random.RandomState(tcfg.seed)
     step_i = 0
     for epoch in range(tcfg.num_epochs):
         for batch in batch_iterator(train_arrays, tcfg.batch_size,
                                     shuffle=True, rng=data_rng,
                                     drop_last=True):
+            if step_i < start_step:
+                # resumed run: replay the (deterministic) shuffle order
+                # without stepping, so data order matches the original run
+                step_i += 1
+                continue
             batch.pop("example_mask")
             params, learnable, rest, opt_state, rng, loss = step_fn(
                 params, learnable, rest, opt_state, batch, rng)
@@ -164,8 +221,14 @@ def train(apply_fn: Callable, params, task: GlueTask,
                 if tb_writer is not None:
                     for k, v in m.items():
                         tb_writer.scalar(f"eval/{k}", float(v), step_i)
-            if (tcfg.save_every and save_fn is not None
-                    and step_i % tcfg.save_every == 0):
-                save_fn(params, current_qstate(), step_i)
+            if tcfg.save_every and step_i % tcfg.save_every == 0:
+                if save_fn is not None:
+                    save_fn(params, current_qstate(), step_i)
+                if train_state_path:
+                    save_train_state(train_state_path, params, learnable,
+                                     rest, opt_state, rng, step_i)
+            if tcfg.max_steps and step_i >= tcfg.max_steps:
+                qstate = QAT.merge_learnable_ranges(learnable, rest)
+                return params, qstate
     qstate = QAT.merge_learnable_ranges(learnable, rest)
     return params, qstate
