@@ -263,10 +263,11 @@ class TestDynamicIntPath:
     constant along the contraction dim), so dynamic quantized inference no
     longer needs the fake-quant fallback."""
 
-    def _setup(self, per_token: bool):
+    def _setup(self, per_token: bool, per_channel: bool = False):
         params = B.init_bert_params(jax.random.PRNGKey(0), CFG)
         d = QuantDefaults(method=QMethod.symmetric_uniform,
                           act_method=QMethod.asymmetric_uniform, n_bits=8,
+                          per_channel_weights=per_channel,
                           weight_range_method=RangeMethod.current_minmax,
                           act_range_method=RangeMethod.current_minmax)
         qcfg = B.declare_bert_sites(d, CFG)
@@ -285,9 +286,11 @@ class TestDynamicIntPath:
         int_params = B.build_bert_int_params(params, qcfg, qstate)
         return params, qcfg, qstate, mode, int_params, batch
 
-    @pytest.mark.parametrize("per_token", [False, True])
-    def test_dynamic_int_matches_fake_quant(self, per_token):
-        params, qcfg, qstate, mode, int_params, batch = self._setup(per_token)
+    @pytest.mark.parametrize("per_token,per_channel",
+                             [(False, False), (True, False), (True, True)])
+    def test_dynamic_int_matches_fake_quant(self, per_token, per_channel):
+        params, qcfg, qstate, mode, int_params, batch = self._setup(
+            per_token, per_channel)
         out_fake, _ = B.bert_apply(params, batch, CFG, qcfg, qstate, mode)
         out_int, _ = B.bert_apply(params, batch, CFG, qcfg, qstate, mode,
                                   int_params=int_params)
