@@ -78,6 +78,22 @@ def main():
                     choices=["pallas", "xla"])
     args = ap.parse_args()
 
+    # Fail fast if the TPU tunnel is down: backend init otherwise blocks
+    # ~20-30 min before raising UNAVAILABLE, which reads as a hung bench.
+    import signal
+
+    def _unavailable(signum, frame):
+        print("bench: device backend init timed out (TPU tunnel down?)",
+              file=sys.stderr, flush=True)
+        raise SystemExit(3)
+
+    if hasattr(signal, "SIGALRM"):
+        signal.signal(signal.SIGALRM, _unavailable)
+        signal.alarm(300)
+    jax.devices()
+    if hasattr(signal, "SIGALRM"):
+        signal.alarm(0)
+
     from transformer_quantization_tpu.models import bert as B
     from transformer_quantization_tpu.quant.qconfig import QuantMode
     import __graft_entry__ as G
