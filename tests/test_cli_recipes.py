@@ -177,3 +177,12 @@ def test_dynamic_per_token_int8_engine_matches_simulation():
 def test_dynamic_per_tensor_int8_engine():
     s = _run("--dynamic", "--engine", "xla")
     assert 0.0 <= s <= 1.0
+
+
+def test_dynamic_int8_engine_mobilebert():
+    """Family-generic dynamic int path: MobileBERT (NoNorm, bottlenecks)
+    through --dynamic --engine xla matches its own simulation score."""
+    extra = ["--model-name", "mobilebert_uncased", "--seed", "1000"]
+    sim = _run("--dynamic", *extra)
+    eng = _run("--dynamic", "--engine", "xla", *extra)
+    assert eng == pytest.approx(sim, abs=1e-9), (sim, eng)
