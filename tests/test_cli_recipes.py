@@ -186,3 +186,11 @@ def test_dynamic_int8_engine_mobilebert():
     sim = _run("--dynamic", *extra)
     eng = _run("--dynamic", "--engine", "xla", *extra)
     assert eng == pytest.approx(sim, abs=1e-9), (sim, eng)
+
+
+def test_w4a8_packed_int4_engine_matches_simulation():
+    """--n-bits 4 --engine now packs 2x int4/byte end-to-end from the CLI;
+    the packed path must score exactly like the W4A8 simulation."""
+    sim = _run("--n-bits", "4", "--seed", "1000")
+    eng = _run("--n-bits", "4", "--engine", "xla", "--seed", "1000")
+    assert eng == pytest.approx(sim, abs=1e-9), (sim, eng)

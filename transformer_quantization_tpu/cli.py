@@ -535,7 +535,8 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
             # but the generic int path can: packed int8 weights + per-batch
             # / per-token input scales folded into the matmul epilogue
             # (ops/layers.py _int8_fast_path axis folding)
-            int_params = fam.build_int_params(params, qcfg, qs, False)
+            int_params = fam.build_int_params(params, qcfg, qs,
+                                              args.n_bits <= 4)
             backend = ("xla" if args.engine == "xla"
                        or (args.engine == "auto"
                            and _jax.default_backend() == "cpu")
@@ -556,7 +557,8 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
         from transformer_quantization_tpu.ops.engine import EngineIncompatible
 
         try:
-            e_static, e_plan, e_int = fam.build_engine(params, cfg, qcfg, qs)
+            e_static, e_plan, e_int = fam.build_engine(
+                params, cfg, qcfg, qs, use_int4=args.n_bits <= 4)
         except EngineIncompatible as e:
             logger.info("int8 engine unavailable (%s); generic path", e)
             return None
