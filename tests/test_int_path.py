@@ -306,3 +306,37 @@ class TestDynamicIntPath:
         qp = qs["L0.attn.q.out"]["qp"]
         assert qp.delta.shape == (16,)
         assert float(jnp.std(qp.delta)) > 0.0
+
+
+class TestWeightOnlyIntPath:
+    """Weight-only real-int execution (e.g. the paper's W4A32 AdaRound
+    eval): packed int weights dequantize on load, activations stay float;
+    logits must be IDENTICAL to the fake-quant path (same grid points)."""
+
+    @pytest.mark.parametrize("n_bits", [8, 4])
+    def test_w_only_matches_fake_quant(self, n_bits):
+        params = B.init_bert_params(jax.random.PRNGKey(0), CFG)
+        d = QuantDefaults(method=QMethod.symmetric_uniform,
+                          act_method=QMethod.asymmetric_uniform,
+                          n_bits=n_bits,
+                          weight_range_method=RangeMethod.current_minmax,
+                          act_range_method=RangeMethod.current_minmax)
+        qcfg = B.declare_bert_sites(d, CFG)
+        rng = np.random.RandomState(11)
+        batch = {
+            "input_ids": jnp.asarray(rng.randint(0, CFG.vocab_size, (4, 16))),
+            "attention_mask": jnp.ones((4, 16), jnp.float32),
+        }
+        apply_fn = functools.partial(B.bert_apply, cfg=CFG)
+        # act_quant=False => W{n}A32: no input site is int8-able, so every
+        # matmul previously ran the full fake-quant weight chain
+        qstate, mode = prepare_quantized_model(
+            apply_fn, params, qcfg, [batch], act_quant=False,
+            weight_tensors=B.bert_weight_site_tensors(params))
+        int_params = B.build_bert_int_params(params, qcfg, qstate,
+                                             use_int4=n_bits == 4)
+        out_fake, _ = B.bert_apply(params, batch, CFG, qcfg, qstate, mode)
+        out_int, _ = B.bert_apply(params, batch, CFG, qcfg, qstate, mode,
+                                  int_params=int_params)
+        np.testing.assert_array_equal(np.asarray(out_int["logits"]),
+                                      np.asarray(out_fake["logits"]))

@@ -63,6 +63,24 @@ def pack_weight_int8(spec: Q.QuantizerSpec, qp: Q.QuantParams,
     }
 
 
+def dequantize_packed_weight(packed: Dict) -> Array:
+    """Packed int weight -> the dequantized f32 ``(O, I)`` tensor.
+
+    Bit-identical to the fake-quant output (symmetric grid, zero point 0,
+    AdaRound applied at pack time), but the weight is READ from HBM as
+    int8 / packed int4 — 4-8x less weight traffic than f32. This is the
+    weight-only execution mode (e.g. the paper's W4A32 AdaRound eval,
+    README.md:176-183, where activations stay float): XLA fuses the
+    dequant multiply into the consuming matmul's prologue.
+    """
+    if "w_packed" in packed:
+        w_int = unpack_int4(packed["w_packed"], packed["in_features"])
+    else:
+        w_int = packed["w_int"]
+    scale = packed["scale"]  # (1,) per-tensor or (O,) per-channel
+    return w_int.astype(jnp.float32) * scale[:, None]
+
+
 def quantize_activation_int8(spec: Q.QuantizerSpec, qp: Q.QuantParams,
                              x: Array):
     """Re-quantize a (fake-quantized) float activation to its int8 payload.

@@ -77,6 +77,25 @@ def _int8_fast_path(ctx, name: str, input_site: Optional[str]):
     return in_cfg, st["qp"], int_params[name]
 
 
+def _weight_from_int_or_fake(ctx, name: str, w: Array) -> Array:
+    """Quantized weight for the float matmul path: dequantize the packed
+    int payload when one is available (weight-only real-int execution —
+    int8/int4 HBM reads instead of f32; bit-identical values), else the
+    fake-quant chain. Packed payloads bake FIXED ranges (+ AdaRound), so
+    estimate/learn weight phases fall back to the live fake-quant."""
+    from transformer_quantization_tpu.ops import int_linear as IL
+    from transformer_quantization_tpu.quant.qconfig import Phase
+
+    int_params = getattr(ctx, "int_params", None)
+    wname = f"{name}.w"
+    if (int_params and name in int_params and ctx.mode.weight_quant
+            and ctx.mode.weight_phase == Phase.fix
+            and not (wname in ctx.cfg and not ctx.cfg[wname].enabled)
+            and not getattr(ctx, "capture_sites", None)):
+        return IL.dequantize_packed_weight(int_params[name])
+    return ctx.weight(wname, w)
+
+
 def quant_linear(ctx, name: str, x: Array, w: Array, b: Optional[Array],
                  activation=None, input_site: Optional[str] = None) -> Array:
     """Quantized affine layer with optional fused activation.
@@ -164,7 +183,7 @@ def quant_linear(ctx, name: str, x: Array, w: Array, b: Optional[Array],
         _maybe_capture(ctx, name, x, y)
         return ctx.act(f"{name}.out", y)
 
-    w_q = ctx.weight(f"{name}.w", w)
+    w_q = _weight_from_int_or_fake(ctx, name, w)
     if getattr(ctx, "compute_dtype", None) is not None:
         w_q = w_q.astype(ctx.compute_dtype)
         x = x.astype(ctx.compute_dtype)
@@ -213,7 +232,7 @@ def quant_grouped_linear(ctx, name: str, x: Array, w: Array,
         return quant_linear(ctx, name, x, w, b, activation=activation,
                             input_site=input_site)
     act = _resolve_act(activation)
-    w_q = ctx.weight(f"{name}.w", w)
+    w_q = _weight_from_int_or_fake(ctx, name, w)
     if getattr(ctx, "compute_dtype", None) is not None:
         w_q = w_q.astype(ctx.compute_dtype)
         x = x.astype(ctx.compute_dtype)
