@@ -194,3 +194,13 @@ def test_w4a8_packed_int4_engine_matches_simulation():
     sim = _run("--n-bits", "4", "--seed", "1000")
     eng = _run("--n-bits", "4", "--engine", "xla", "--seed", "1000")
     assert eng == pytest.approx(sim, abs=1e-9), (sim, eng)
+
+
+def test_w4a32_weight_only_engine_matches_simulation():
+    """W4A32 (the paper's AdaRound eval setting, acts FP32): --engine runs
+    weight-only real-int execution (packed int4 dequantized on load) and
+    must score exactly like the simulation."""
+    sim = _run("--n-bits", "4", "--no-act-quant", "--seed", "1000")
+    eng = _run("--n-bits", "4", "--no-act-quant", "--engine", "xla",
+               "--seed", "1000")
+    assert eng == pytest.approx(sim, abs=1e-9), (sim, eng)

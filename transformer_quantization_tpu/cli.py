@@ -520,39 +520,49 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
 
     full_q = QuantMode()
 
-    def make_engine_apply(qs):
-        """Engine forward for this qstate, or None (generic path).
+    def make_engine_apply(qs, mode):
+        """Engine forward for this qstate+mode, or None (simulation).
 
         Rebuilt per qstate: the plan bakes site scales, and e.g. the
-        AdaRound multi-eval re-estimates act ranges per setting."""
+        AdaRound multi-eval re-estimates act ranges per setting. The
+        megakernel engine bakes the full-quant fixed-range mode; every
+        other mode (dynamic, weight-only/FP-acts, family without a
+        megakernel) routes to the generic int path, whose site gates
+        respect ``mode`` internally."""
         if not quantized or getattr(args, "engine", "off") == "off":
             return None
         import jax as _jax
 
-        if args.dynamic:
-            # dynamic (incl. per-token) ranges re-estimate inside the
-            # forward, so the megakernel plan (baked scales) can't apply —
-            # but the generic int path can: packed int8 weights + per-batch
-            # / per-token input scales folded into the matmul epilogue
-            # (ops/layers.py _int8_fast_path axis folding)
+        backend = ("xla" if args.engine == "xla"
+                   or (args.engine == "auto"
+                       and _jax.default_backend() == "cpu")
+                   else "pallas")
+
+        def generic_int_apply(why):
+            # the generic int path handles everything the megakernel plan
+            # can't: dynamic (incl. per-token) ranges re-estimated inside
+            # the forward (axis scales fold into the matmul epilogue,
+            # ops/layers.py _int8_fast_path), and weight-only modes
+            # (--no-act-quant; packed weights dequantize on load)
             int_params = fam.build_int_params(params, qcfg, qs,
                                               args.n_bits <= 4)
-            backend = ("xla" if args.engine == "xla"
-                       or (args.engine == "auto"
-                           and _jax.default_backend() == "cpu")
-                       else "pallas")
-            logger.info("dynamic int8 path active for eval (backend=%s)",
-                        backend)
+            logger.info("generic int path active for eval (%s, backend=%s)",
+                        why, backend)
 
-            def dynamic_int_apply(params, batch, qcfg=None, qstate=None,
-                                  mode=None, **kw):
+            def int_apply(params, batch, qcfg=None, qstate=None,
+                          mode=None, **kw):
                 return fam.apply(params, batch, cfg, qcfg, qstate, mode,
                                  int_params=int_params,
                                  use_pallas=backend == "pallas", **kw)
 
-            return dynamic_int_apply
+            return int_apply
+
+        if args.dynamic:
+            return generic_int_apply("dynamic ranges")
+        if mode != full_q:
+            return generic_int_apply("non-default quant mode")
         if fam.build_engine is None:
-            return None
+            return generic_int_apply("no megakernel engine for family")
 
         from transformer_quantization_tpu.ops.engine import EngineIncompatible
 
@@ -560,12 +570,7 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
             e_static, e_plan, e_int = fam.build_engine(
                 params, cfg, qcfg, qs, use_int4=args.n_bits <= 4)
         except EngineIncompatible as e:
-            logger.info("int8 engine unavailable (%s); generic path", e)
-            return None
-        backend = ("xla" if args.engine == "xla"
-                   or (args.engine == "auto"
-                       and _jax.default_backend() == "cpu")
-                   else "pallas")
+            return generic_int_apply(f"megakernel engine unavailable: {e}")
         interp = backend == "pallas" and _jax.default_backend() == "cpu"
         logger.info("int8 engine active for eval (backend=%s)", backend)
 
@@ -580,10 +585,7 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
 
     def eval_mean(qs, mode):
         split_scores, res = [], {}
-        use_engine = (mode == full_q
-                      or (getattr(args, "dynamic", False)
-                          and mode == eval_mode))
-        engine_fwd = make_engine_apply(qs) if use_engine else None
+        engine_fwd = make_engine_apply(qs, mode)
         for split_name, arr in eval_splits:
             fwd = engine_fwd if engine_fwd is not None else apply_fn
             with timer.phase("eval"):

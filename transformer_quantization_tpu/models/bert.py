@@ -404,6 +404,13 @@ def build_bert_int_params(params: Dict, qcfg: QuantModelConfig,
                            use_int4=use_int4)
 
 
+# gather-consumed tables (quant_embedding sites) — packed row-wise, unlike
+# matmul weights; name-exact so linears under the emb. prefix (MobileBERT's
+# emb.transform) pack in matmul format
+EMBEDDING_TABLE_SITES = frozenset(
+    {"emb.word", "emb.position", "emb.token_type"})
+
+
 def pack_int_params(tensors: Dict[str, Array], qcfg: QuantModelConfig,
                     qstate: Mapping, use_int4: bool = False) -> Dict:
     """Model-agnostic int-payload packer over a weight-site tensor map."""
@@ -421,8 +428,10 @@ def pack_int_params(tensors: Dict[str, Array], qcfg: QuantModelConfig,
         qp = qstate[wname]["qp"]
         alpha = qstate[wname].get("alpha")
         name = wname[:-len(".w")]
-        if name.startswith("emb."):
+        if name in EMBEDDING_TABLE_SITES:
             out[name] = IL.pack_embedding_int8(site_cfg.spec, qp, w)
+        elif w.ndim != 2:
+            continue  # elementwise weights (NoNorm vectors): no matmul pack
         elif use_int4 and site_cfg.spec.n_bits == 4 and alpha is None:
             out[name] = IL.pack_weight_int4(site_cfg.spec, qp, w)
         else:
