@@ -1,0 +1,123 @@
+"""scan-over-layers: the encoder stack as ONE lax.scan iteration
+(depth-independent compile time) must match the python loop exactly."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from transformer_quantization_tpu.models import bert as B
+from transformer_quantization_tpu.quant.manager import init_weight_qstate
+from transformer_quantization_tpu.quant.qconfig import QuantDefaults
+from transformer_quantization_tpu.quant.quantizers import QMethod
+from transformer_quantization_tpu.quant.ranges import RangeMethod
+from transformer_quantization_tpu.training import qat as QAT
+from transformer_quantization_tpu.training.calibration import (
+    prepare_quantized_model,
+)
+
+CFG = B.BertConfig(vocab_size=128, hidden_size=32, num_hidden_layers=3,
+                   num_attention_heads=4, intermediate_size=64,
+                   max_position_embeddings=64, num_labels=2)
+
+
+def _defaults():
+    return QuantDefaults(method=QMethod.symmetric_uniform,
+                         act_method=QMethod.asymmetric_uniform, n_bits=8,
+                         weight_range_method=RangeMethod.current_minmax,
+                         act_range_method=RangeMethod.current_minmax)
+
+
+def _batch(rng, labels=False):
+    b = {"input_ids": jnp.asarray(rng.randint(2, 128, (4, 16)), jnp.int32),
+         "attention_mask": jnp.ones((4, 16), jnp.float32)}
+    if labels:
+        b["labels"] = jnp.asarray(rng.randint(0, 2, (4,)), jnp.int32)
+    return b
+
+
+def test_scan_eval_matches_loop():
+    params = B.init_bert_params(jax.random.PRNGKey(0), CFG)
+    qcfg = B.declare_bert_sites(_defaults(), CFG)
+    rng = np.random.RandomState(0)
+    batch = _batch(rng)
+    apply_fn = functools.partial(B.bert_apply, cfg=CFG)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [batch],
+        weight_tensors=B.bert_weight_site_tensors(params))
+    out_loop, _ = B.bert_apply(params, batch, CFG, qcfg, qstate, mode)
+    out_scan, _ = B.bert_apply(params, batch, CFG, qcfg, qstate, mode,
+                               scan_layers=True)
+    np.testing.assert_allclose(np.asarray(out_scan["logits"]),
+                               np.asarray(out_loop["logits"]),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("learn_ranges,remat", [(False, False),
+                                                (True, False),
+                                                (False, True)])
+def test_scan_qat_step_matches_loop(learn_ranges, remat):
+    """One QAT train step under scan: same loss, same updated params,
+    same threaded quant state as the loop (estimate-phase range updates
+    thread through the scan carry/ys)."""
+    params = B.init_bert_params(jax.random.PRNGKey(0), CFG)
+    qcfg = B.declare_bert_sites(_defaults(), CFG)
+    qstate0 = init_weight_qstate(qcfg, B.bert_weight_site_tensors(params))
+    rng = np.random.RandomState(1)
+    batch = _batch(rng, labels=True)
+    apply_fn = functools.partial(B.bert_apply, cfg=CFG)
+    if learn_ranges:
+        # learned ranges need calibrated act sites up front
+        qstate0, _ = prepare_quantized_model(
+            apply_fn, params, qcfg, [_batch(np.random.RandomState(2))],
+            weight_tensors=B.bert_weight_site_tensors(params))
+    tx = optax.adamw(1e-4)
+
+    outs = {}
+    for scan in (False, True):
+        qat_cfg = QAT.QATConfig(learn_ranges=learn_ranges, remat=remat,
+                                scan_layers=scan)
+        step = QAT.make_qat_train_step(apply_fn, qcfg, qat_cfg, tx,
+                                       donate=False)
+        p, learnable, rest, opt = QAT.init_qat_state(
+            qcfg, qat_cfg, params, dict(qstate0), tx)
+        out = step(p, learnable, rest, opt, batch, jax.random.PRNGKey(0))
+        outs[scan] = out
+    loss_l, loss_s = float(outs[False][-1]), float(outs[True][-1])
+    np.testing.assert_allclose(loss_s, loss_l, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[True][0]),
+                    jax.tree.leaves(outs[False][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    qs_s = QAT.merge_learnable_ranges(outs[True][1], outs[True][2])
+    qs_l = QAT.merge_learnable_ranges(outs[False][1], outs[False][2])
+    assert set(qs_s) == set(qs_l)
+    for name in qs_l:
+        for a, b in zip(jax.tree.leaves(qs_s[name]),
+                        jax.tree.leaves(qs_l[name])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_scan_gates_off_on_per_layer_overrides():
+    """quant_dict per-layer overrides make layers non-interchangeable:
+    scan must fall back to the loop (and still be correct)."""
+    params = B.init_bert_params(jax.random.PRNGKey(0), CFG)
+    qcfg = B.declare_bert_sites(_defaults(), CFG)
+    qcfg = B.apply_bert_quant_dict(qcfg, {"y1": 16}, CFG.num_hidden_layers)
+    rng = np.random.RandomState(3)
+    batch = _batch(rng)
+    apply_fn = functools.partial(B.bert_apply, cfg=CFG)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [batch],
+        weight_tensors=B.bert_weight_site_tensors(params))
+    ctx = B.make_ctx(qcfg, qstate, mode)
+    assert not B.can_scan_encoder(ctx, CFG)
+    out_loop, _ = B.bert_apply(params, batch, CFG, qcfg, qstate, mode)
+    out_scan, _ = B.bert_apply(params, batch, CFG, qcfg, qstate, mode,
+                               scan_layers=True)
+    np.testing.assert_array_equal(np.asarray(out_scan["logits"]),
+                                  np.asarray(out_loop["logits"]))

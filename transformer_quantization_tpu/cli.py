@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
                             "pass (jax.checkpoint): ~1/3 extra FLOPs for "
                             "O(layers) less activation memory, letting "
                             "batch sizes grow past HBM limits")
+        g.add_argument("--scan-layers", action="store_true",
+                       help="compile the encoder stack as one lax.scan "
+                            "iteration (depth-independent compile time; "
+                            "identical numerics; auto-disabled when "
+                            "per-layer overrides differ)")
         g.add_argument("--amp", action="store_true",
                        help="mixed-precision training: bf16 matmuls/"
                             "activations, f32 master weights, range math, "
@@ -443,7 +448,8 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                              eval_batch_size=args.eval_batch_size,
                              max_steps=args.max_steps)
         amp_dtype = "bfloat16" if args.amp else None
-        qat_cfg = QAT.QATConfig(compute_dtype=amp_dtype, remat=args.remat)
+        qat_cfg = QAT.QATConfig(compute_dtype=amp_dtype, remat=args.remat,
+                                scan_layers=args.scan_layers)
         if quantized:
             qat_cfg = QAT.QATConfig(
                 learn_ranges=args.learn_ranges,
@@ -451,7 +457,8 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                 fix_act_ranges=args.fix_act_ranges,
                 learning_rate=args.learning_rate,
                 range_learning_rate=args.range_learning_rate,
-                compute_dtype=amp_dtype, remat=args.remat)
+                compute_dtype=amp_dtype, remat=args.remat,
+                scan_layers=args.scan_layers)
 
         save_fn = None
         if args.output_dir and args.save_every:

@@ -646,7 +646,8 @@ def make_dropout_rngs(cfg, train: bool, dropout_rng):
 
 
 def run_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
-                first_site: str, remat: bool = False):
+                first_site: str, remat: bool = False,
+                scan: bool = False):
     """Encoder-layer stack shared by BERT and RoBERTa.
 
     ``remat=True`` wraps each layer in :func:`jax.checkpoint`: activations
@@ -655,7 +656,15 @@ def run_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
     growing QAT batch sizes into HBM limits. Quant-state updates thread
     through the checkpointed region as explicit inputs/outputs (a per-layer
     ctx clone), so estimate-phase range updates still work.
+
+    ``scan=True`` additionally runs the stack as ONE :func:`jax.lax.scan`
+    when the layers are interchangeable (:func:`can_scan_encoder`):
+    trace+compile cost becomes depth-independent. Falls back to the loop
+    when any feature needs per-layer identity.
     """
+    if scan and can_scan_encoder(ctx, cfg):
+        return _scan_encoder(ctx, params, cfg, h, mask_bias, train, rngs,
+                             remat=remat)
     h_site = first_site
     for i in range(cfg.num_hidden_layers):
         layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
@@ -666,6 +675,119 @@ def run_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
             params["layers"][i], h, layer_rngs)
         h_site = f"L{i}.ffn.ln.out"
     return h, h_site
+
+
+_LAYER_SITE_RE = None
+
+
+def _split_layer_site(name: str):
+    """'L3.attn.q.w' -> (3, 'attn.q.w'), else None."""
+    global _LAYER_SITE_RE
+    if _LAYER_SITE_RE is None:
+        import re
+        _LAYER_SITE_RE = re.compile(r"^L(\d+)\.(.+)$")
+    m = _LAYER_SITE_RE.match(name)
+    return (int(m.group(1)), m.group(2)) if m else None
+
+
+def can_scan_encoder(ctx, cfg) -> bool:
+    """True when the encoder stack can run as ONE lax.scan iteration:
+    layers must be interchangeable — same site configs, same quant-state
+    shapes — and no feature that needs per-layer identity (int payload
+    plans, capture hooks, host-side MSE estimators, the PEG
+    permutation-recording phase)."""
+    from transformer_quantization_tpu.quant.qconfig import Phase
+
+    if (getattr(ctx, "int_params", None)
+            or getattr(ctx, "capture_sites", None)
+            or ctx.mse_session is not None
+            or ctx.mode.act_phase == Phase.record_ranges
+            or cfg.num_hidden_layers <= 1):
+        return False
+    L = cfg.num_hidden_layers
+    by_layer_cfg = {}
+    for name, c in ctx.cfg.items():
+        s = _split_layer_site(name)
+        if s:
+            by_layer_cfg.setdefault(s[0], {})[s[1]] = c
+    if sorted(by_layer_cfg) != list(range(L)):
+        return False
+    ref = by_layer_cfg[0]
+    if any(by_layer_cfg[i] != ref for i in range(1, L)):
+        return False
+    by_layer_st = {}
+    for name, st in ctx.qstate.items():
+        s = _split_layer_site(name)
+        if s:
+            by_layer_st.setdefault(s[1], {})[s[0]] = st
+    for suffix, per_layer in by_layer_st.items():
+        if sorted(per_layer) != list(range(L)):
+            return False
+        t0 = per_layer[0]
+        td0 = jax.tree.structure(t0)
+        sh0 = [(x.shape, x.dtype) for x in jax.tree.leaves(t0)]
+        for i in range(1, L):
+            if jax.tree.structure(per_layer[i]) != td0:
+                return False
+            if [(x.shape, x.dtype)
+                    for x in jax.tree.leaves(per_layer[i])] != sh0:
+                return False
+    return True
+
+
+def _scan_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
+                  remat: bool = False):
+    """Encoder stack as one :func:`jax.lax.scan` over stacked layer params
+    and per-layer quant-state slices.
+
+    The layer body traces (and compiles) ONCE instead of L times — the
+    cure for deep-model compile times (the learn-ranges QAT step's
+    per-site range params ballooned tracing; see NOTES.md). Sites run
+    under generic ``L.``-prefixed names inside the body; the stacked
+    per-layer states are re-hung on their ``L{i}.`` names afterwards.
+    Numerics are identical to the python loop (same ops, same order) —
+    only int-payload plans and capture need per-layer identity and those
+    gate scan off (:func:`can_scan_encoder`)."""
+    import copy
+
+    from transformer_quantization_tpu.quant.qconfig import QuantModelConfig
+
+    L = cfg.num_hidden_layers
+    scan_cfg = QuantModelConfig(tuple(
+        (f"L.{s[1]}", c) for name, c in ctx.cfg.items()
+        if (s := _split_layer_site(name)) and s[0] == 0))
+    suffixes = sorted({s[1] for n in ctx.qstate
+                       if (s := _split_layer_site(n))})
+    stacked_state = {
+        suf: jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[ctx.qstate[f"L{i}.{suf}"] for i in range(L)])
+        for suf in suffixes
+    }
+    stacked_params = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                  *params["layers"])
+    if rngs:
+        layer_rngs = jnp.stack(
+            [jnp.stack(rngs[1 + 3 * i:4 + 3 * i]) for i in range(L)])
+    else:
+        layer_rngs = jnp.zeros((L, 1), jnp.int32)  # unused placeholder
+
+    def body(hc, xs):
+        p_i, qs_i, rng_i = xs
+        sub = copy.copy(ctx)
+        sub.cfg = scan_cfg
+        sub.qstate = {f"L.{suf}": st for suf, st in qs_i.items()}
+        r = [rng_i[j] for j in range(3)] if rngs else None
+        y = _layer(sub, p_i, cfg, hc, mask_bias, "L.", train, r)
+        new_qs = {n[len("L."):]: st for n, st in sub.export().items()}
+        return y, new_qs
+
+    body_fn = jax.checkpoint(body) if remat else body
+    h, ys = jax.lax.scan(body_fn, h,
+                         (stacked_params, stacked_state, layer_rngs))
+    for suf, st in ys.items():
+        for i in range(L):
+            ctx.qstate[f"L{i}.{suf}"] = jax.tree.map(lambda a: a[i], st)
+    return h, f"L{L - 1}.ffn.ln.out"
 
 
 def maybe_remat_layer(ctx, remat: bool, layer_fn, params_i, h, layer_rngs):
@@ -703,7 +825,8 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                compute_dtype=None,
                attention_dtype=None,
                int8_attention: bool = False,
-               remat: bool = False) -> Tuple[Dict, Dict]:
+               remat: bool = False,
+               scan_layers: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``.
 
     ``batch`` holds ``input_ids`` (B, T) plus optional ``attention_mask``,
@@ -745,7 +868,8 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
     h = _embeddings(ctx, params, cfg, input_ids, token_type_ids, position_ids,
                     train, rngs[0] if rngs else None)
     h, h_site = run_encoder(ctx, params, cfg, h, mask_bias, train, rngs,
-                            first_site="emb.ln.out", remat=remat)
+                            first_site="emb.ln.out", remat=remat,
+                            scan=scan_layers)
 
     outputs = _classification_head(ctx, params, cfg, h, h_site, batch,
                                    train, rngs)

@@ -133,7 +133,8 @@ def distilbert_apply(params: Dict, batch: Mapping[str, Array],
                      capture_sites=None,
                      capture_pre_act: bool = False,
                      compute_dtype=None,
-                     remat: bool = False) -> Tuple[Dict, Dict]:
+                     remat: bool = False,
+                     scan_layers: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
@@ -149,7 +150,8 @@ def distilbert_apply(params: Dict, batch: Mapping[str, Array],
     h = B._embeddings(ctx, params, cfg, input_ids, token_type_ids,
                       position_ids, train, rngs[0] if rngs else None)
     h, h_site = B.run_encoder(ctx, params, cfg, h, mask_bias, train, rngs,
-                              first_site="emb.ln.out", remat=remat)
+                              first_site="emb.ln.out", remat=remat,
+                              scan=scan_layers)
 
     c = params["classifier"]
     x = quant_linear(ctx, "clf.pre", h[:, 0], c["pre"]["kernel"],

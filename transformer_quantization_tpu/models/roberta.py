@@ -163,7 +163,8 @@ def roberta_apply(params: Dict, batch: Mapping[str, Array],
                   capture_sites=None,
                   capture_pre_act: bool = False,
                   compute_dtype=None,
-                  remat: bool = False) -> Tuple[Dict, Dict]:
+                  remat: bool = False,
+                  scan_layers: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
@@ -183,7 +184,8 @@ def roberta_apply(params: Dict, batch: Mapping[str, Array],
     h = B._embeddings(ctx, params, cfg, input_ids, token_type_ids,
                       position_ids, train, rngs[0] if rngs else None)
     h, h_site = B.run_encoder(ctx, params, cfg, h, mask_bias, train, rngs,
-                              first_site="emb.ln.out", remat=remat)
+                              first_site="emb.ln.out", remat=remat,
+                              scan=scan_layers)
 
     outputs = _roberta_head(ctx, params, cfg, h, h_site, batch, train, rngs)
     if capture_sites:

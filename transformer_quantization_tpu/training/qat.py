@@ -99,6 +99,10 @@ class QATConfig:
     # lets QAT batch sizes grow past HBM limits (no reference counterpart;
     # torch.utils.checkpoint is the rough analogue)
     remat: bool = False
+    # run the encoder stack as ONE lax.scan iteration when layers are
+    # interchangeable: trace+compile cost becomes depth-independent
+    # (models/bert.py can_scan_encoder); numerics identical to the loop
+    scan_layers: bool = False
 
 
 def qat_mode(qat: QATConfig, weight_quant: bool = True,
@@ -159,6 +163,8 @@ def make_qat_train_step(apply_fn: Callable, qcfg: QuantModelConfig,
         extra["compute_dtype"] = jnp.dtype(qat.compute_dtype)
     if qat.remat:
         extra["remat"] = True
+    if qat.scan_layers:
+        extra["scan_layers"] = True
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3) if donate else ())
     def step(params, learnable, rest_qstate, opt_state, batch, rng):
