@@ -121,3 +121,38 @@ def test_scan_gates_off_on_per_layer_overrides():
                                scan_layers=True)
     np.testing.assert_array_equal(np.asarray(out_scan["logits"]),
                                   np.asarray(out_loop["logits"]))
+
+
+def test_albert_scan_matches_loop():
+    """ALBERT's shared layer scans with the quant state in the CARRY
+    (sequential shared-site updates, like the loop)."""
+    from transformer_quantization_tpu.models.registry import build_model
+
+    fam, cfg, params = build_model("albert_base_v2", tiny=True, seed=0)
+    qcfg = fam.declare_sites(_defaults(), cfg)
+    rng = np.random.RandomState(5)
+    batch = {"input_ids": jnp.asarray(rng.randint(2, cfg.vocab_size, (4, 16)),
+                                      jnp.int32),
+             "attention_mask": jnp.ones((4, 16), jnp.float32)}
+    apply_fn = functools.partial(fam.apply, cfg=cfg)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [batch],
+        weight_tensors=fam.weight_site_tensors(params))
+    out_loop, qs_loop = fam.apply(params, batch, cfg, qcfg, qstate, mode)
+    out_scan, qs_scan = fam.apply(params, batch, cfg, qcfg, qstate, mode,
+                                  scan_layers=True)
+    np.testing.assert_allclose(np.asarray(out_scan["logits"]),
+                               np.asarray(out_loop["logits"]),
+                               rtol=1e-6, atol=1e-6)
+
+    # estimate phase: the threaded shared-site states must match too
+    from transformer_quantization_tpu.quant.qconfig import Phase, QuantMode
+    est = QuantMode(act_phase=Phase.estimate)
+    _, qs_l = fam.apply(params, batch, cfg, qcfg, qstate, est)
+    _, qs_s = fam.apply(params, batch, cfg, qcfg, qstate, est,
+                        scan_layers=True)
+    for name in qs_l:
+        for a, b in zip(jax.tree.leaves(qs_l[name]),
+                        jax.tree.leaves(qs_s[name])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)

@@ -210,6 +210,58 @@ def build_albert_int_params(params: Dict, qcfg: QuantModelConfig,
                              qstate, use_int4=use_int4)
 
 
+def _can_scan_shared(ctx, cfg) -> bool:
+    """ALBERT scan gate: shared-site states live in the scan CARRY (every
+    iteration updates the same sites sequentially), so they must all be
+    initialized up front — plus the generic no-per-layer-identity gates."""
+    from transformer_quantization_tpu.quant.qconfig import Phase
+
+    if (getattr(ctx, "int_params", None)
+            or getattr(ctx, "capture_sites", None)
+            or ctx.mse_session is not None
+            or ctx.mode.act_phase == Phase.record_ranges
+            or cfg.num_hidden_layers <= 1):
+        return False
+    for name, c in ctx.cfg.items():
+        if name.startswith("shared.") and c.enabled and name not in ctx.qstate:
+            return False  # lazy init inside scan would change the carry
+    return True
+
+
+def _scan_shared_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
+                         remat: bool = False):
+    """The shared ALBERT layer as one lax.scan: params are loop-invariant
+    (closure), the hidden state AND the shared quant-site states ride the
+    carry — each iteration sees the previous iteration's range updates,
+    exactly like the python loop."""
+    import copy
+
+    L = cfg.num_hidden_layers
+    carry_qs = {n: st for n, st in ctx.qstate.items()
+                if n.startswith("shared.")}
+    if rngs:
+        layer_rngs = jnp.stack(
+            [jnp.stack(rngs[1 + 3 * i:4 + 3 * i]) for i in range(L)])
+    else:
+        layer_rngs = jnp.zeros((L, 1), jnp.int32)  # unused placeholder
+
+    def body(carry, rng_i):
+        hc, qs = carry
+        sub = copy.copy(ctx)
+        sub.qstate = dict(qs)
+        r = [rng_i[j] for j in range(3)] if rngs else None
+        y = B._layer(sub, params["shared"], cfg, hc, mask_bias, "shared.",
+                     train, r)
+        new_qs = {n: st for n, st in sub.export().items()
+                  if n.startswith("shared.")}
+        return (y, new_qs), None
+
+    body_fn = jax.checkpoint(body) if remat else body
+    (h, final_qs), _ = jax.lax.scan(body_fn, (h, carry_qs), layer_rngs)
+    ctx.qstate.update(final_qs)
+    return h
+
+
 def albert_apply(params: Dict, batch: Mapping[str, Array], cfg: AlbertConfig,
                  qcfg: Optional[QuantModelConfig] = None,
                  qstate: Optional[Dict] = None,
@@ -222,7 +274,8 @@ def albert_apply(params: Dict, batch: Mapping[str, Array], cfg: AlbertConfig,
                  capture_sites=None,
                  capture_pre_act: bool = False,
                  compute_dtype=None,
-                 remat: bool = False) -> Tuple[Dict, Dict]:
+                 remat: bool = False,
+                 scan_layers: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
@@ -241,14 +294,20 @@ def albert_apply(params: Dict, batch: Mapping[str, Array], cfg: AlbertConfig,
                      params["emb_proj"]["bias"], input_site="emb.ln.out")
 
     h_site = "emb_proj.out"
-    for i in range(cfg.num_hidden_layers):
-        layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
-        h = B.maybe_remat_layer(
-            ctx, remat,
-            lambda sub, p_i, h, r, hs=h_site: B._layer(
-                sub, p_i, cfg, h, mask_bias, "shared.", train, r, h_site=hs),
-            params["shared"], h, layer_rngs)
+    if scan_layers and _can_scan_shared(ctx, cfg):
+        h = _scan_shared_encoder(ctx, params, cfg, h, mask_bias, train,
+                                 rngs, remat=remat)
         h_site = "shared.ffn.ln.out"
+    else:
+        for i in range(cfg.num_hidden_layers):
+            layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
+            h = B.maybe_remat_layer(
+                ctx, remat,
+                lambda sub, p_i, h, r, hs=h_site: B._layer(
+                    sub, p_i, cfg, h, mask_bias, "shared.", train, r,
+                    h_site=hs),
+                params["shared"], h, layer_rngs)
+            h_site = "shared.ffn.ln.out"
 
     pooled = quant_linear(ctx, "pooler.dense", h[:, 0],
                           params["pooler"]["kernel"],
