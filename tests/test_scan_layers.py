@@ -156,3 +156,26 @@ def test_albert_scan_matches_loop():
                         jax.tree.leaves(qs_s[name])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("model_name", ["mobilebert_uncased",
+                                        "squeezebert_uncased"])
+def test_family_scan_matches_loop(model_name):
+    from transformer_quantization_tpu.models.registry import build_model
+
+    fam, cfg, params = build_model(model_name, tiny=True, seed=0)
+    qcfg = fam.declare_sites(_defaults(), cfg)
+    rng = np.random.RandomState(6)
+    batch = {"input_ids": jnp.asarray(rng.randint(2, cfg.vocab_size, (4, 16)),
+                                      jnp.int32),
+             "attention_mask": jnp.ones((4, 16), jnp.float32)}
+    apply_fn = functools.partial(fam.apply, cfg=cfg)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [batch],
+        weight_tensors=fam.weight_site_tensors(params))
+    out_loop, _ = fam.apply(params, batch, cfg, qcfg, qstate, mode)
+    out_scan, _ = fam.apply(params, batch, cfg, qcfg, qstate, mode,
+                            scan_layers=True)
+    np.testing.assert_allclose(np.asarray(out_scan["logits"]),
+                               np.asarray(out_loop["logits"]),
+                               rtol=1e-6, atol=1e-6)

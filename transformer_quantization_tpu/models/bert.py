@@ -735,24 +735,23 @@ def can_scan_encoder(ctx, cfg) -> bool:
     return True
 
 
-def _scan_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
-                  remat: bool = False):
-    """Encoder stack as one :func:`jax.lax.scan` over stacked layer params
-    and per-layer quant-state slices.
+def scan_layer_stack(ctx, n_layers: int, layer_params: list, h,
+                     layer_rngs_list, layer_fn, *, remat: bool = False):
+    """Generic encoder stack as one :func:`jax.lax.scan` over stacked layer
+    params and per-layer quant-state slices (family-shared machinery).
 
     The layer body traces (and compiles) ONCE instead of L times — the
     cure for deep-model compile times (the learn-ranges QAT step's
     per-site range params ballooned tracing; see NOTES.md). Sites run
-    under generic ``L.``-prefixed names inside the body; the stacked
-    per-layer states are re-hung on their ``L{i}.`` names afterwards.
-    Numerics are identical to the python loop (same ops, same order) —
-    only int-payload plans and capture need per-layer identity and those
-    gate scan off (:func:`can_scan_encoder`)."""
+    under generic ``L.``-prefixed names inside the body
+    (``layer_fn(sub_ctx, p_i, h, rngs_i)`` must use prefix ``"L."``); the
+    stacked per-layer states are re-hung on their ``L{i}.`` names
+    afterwards. Numerics are identical to the python loop (same ops, same
+    order) — only int-payload plans and capture need per-layer identity
+    and those gate scan off (:func:`can_scan_encoder`)."""
     import copy
 
-    from transformer_quantization_tpu.quant.qconfig import QuantModelConfig
-
-    L = cfg.num_hidden_layers
+    L = n_layers
     scan_cfg = QuantModelConfig(tuple(
         (f"L.{s[1]}", c) for name, c in ctx.cfg.items()
         if (s := _split_layer_site(name)) and s[0] == 0))
@@ -763,11 +762,11 @@ def _scan_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
                           *[ctx.qstate[f"L{i}.{suf}"] for i in range(L)])
         for suf in suffixes
     }
-    stacked_params = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                  *params["layers"])
-    if rngs:
-        layer_rngs = jnp.stack(
-            [jnp.stack(rngs[1 + 3 * i:4 + 3 * i]) for i in range(L)])
+    stacked_params = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
+    has_rngs = layer_rngs_list is not None
+    if has_rngs:
+        layer_rngs = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                  *layer_rngs_list)
     else:
         layer_rngs = jnp.zeros((L, 1), jnp.int32)  # unused placeholder
 
@@ -776,8 +775,7 @@ def _scan_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
         sub = copy.copy(ctx)
         sub.cfg = scan_cfg
         sub.qstate = {f"L.{suf}": st for suf, st in qs_i.items()}
-        r = [rng_i[j] for j in range(3)] if rngs else None
-        y = _layer(sub, p_i, cfg, hc, mask_bias, "L.", train, r)
+        y = layer_fn(sub, p_i, hc, rng_i if has_rngs else None)
         new_qs = {n[len("L."):]: st for n, st in sub.export().items()}
         return y, new_qs
 
@@ -787,6 +785,22 @@ def _scan_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
     for suf, st in ys.items():
         for i in range(L):
             ctx.qstate[f"L{i}.{suf}"] = jax.tree.map(lambda a: a[i], st)
+    return h
+
+
+def _scan_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
+                  remat: bool = False):
+    """BERT/RoBERTa/DistilBERT encoder stack via :func:`scan_layer_stack`."""
+    L = cfg.num_hidden_layers
+    rng_list = ([jnp.stack(rngs[1 + 3 * i:4 + 3 * i]) for i in range(L)]
+                if rngs else None)
+
+    def layer_fn(sub, p_i, hc, rng_i):
+        r = [rng_i[j] for j in range(3)] if rng_i is not None else None
+        return _layer(sub, p_i, cfg, hc, mask_bias, "L.", train, r)
+
+    h = scan_layer_stack(ctx, L, params["layers"], h, rng_list, layer_fn,
+                         remat=remat)
     return h, f"L{L - 1}.ffn.ln.out"
 
 

@@ -637,7 +637,8 @@ def mobilebert_apply(params: Dict, batch: Mapping[str, Array],
                      capture_pre_act: bool = False,
                      compute_dtype=None,
                      int8_attention: bool = False,
-                     remat: bool = False) -> Tuple[Dict, Dict]:
+                     remat: bool = False,
+                     scan_layers: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
@@ -658,14 +659,27 @@ def mobilebert_apply(params: Dict, batch: Mapping[str, Array],
     h = _embeddings(ctx, params, cfg, input_ids, token_type_ids, position_ids,
                     train, rngs[0] if rngs else None)
     h_site = "emb.norm.out"
-    for i in range(cfg.num_hidden_layers):
-        h = B.maybe_remat_layer(
-            ctx, remat,
-            lambda sub, p_i, h, r, prefix=f"L{i}.", hs=h_site: _layer(
-                sub, p_i, cfg, h, mask_bias, prefix, train, r, h_site=hs),
-            params["layers"][i], h, rngs[1 + i] if rngs else None)
+    if scan_layers and B.can_scan_encoder(ctx, cfg):
+        h = B.scan_layer_stack(
+            ctx, cfg.num_hidden_layers, params["layers"], h,
+            [rngs[1 + i] for i in range(cfg.num_hidden_layers)]
+            if rngs else None,
+            lambda sub, p_i, hc, r: _layer(sub, p_i, cfg, hc, mask_bias,
+                                           "L.", train, r),
+            remat=remat)
+        i = cfg.num_hidden_layers - 1
         h_site = (f"L{i}.out.bn.norm.out" if cfg.use_bottleneck
                   else f"L{i}.out.norm.out")
+    else:
+        for i in range(cfg.num_hidden_layers):
+            h = B.maybe_remat_layer(
+                ctx, remat,
+                lambda sub, p_i, h, r, prefix=f"L{i}.", hs=h_site: _layer(
+                    sub, p_i, cfg, h, mask_bias, prefix, train, r,
+                    h_site=hs),
+                params["layers"][i], h, rngs[1 + i] if rngs else None)
+            h_site = (f"L{i}.out.bn.norm.out" if cfg.use_bottleneck
+                      else f"L{i}.out.norm.out")
 
     # pooler: first token; pass-through unless classifier_activation
     # (quantized_mobilebert.py:549-569)

@@ -241,7 +241,8 @@ def squeezebert_apply(params: Dict, batch: Mapping[str, Array],
                       capture_sites=None,
                       capture_pre_act: bool = False,
                       compute_dtype=None,
-                      remat: bool = False) -> Tuple[Dict, Dict]:
+                      remat: bool = False,
+                      scan_layers: bool = False) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
@@ -257,14 +258,28 @@ def squeezebert_apply(params: Dict, batch: Mapping[str, Array],
     h = B._embeddings(ctx, params, cfg, input_ids, token_type_ids,
                       position_ids, train, rngs[0] if rngs else None)
     h_site = "emb.ln.out"
-    for i in range(cfg.num_hidden_layers):
-        layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
-        h = B.maybe_remat_layer(
-            ctx, remat,
-            lambda sub, p_i, h, r, prefix=f"L{i}.", hs=h_site: _sq_layer(
-                sub, p_i, cfg, h, mask_bias, prefix, train, r, h_site=hs),
-            params["layers"][i], h, layer_rngs)
-        h_site = f"L{i}.ffn.ln.out"
+    if scan_layers and B.can_scan_encoder(ctx, cfg):
+        L = cfg.num_hidden_layers
+
+        def _fn(sub, p_i, hc, rng_i):
+            r = [rng_i[j] for j in range(3)] if rng_i is not None else None
+            return _sq_layer(sub, p_i, cfg, hc, mask_bias, "L.", train, r)
+
+        h = B.scan_layer_stack(
+            ctx, L, params["layers"], h,
+            [jnp.stack(rngs[1 + 3 * i:4 + 3 * i]) for i in range(L)]
+            if rngs else None, _fn, remat=remat)
+        h_site = f"L{L - 1}.ffn.ln.out"
+    else:
+        for i in range(cfg.num_hidden_layers):
+            layer_rngs = rngs[1 + 3 * i:4 + 3 * i] if rngs else None
+            h = B.maybe_remat_layer(
+                ctx, remat,
+                lambda sub, p_i, h, r, prefix=f"L{i}.", hs=h_site: _sq_layer(
+                    sub, p_i, cfg, h, mask_bias, prefix, train, r,
+                    h_site=hs),
+                params["layers"][i], h, layer_rngs)
+            h_site = f"L{i}.ffn.ln.out"
 
     pooled = quant_linear(ctx, "pooler.dense", h[:, 0],
                           params["pooler"]["kernel"],
