@@ -331,6 +331,11 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                      for k, v in train_arr.items()}
 
     apply_fn = functools.partial(fam.apply, cfg=cfg)
+    if getattr(args, "scan_layers", False):
+        # eval/calibration forwards benefit from the depth-independent
+        # compile too; contexts scan can't serve (capture, int payload
+        # plans, per-layer overrides) auto-fall back to the loop
+        apply_fn = functools.partial(apply_fn, scan_layers=True)
     weight_quant = act_quant = False
     qcfg = qstate = None
     eval_mode = T.FP32_MODE

@@ -710,11 +710,12 @@ def can_scan_encoder(ctx, cfg) -> bool:
         s = _split_layer_site(name)
         if s:
             by_layer_cfg.setdefault(s[0], {})[s[1]] = c
-    if sorted(by_layer_cfg) != list(range(L)):
-        return False
-    ref = by_layer_cfg[0]
-    if any(by_layer_cfg[i] != ref for i in range(1, L)):
-        return False
+    if by_layer_cfg:  # empty == FP32 baseline: layers trivially uniform
+        if sorted(by_layer_cfg) != list(range(L)):
+            return False
+        ref = by_layer_cfg[0]
+        if any(by_layer_cfg[i] != ref for i in range(1, L)):
+            return False
     by_layer_st = {}
     for name, st in ctx.qstate.items():
         s = _split_layer_site(name)
