@@ -57,10 +57,12 @@ def main():
     }
 
     def apply_fn(params, b, qcfg=None, qstate=None, mode=None, train=False,
-                 dropout_rng=None, compute_dtype=None):
+                 dropout_rng=None, compute_dtype=None, remat=False,
+                 scan_layers=False):
         out, qs = B.bert_apply(params, b, cfg, qcfg, qstate, mode,
                                train=train, dropout_rng=dropout_rng,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype, remat=remat,
+                               scan_layers=scan_layers)
         return out, qs
 
     tcfg = TrainConfig(batch_size=args.batch, num_epochs=1)
@@ -69,11 +71,16 @@ def main():
     results = {}
     variants = [
         ("qat_learn_ranges", QAT.QATConfig(learn_ranges=True)),
+        ("qat_learn_ranges_scan",
+         QAT.QATConfig(learn_ranges=True, scan_layers=True)),
         ("qat_estimate_fix", QAT.QATConfig(learn_ranges=False)),
         ("qat_estimate_fix_amp",
          QAT.QATConfig(learn_ranges=False, compute_dtype="bfloat16")),
         ("qat_learn_ranges_amp",
          QAT.QATConfig(learn_ranges=True, compute_dtype="bfloat16")),
+        ("qat_amp_remat",
+         QAT.QATConfig(learn_ranges=False, compute_dtype="bfloat16",
+                       remat=True)),
         ("baseline_fp32", None),
         ("baseline_amp", "amp"),
     ]
@@ -106,7 +113,8 @@ def main():
               f"(compile+run {time.perf_counter() - t0:.0f}s)",
               file=sys.stderr, flush=True)
         results[name] = {"ms_per_step": round(dt * 1e3, 2),
-                         "seq_per_sec": round(args.batch / dt, 1)}
+                         "seq_per_sec": round(args.batch / dt, 1),
+                         "compile_s": round(t1 - t0, 1)}
     print(json.dumps({"metric": "bert_base_w8a8_qat_train_seq_per_sec",
                       "batch": args.batch, "seq": args.seq,
                       "device": str(jax.devices()[0]),
