@@ -86,8 +86,17 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--batch-size", type=int, default=32)
         g.add_argument("--num-epochs", type=int, default=3)
         g.add_argument("--weight-decay", type=float, default=0.0)
+        g.add_argument("--ffn-weight-decay", type=float, default=0.0,
+                       help="extra decoupled weight decay on FFN kernels "
+                            "(reference --ffn-weight-decay — declared "
+                            "there but never consumed; implemented here)")
         g.add_argument("--max-grad-norm", type=float, default=1.0)
         g.add_argument("--warmup-ratio", type=float, default=0.0)
+        g.add_argument("--warmup-steps", type=int, default=None,
+                       help="absolute LR warmup steps (overrides "
+                            "--warmup-ratio; reference --warmup-steps)")
+        g.add_argument("--lr-scheduler-type", default="linear",
+                       choices=["linear", "cosine", "constant"])
         g.add_argument("--gradient-accumulation-steps", type=int, default=1)
         g.add_argument("--max-steps", type=int, default=None,
                        help="stop after N optimizer steps (HF max_steps); "
@@ -117,6 +126,18 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--eval-every", type=int, default=None,
                        help="mid-train eval on the validation set every N "
                             "steps (reference --eval_steps)")
+        g.add_argument("--load-best-model-at-end", action="store_true",
+                       help="track the best mid-train eval (at "
+                            "--eval-every cadence) and restore it after "
+                            "training (HF Trainer semantics)")
+        g.add_argument("--metric-for-best-model", default=None)
+        g.add_argument("--smaller-is-better", action="store_true",
+                       help="best-model metric is minimized (HF "
+                            "--greater-is-better inverse)")
+        g.add_argument("--save-total-limit", type=int, default=None,
+                       help="keep only the N most recent step checkpoints")
+        g.add_argument("--run-name", default=None,
+                       help="label recorded in config.out")
         g.add_argument("--resume", action="store_true",
                        help="resume an interrupted training run from the "
                             "full train state (model + ranges + optimizer "
@@ -157,6 +178,8 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--act-opt-method", default="golden_section",
                        choices=["grid", "golden_section"])
         g.add_argument("--act-momentum", type=float, default=0.9)
+        g.add_argument("--act-num-candidates", type=int, default=100,
+                       help="grid size for MSE act-range search")
         g.add_argument("--no-weight-quant", action="store_true")
         g.add_argument("--no-act-quant", action="store_true")
         g.add_argument("--num-est-batches", type=int, default=1)
@@ -250,6 +273,7 @@ def make_quant_defaults(args):
         act_range_method=RangeMethod[args.act_quant_method],
         act_range_opt=OptMethod[args.act_opt_method],
         act_momentum=args.act_momentum,
+        act_num_candidates=args.act_num_candidates,
     )
 
 
@@ -451,7 +475,14 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                              eval_every=args.eval_every,
                              save_every=args.save_every,
                              eval_batch_size=args.eval_batch_size,
-                             max_steps=args.max_steps)
+                             max_steps=args.max_steps,
+                             warmup_steps=args.warmup_steps,
+                             lr_scheduler_type=args.lr_scheduler_type,
+                             ffn_weight_decay=args.ffn_weight_decay,
+                             load_best_model_at_end=(
+                                 args.load_best_model_at_end),
+                             metric_for_best_model=args.metric_for_best_model,
+                             greater_is_better=not args.smaller_is_better)
         amp_dtype = "bfloat16" if args.amp else None
         qat_cfg = QAT.QATConfig(compute_dtype=amp_dtype, remat=args.remat,
                                 scan_layers=args.scan_layers)
@@ -469,6 +500,8 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
         if args.output_dir and args.save_every:
             from transformer_quantization_tpu.utils import checkpoint as CK
 
+            saved_steps = []
+
             def save_fn(p, qs, step):
                 CK.save_checkpoint(
                     os.path.join(args.output_dir,
@@ -476,6 +509,16 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                     params=p, family=fam.name, cfg=cfg,
                     qstate=qs if quantized else None,
                     extra={"command": args.command, "step": step})
+                saved_steps.append(step)
+                # HF --save-total-limit: prune oldest step checkpoints
+                while (args.save_total_limit
+                       and len(saved_steps) > args.save_total_limit):
+                    import shutil
+                    old = saved_steps.pop(0)
+                    shutil.rmtree(
+                        os.path.join(args.output_dir,
+                                     f"checkpoint_{task.name}_step{old}"),
+                        ignore_errors=True)
 
         def _residual_hists(step):
             if not (args.tb_train_histograms and tb_writer is not None):

@@ -14,6 +14,7 @@ import os
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -50,6 +51,16 @@ class TrainConfig:
     # LR schedule still spans the full num_epochs horizon, so an
     # interrupted-then-resumed run matches an uninterrupted one exactly
     max_steps: Optional[int] = None
+    # reference training-group parity (transformer_click_options.py:187-285)
+    warmup_steps: Optional[int] = None  # absolute; overrides warmup_ratio
+    lr_scheduler_type: str = "linear"   # linear | cosine | constant
+    ffn_weight_decay: float = 0.0  # extra decoupled decay on FFN kernels
+    # HF Trainer best-model tracking (--load-best-model-at-end family):
+    # evaluated at the eval_every cadence; restores the best step's
+    # params+ranges at the end of training
+    load_best_model_at_end: bool = False
+    metric_for_best_model: Optional[str] = None  # None -> task final metric
+    greater_is_better: bool = True
 
 
 def make_eval_step(apply_fn: Callable, qcfg: Optional[QuantModelConfig],
@@ -90,17 +101,45 @@ def evaluate(apply_fn: Callable, params, qstate, task: GlueTask,
 
 def make_optimizer(tcfg: TrainConfig, steps_total: int
                    ) -> optax.GradientTransformation:
-    """AdamW + linear warmup->linear decay (HF Trainer defaults the
-    reference relies on, main.py:92-133)."""
-    warmup = int(tcfg.warmup_ratio * steps_total)
-    lr = optax.join_schedules(
-        [optax.linear_schedule(0.0, tcfg.learning_rate, max(warmup, 1)),
-         optax.linear_schedule(tcfg.learning_rate, 0.0,
-                               max(steps_total - warmup, 1))],
-        [max(warmup, 1)])
-    tx = optax.chain(
-        optax.clip_by_global_norm(tcfg.max_grad_norm),
-        optax.adamw(lr, weight_decay=tcfg.weight_decay))
+    """AdamW + warmup + decay schedule (HF Trainer args the reference
+    exposes: --lr-scheduler-type, --warmup-steps, main.py:92-133).
+
+    ``ffn_weight_decay`` adds extra decoupled decay on FFN kernels only
+    (reference --ffn-weight-decay; declared there but never consumed —
+    implemented for real here via a path mask)."""
+    warmup = (tcfg.warmup_steps if tcfg.warmup_steps is not None
+              else int(tcfg.warmup_ratio * steps_total))
+    rest = max(steps_total - warmup, 1)
+    if tcfg.lr_scheduler_type == "cosine":
+        decay = optax.cosine_decay_schedule(tcfg.learning_rate, rest)
+    elif tcfg.lr_scheduler_type == "constant":
+        decay = optax.constant_schedule(tcfg.learning_rate)
+    else:  # linear (HF default)
+        decay = optax.linear_schedule(tcfg.learning_rate, 0.0, rest)
+    if warmup > 0:
+        warm = optax.linear_schedule(0.0, tcfg.learning_rate, warmup)
+        lr = optax.join_schedules([warm, decay], [warmup])
+    else:
+        lr = decay
+
+    def adamw(extra_wd=0.0):
+        return optax.adamw(lr, weight_decay=tcfg.weight_decay + extra_wd)
+
+    if tcfg.ffn_weight_decay:
+        def labels(tree):
+            from jax.tree_util import tree_map_with_path
+
+            def lab(path, _):
+                return ("ffn" if any("ffn" in str(getattr(k, "key", k))
+                                     for k in path) else "other")
+
+            return tree_map_with_path(lab, tree)
+
+        inner = optax.multi_transform(
+            {"ffn": adamw(tcfg.ffn_weight_decay), "other": adamw()}, labels)
+    else:
+        inner = adamw()
+    tx = optax.chain(optax.clip_by_global_norm(tcfg.max_grad_norm), inner)
     if tcfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, tcfg.grad_accum_steps)
     return tx
@@ -192,6 +231,25 @@ def train(apply_fn: Callable, params, task: GlueTask,
     def current_qstate():
         return QAT.merge_learnable_ranges(learnable, rest)
 
+    best = {"score": None, "state": None}
+
+    def _track_best(m, step_i):
+        if not tcfg.load_best_model_at_end:
+            return
+        key = tcfg.metric_for_best_model or task.final_metric
+        score = m.get(key, m.get("combined_score"))
+        if score is None:
+            return
+        better = (best["score"] is None
+                  or (score > best["score"]) == tcfg.greater_is_better
+                  and score != best["score"])
+        if better:
+            best["score"] = score
+            # deep-copy: the train step donates its inputs, so live
+            # references to past params would be invalidated buffers
+            best["state"] = jax.tree.map(jnp.copy, (params, learnable, rest))
+            log_fn(f"[step {step_i}] new best {key}={score:.4f}")
+
     data_rng = np.random.RandomState(tcfg.seed)
     step_i = 0
     for epoch in range(tcfg.num_epochs):
@@ -218,6 +276,7 @@ def train(apply_fn: Callable, params, task: GlueTask,
                              eval_arrays, qcfg=qcfg, mode=mid_eval_mode,
                              batch_size=tcfg.eval_batch_size)
                 log_fn(f"[step {step_i}] eval: {m}")
+                _track_best(m, step_i)
                 if tb_writer is not None:
                     for k, v in m.items():
                         tb_writer.scalar(f"eval/{k}", float(v), step_i)
@@ -228,7 +287,12 @@ def train(apply_fn: Callable, params, task: GlueTask,
                     save_train_state(train_state_path, params, learnable,
                                      rest, opt_state, rng, step_i)
             if tcfg.max_steps and step_i >= tcfg.max_steps:
-                qstate = QAT.merge_learnable_ranges(learnable, rest)
-                return params, qstate
-    qstate = QAT.merge_learnable_ranges(learnable, rest)
-    return params, qstate
+                return _finish(params, learnable, rest, best, log_fn)
+    return _finish(params, learnable, rest, best, log_fn)
+
+
+def _finish(params, learnable, rest, best, log_fn):
+    if best["state"] is not None:
+        log_fn(f"restoring best checkpoint (score {best['score']:.4f})")
+        params, learnable, rest = best["state"]
+    return params, QAT.merge_learnable_ranges(learnable, rest)
