@@ -204,3 +204,37 @@ def test_w4a32_weight_only_engine_matches_simulation():
     eng = _run("--n-bits", "4", "--no-act-quant", "--engine", "xla",
                "--seed", "1000")
     assert eng == pytest.approx(sim, abs=1e-9), (sim, eng)
+
+
+def test_stsb_regression_clamp_and_combined_metric():
+    """STS-B: regression head (num_labels=1), [0,5] logits clamp,
+    pearson/spearman combined_score (quantized_bert.py:599-600)."""
+    s = cli.main(["validate-quantized", "--task", "stsb",
+                  "--synthetic-data", "--num-val-samples", "16",
+                  "--eval-batch-size", "8", "--tiny-model",
+                  "--num-est-batches", "1"])
+    assert -1.0 <= s <= 1.0  # correlation-valued
+
+
+def test_mnli_dual_eval(caplog):
+    """MNLI evaluates matched AND mismatched; final = mean of both
+    (main.py:748-784). (--num-val-samples short-circuits to one split,
+    so run the full tiny synthetic val sets.)"""
+    import logging
+    with caplog.at_level(logging.INFO, logger="tq_tpu"):
+        s = cli.main(["validate-quantized", "--task", "mnli",
+                      "--synthetic-data", "--eval-batch-size", "16",
+                      "--tiny-model", "--num-est-batches", "1"])
+    assert 0.0 <= s <= 1.0
+    msgs = " ".join(r.message for r in caplog.records)
+    assert "validation_mismatched" in msgs
+
+
+def test_multi_task_macro_average():
+    """--task repeatable: per-task scores + macro-average
+    (main.py:193-209)."""
+    s = cli.main(["validate-quantized", "--task", "rte", "--task", "wnli",
+                  "--synthetic-data", "--num-val-samples", "16",
+                  "--eval-batch-size", "8", "--tiny-model",
+                  "--num-est-batches", "1"])
+    assert 0.0 <= s <= 1.0
