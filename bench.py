@@ -80,19 +80,25 @@ def main():
 
     # Fail fast if the TPU tunnel is down: backend init otherwise blocks
     # ~20-30 min before raising UNAVAILABLE, which reads as a hung bench.
-    import signal
+    # The probe must be OUT of process: a SIGALRM handler can't preempt
+    # the main thread while it is blocked inside one long native PJRT
+    # init call (CPython runs handlers between bytecodes only), so an
+    # in-process alarm fires ~30 min late. A child process can be killed.
+    import subprocess
 
-    def _unavailable(signum, frame):
-        print("bench: device backend init timed out (TPU tunnel down?)",
-              file=sys.stderr, flush=True)
-        raise SystemExit(3)
-
-    if hasattr(signal, "SIGALRM"):
-        signal.signal(signal.SIGALRM, _unavailable)
-        signal.alarm(300)
+    if "cpu" not in str(jax.config.jax_platforms or ""):
+        # (a CPU-forced debug run skips the probe: the child process
+        # would not inherit an in-process platform override)
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=300, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print("bench: device backend init timed out (TPU tunnel down?)",
+                  file=sys.stderr, flush=True)
+            raise SystemExit(3)
     jax.devices()
-    if hasattr(signal, "SIGALRM"):
-        signal.alarm(0)
 
     from transformer_quantization_tpu.models import bert as B
     from transformer_quantization_tpu.quant.qconfig import QuantMode

@@ -106,3 +106,42 @@ def test_dp_serving_engine(setup):
         m = eng.run_closed_loop(reqs, concurrency=8)
     assert m["requests"] == 16
     assert m["tokens_per_sec"] > 0
+
+
+def test_tp_dp_serving_engine(setup):
+    """ServingEngine over a dp=2 x tp=2 mesh with Megatron-style
+    TP-sharded weights: GSPMD inserts the tp collectives inside the
+    forward while the engine shards batch rows over dp; results match
+    the single-device forward."""
+    forward, params, batch = setup
+    from transformer_quantization_tpu.parallel.mesh import (
+        bert_param_pspecs,
+        make_mesh,
+    )
+    from transformer_quantization_tpu.serving.engine import (
+        ServeConfig,
+        ServingEngine,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = B.BertConfig(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                       num_attention_heads=4, intermediate_size=128,
+                       max_position_embeddings=64, num_labels=2)
+    mesh = make_mesh(dp=2, tp=2)
+    p = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, bert_param_pspecs(cfg))
+    fwd = jax.jit(functools.partial(forward, p))
+    scfg = ServeConfig(max_batch=8, seq_buckets=(16,),
+                       batch_buckets=(2, 4, 8), mesh=mesh)
+    eng = ServingEngine(fwd, scfg)
+    rng = np.random.RandomState(2)
+    ids = rng.randint(1, 128, 16).astype(np.int32)
+    with eng:
+        logits = eng.submit_ids(ids).result(timeout=300)
+    ref_batch = {"input_ids": jnp.asarray(ids)[None],
+                 "attention_mask": jnp.ones((1, 16), jnp.float32),
+                 "token_type_ids": jnp.zeros((1, 16), jnp.int32)}
+    ref = jax.jit(forward)(params, ref_batch)
+    np.testing.assert_allclose(logits, np.asarray(ref[0]),
+                               rtol=2e-4, atol=2e-4)

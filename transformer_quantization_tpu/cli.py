@@ -500,7 +500,16 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
         if args.output_dir and args.save_every:
             from transformer_quantization_tpu.utils import checkpoint as CK
 
-            saved_steps = []
+            # seed with checkpoints already on disk (a resumed run must
+            # keep pruning the prior process's checkpoints too)
+            import re as _re
+
+            _pat = _re.compile(
+                _re.escape(f"checkpoint_{task.name}_step") + r"(\d+)$")
+            saved_steps = sorted(
+                int(m.group(1)) for d in os.listdir(args.output_dir)
+                if (m := _pat.match(d))
+            ) if os.path.isdir(args.output_dir) else []
 
             def save_fn(p, qs, step):
                 CK.save_checkpoint(
@@ -599,15 +608,21 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
             # the forward (axis scales fold into the matmul epilogue,
             # ops/layers.py _int8_fast_path), and weight-only modes
             # (--no-act-quant; packed weights dequantize on load)
-            int_params = fam.build_int_params(params, qcfg, qs,
-                                              args.n_bits <= 4)
             logger.info("generic int path active for eval (%s, backend=%s)",
                         why, backend)
+            # packed weights are only consumed when the mode quantizes
+            # weights, so FP-weight modes skip the packing work. Built
+            # HERE, outside the jitted eval step: post-omnistaging, jnp
+            # ops stage into an active trace even on concrete operands,
+            # so packing lazily inside the apply would cache tracers and
+            # leak them into the next call.
+            ip = (fam.build_int_params(params, qcfg, qs, args.n_bits <= 4)
+                  if mode.weight_quant else None)
 
-            def int_apply(params, batch, qcfg=None, qstate=None,
+            def int_apply(p, batch, qcfg=None, qstate=None,
                           mode=None, **kw):
-                return fam.apply(params, batch, cfg, qcfg, qstate, mode,
-                                 int_params=int_params,
+                return fam.apply(p, batch, cfg, qcfg, qstate, mode,
+                                 int_params=ip,
                                  use_pallas=backend == "pallas", **kw)
 
             return int_apply
@@ -705,6 +720,15 @@ def _log_results(task_scores: Dict[str, float]):
 
 
 def main(argv=None):
+    # TQ_PLATFORM=cpu|tpu pins the jax platform even when the hosting
+    # environment pre-imports jax with a different default (then the
+    # JAX_PLATFORMS env var is read too early to have any effect); the
+    # config update is safe any time before first backend use
+    plat = os.environ.get("TQ_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     from transformer_quantization_tpu.utils import glue as G
     from transformer_quantization_tpu.utils.misc import seed_all

@@ -213,14 +213,9 @@ def build_albert_int_params(params: Dict, qcfg: QuantModelConfig,
 def _can_scan_shared(ctx, cfg) -> bool:
     """ALBERT scan gate: shared-site states live in the scan CARRY (every
     iteration updates the same sites sequentially), so they must all be
-    initialized up front — plus the generic no-per-layer-identity gates."""
-    from transformer_quantization_tpu.quant.qconfig import Phase
-
-    if (getattr(ctx, "int_params", None)
-            or getattr(ctx, "capture_sites", None)
-            or ctx.mse_session is not None
-            or ctx.mode.act_phase == Phase.record_ranges
-            or cfg.num_hidden_layers <= 1):
+    initialized up front — plus the generic no-per-layer-identity gates
+    (shared with every other family via :func:`bert.generic_scan_gates`)."""
+    if not B.generic_scan_gates(ctx, cfg):
         return False
     for name, c in ctx.cfg.items():
         if name.startswith("shared.") and c.enabled and name not in ctx.qstate:

@@ -690,19 +690,26 @@ def _split_layer_site(name: str):
     return (int(m.group(1)), m.group(2)) if m else None
 
 
+def generic_scan_gates(ctx, cfg) -> bool:
+    """True when no feature that needs per-layer identity is active (int
+    payload plans, capture hooks, host-side MSE estimators, the PEG
+    permutation-recording phase, single-layer stacks). Shared by every
+    family's scan gate — add new per-layer-identity features HERE so all
+    scan paths (incl. ALBERT's shared-carry variant) gate off together."""
+    from transformer_quantization_tpu.quant.qconfig import Phase
+
+    return not (getattr(ctx, "int_params", None)
+                or getattr(ctx, "capture_sites", None)
+                or ctx.mse_session is not None
+                or ctx.mode.act_phase == Phase.record_ranges
+                or cfg.num_hidden_layers <= 1)
+
+
 def can_scan_encoder(ctx, cfg) -> bool:
     """True when the encoder stack can run as ONE lax.scan iteration:
     layers must be interchangeable — same site configs, same quant-state
-    shapes — and no feature that needs per-layer identity (int payload
-    plans, capture hooks, host-side MSE estimators, the PEG
-    permutation-recording phase)."""
-    from transformer_quantization_tpu.quant.qconfig import Phase
-
-    if (getattr(ctx, "int_params", None)
-            or getattr(ctx, "capture_sites", None)
-            or ctx.mse_session is not None
-            or ctx.mode.act_phase == Phase.record_ranges
-            or cfg.num_hidden_layers <= 1):
+    shapes — and the :func:`generic_scan_gates` all pass."""
+    if not generic_scan_gates(ctx, cfg):
         return False
     L = cfg.num_hidden_layers
     by_layer_cfg = {}

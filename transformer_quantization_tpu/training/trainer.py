@@ -130,8 +130,13 @@ def make_optimizer(tcfg: TrainConfig, steps_total: int
             from jax.tree_util import tree_map_with_path
 
             def lab(path, _):
-                return ("ffn" if any("ffn" in str(getattr(k, "key", k))
-                                     for k in path) else "other")
+                # FFN *kernels* only: biases and the ffn.ln scale/bias
+                # must not be decayed (decaying LayerNorm params degrades
+                # training); every family names matmul weights "kernel"
+                keys = [str(getattr(k, "key", k)) for k in path]
+                is_kernel = bool(keys) and keys[-1] == "kernel"
+                return ("ffn" if is_kernel and any("ffn" in k for k in keys)
+                        else "other")
 
             return tree_map_with_path(lab, tree)
 
@@ -146,8 +151,9 @@ def make_optimizer(tcfg: TrainConfig, steps_total: int
 
 
 def save_train_state(path: str, params, learnable, rest, opt_state, rng,
-                     step_i: int) -> None:
-    """Full mid-train state: model + ranges + optimizer + RNG + position.
+                     step_i: int, best: Optional[Dict] = None) -> None:
+    """Full mid-train state: model + ranges + optimizer + RNG + position
+    (+ best-model tracking, so --load-best-model-at-end survives --resume).
 
     The optimizer pytree (optax NamedTuples) is stored as ordered leaves
     and re-hung on a freshly-initialized state's treedef at load time —
@@ -155,12 +161,17 @@ def save_train_state(path: str, params, learnable, rest, opt_state, rng,
     from transformer_quantization_tpu.utils import checkpoint as CK
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    CK.save_tree(path + ".model.npz",
-                 {"params": params, "learnable": learnable, "rest": rest})
+    tree = {"params": params, "learnable": learnable, "rest": rest}
+    extra = {}
+    if best is not None and best.get("state") is not None:
+        bp, bl, br = best["state"]
+        tree["best"] = {"params": bp, "learnable": bl, "rest": br}
+        extra["__best_score__"] = np.asarray(best["score"])
+    CK.save_tree(path + ".model.npz", tree)
     opt_leaves = {f"leaf_{i}": np.asarray(x)
                   for i, x in enumerate(jax.tree.leaves(opt_state))}
     np.savez(path + ".opt.npz", __step__=np.asarray(step_i),
-             __rng__=np.asarray(rng), **opt_leaves)
+             __rng__=np.asarray(rng), **extra, **opt_leaves)
 
 
 def load_train_state(path: str, opt_template) -> Tuple:
@@ -169,14 +180,20 @@ def load_train_state(path: str, opt_template) -> Tuple:
     from transformer_quantization_tpu.utils import checkpoint as CK
 
     model = CK.load_tree(path + ".model.npz")
+    best = {"score": None, "state": None}
     with np.load(path + ".opt.npz") as z:
         step_i = int(z["__step__"])
         rng = jax.numpy.asarray(z["__rng__"])
+        if "__best_score__" in z.files and "best" in model:
+            b = model["best"]
+            best = {"score": float(z["__best_score__"]),
+                    "state": (b["params"], b.get("learnable") or {},
+                              b.get("rest") or {})}
         n = len([k for k in z.files if k.startswith("leaf_")])
         leaves = [jax.numpy.asarray(z[f"leaf_{i}"]) for i in range(n)]
     opt_state = jax.tree.unflatten(jax.tree.structure(opt_template), leaves)
     return (model["params"], model.get("learnable") or {},
-            model.get("rest") or {}, opt_state, rng, step_i)
+            model.get("rest") or {}, opt_state, rng, step_i, best)
 
 
 def has_train_state(path: str) -> bool:
@@ -219,8 +236,9 @@ def train(apply_fn: Callable, params, task: GlueTask,
 
     start_step = 0
     rng = jax.random.PRNGKey(tcfg.seed)
+    best = {"score": None, "state": None}
     if resume and train_state_path and has_train_state(train_state_path):
-        params, learnable, rest, opt_state, rng, start_step = \
+        params, learnable, rest, opt_state, rng, start_step, best = \
             load_train_state(train_state_path, opt_state)
         log_fn(f"resumed train state from {train_state_path} "
                f"at step {start_step}")
@@ -231,7 +249,10 @@ def train(apply_fn: Callable, params, task: GlueTask,
     def current_qstate():
         return QAT.merge_learnable_ranges(learnable, rest)
 
-    best = {"score": None, "state": None}
+    if tcfg.load_best_model_at_end and not (tcfg.eval_every
+                                            and eval_arrays is not None):
+        log_fn("WARNING: --load-best-model-at-end needs --eval-every and an "
+               "eval split to ever record a best model; it will be a no-op")
 
     def _track_best(m, step_i):
         if not tcfg.load_best_model_at_end:
@@ -250,6 +271,11 @@ def train(apply_fn: Callable, params, task: GlueTask,
             best["state"] = jax.tree.map(jnp.copy, (params, learnable, rest))
             log_fn(f"[step {step_i}] new best {key}={score:.4f}")
 
+    # cadences (max_steps/eval_every/save_every) are in *optimizer* steps
+    # (HF Trainer semantics); step_i counts micro-batches, so with
+    # gradient accumulation each cadence stretches by accum
+    accum = max(tcfg.grad_accum_steps, 1)
+    max_micro = tcfg.max_steps * accum if tcfg.max_steps else None
     data_rng = np.random.RandomState(tcfg.seed)
     step_i = 0
     for epoch in range(tcfg.num_epochs):
@@ -261,6 +287,10 @@ def train(apply_fn: Callable, params, task: GlueTask,
                 # without stepping, so data order matches the original run
                 step_i += 1
                 continue
+            # checked BEFORE executing so a run resumed at exactly
+            # max_steps does not take one extra optimizer step
+            if max_micro is not None and step_i >= max_micro:
+                return _finish(params, learnable, rest, best, log_fn)
             batch.pop("example_mask")
             params, learnable, rest, opt_state, rng, loss = step_fn(
                 params, learnable, rest, opt_state, batch, rng)
@@ -271,7 +301,7 @@ def train(apply_fn: Callable, params, task: GlueTask,
                 if tb_writer is not None:
                     tb_writer.scalar("train/loss", float(loss), step_i)
             if (tcfg.eval_every and eval_arrays is not None
-                    and step_i % tcfg.eval_every == 0):
+                    and step_i % (tcfg.eval_every * accum) == 0):
                 m = evaluate(apply_fn, params, current_qstate(), task,
                              eval_arrays, qcfg=qcfg, mode=mid_eval_mode,
                              batch_size=tcfg.eval_batch_size)
@@ -280,13 +310,13 @@ def train(apply_fn: Callable, params, task: GlueTask,
                 if tb_writer is not None:
                     for k, v in m.items():
                         tb_writer.scalar(f"eval/{k}", float(v), step_i)
-            if tcfg.save_every and step_i % tcfg.save_every == 0:
+            if tcfg.save_every and step_i % (tcfg.save_every * accum) == 0:
                 if save_fn is not None:
                     save_fn(params, current_qstate(), step_i)
                 if train_state_path:
                     save_train_state(train_state_path, params, learnable,
-                                     rest, opt_state, rng, step_i)
-            if tcfg.max_steps and step_i >= tcfg.max_steps:
+                                     rest, opt_state, rng, step_i, best)
+            if max_micro is not None and step_i >= max_micro:
                 return _finish(params, learnable, rest, best, log_fn)
     return _finish(params, learnable, rest, best, log_fn)
 
