@@ -132,3 +132,32 @@ def test_best_model_state_survives_resume(tmp_path):
                                   np.arange(3.0) * 2)
     np.testing.assert_array_equal(
         np.asarray(got_best["state"][1]["r"]), np.ones(2))
+
+
+def test_eval_strategy_epoch_runs_eval_at_epoch_end():
+    apply_fn, params, task, arrays = _tiny_train_setup()
+    logs = []
+    tcfg = T.TrainConfig(batch_size=8, num_epochs=2, learning_rate=1e-4,
+                         seed=3, log_every=1000, eval_at_epoch_end=True)
+    T.train(apply_fn, params, task, arrays, tcfg, eval_arrays=arrays,
+            log_fn=lambda m: logs.append(str(m)))
+    assert sum("eval:" in m for m in logs) == 2  # once per epoch
+
+
+def test_cli_reference_flag_aliases():
+    """The reference's progress/adaround flag names parse as aliases."""
+    from transformer_quantization_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["train-quantized", "--eval-steps", "7",
+                      "--save-steps", "9", "--logging-steps", "3",
+                      "--adaround-act-quant", "no_act_quant",
+                      "--eval-strategy", "epoch", "--no-tqdm",
+                      "--eval-during-training"])
+    assert a.eval_every == 7
+    assert a.save_every == 9
+    assert a.log_every == 3
+    assert a.adaround_act_quant_mode == "no_act_quant"
+    assert a.eval_strategy == "epoch"
+    assert a.tqdm is False
+    assert a.eval_during_training is True

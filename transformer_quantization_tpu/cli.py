@@ -123,9 +123,19 @@ def build_parser() -> argparse.ArgumentParser:
         g = sp.add_argument_group("progress")
         # the reference's progress option group
         # (transformer_click_options.py:288-400)
-        g.add_argument("--eval-every", type=int, default=None,
+        g.add_argument("--eval-every", "--eval-steps", dest="eval_every",
+                       type=int, default=None,
                        help="mid-train eval on the validation set every N "
-                            "steps (reference --eval_steps)")
+                            "optimizer steps (reference --eval-steps)")
+        g.add_argument("--eval-strategy", default=None,
+                       choices=["no", "steps", "epoch"],
+                       help="evaluation frequency level (reference "
+                            "--eval-strategy): 'steps' uses --eval-every, "
+                            "'epoch' evaluates at each epoch end")
+        g.add_argument("--eval-during-training", action="store_true",
+                       help="evaluate at each logging step (reference "
+                            "--eval-during-training: sets the eval cadence "
+                            "to --log-every)")
         g.add_argument("--load-best-model-at-end", action="store_true",
                        help="track the best mid-train eval (at "
                             "--eval-every cadence) and restore it after "
@@ -144,11 +154,20 @@ def build_parser() -> argparse.ArgumentParser:
                             "+ RNG + step) saved at --save-every cadence "
                             "under --output-dir; data order replays "
                             "deterministically")
-        g.add_argument("--save-every", type=int, default=None,
-                       help="mid-train checkpoint every N steps into "
-                            "--output-dir (reference --save_steps)")
-        g.add_argument("--log-every", type=int, default=50,
-                       help="loss log/TB-scalar interval in steps")
+        g.add_argument("--save-every", "--save-steps", dest="save_every",
+                       type=int, default=None,
+                       help="mid-train checkpoint every N optimizer steps "
+                            "into --output-dir (reference --save-steps)")
+        g.add_argument("--log-every", "--logging-steps", dest="log_every",
+                       type=int, default=50,
+                       help="loss log/TB-scalar interval in steps "
+                            "(reference --logging-steps; the first step is "
+                            "always logged, reference --logging-first-step)")
+        g.add_argument("--tqdm", action="store_true", default=True,
+                       help="progress bar over training batches (reference "
+                            "--tqdm/--no-tqdm; falls back to log lines when "
+                            "tqdm or a tty is unavailable)")
+        g.add_argument("--no-tqdm", dest="tqdm", action="store_false")
         g.add_argument("--tb-train-histograms", action="store_true",
                        help="per-layer residual histograms (per-tensor + "
                             "per-token) before and after training, like "
@@ -242,7 +261,9 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--adaround-decay-shape", type=float, default=1.0)
         g.add_argument("--adaround-decay-start", type=float, default=0.0)
         g.add_argument("--adaround-warmup", type=float, default=0.2)
-        g.add_argument("--adaround-act-quant-mode", default="post_adaround",
+        g.add_argument("--adaround-act-quant-mode", "--adaround-act-quant",
+                       dest="adaround_act_quant_mode",
+                       default="post_adaround",
                        choices=["no_act_quant", "post_adaround"])
 
     for cmd in ("train-baseline", "validate-baseline"):
@@ -463,6 +484,14 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
         tb_writer = TBWriter(os.path.join(args.tb_logging_dir, task.name))
 
     if do_train:
+        # evaluation frequency levels (reference --eval-strategy /
+        # --eval-during-training, transformer_click_options.py:288-312)
+        eval_every = args.eval_every
+        if args.eval_during_training and eval_every is None:
+            eval_every = args.log_every
+        if args.eval_strategy == "no":
+            eval_every = None
+        eval_at_epoch_end = args.eval_strategy == "epoch"
         tcfg = T.TrainConfig(learning_rate=args.learning_rate,
                              num_epochs=args.num_epochs,
                              batch_size=args.batch_size,
@@ -472,7 +501,9 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                              grad_accum_steps=(
                                  args.gradient_accumulation_steps),
                              log_every=args.log_every,
-                             eval_every=args.eval_every,
+                             eval_every=eval_every,
+                             eval_at_epoch_end=eval_at_epoch_end,
+                             progress_bar=args.tqdm,
                              save_every=args.save_every,
                              eval_batch_size=args.eval_batch_size,
                              max_steps=args.max_steps,

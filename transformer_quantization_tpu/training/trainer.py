@@ -45,8 +45,13 @@ class TrainConfig:
     # progress cadence (reference transformer_click_options.py:288-400:
     # --eval_steps / --save_steps / TB train-logging intervals)
     eval_every: Optional[int] = None   # mid-train eval every N steps
+    eval_at_epoch_end: bool = False    # reference --eval-strategy epoch
     save_every: Optional[int] = None   # checkpoint every N steps
     eval_batch_size: int = 32
+    # tqdm progress bar over training batches (reference --tqdm/--no-tqdm);
+    # silently falls back to log lines when tqdm is unavailable or stderr
+    # is not a terminal (CI logs stay clean)
+    progress_bar: bool = False
     # stop after N optimizer steps (HF TrainingArguments max_steps); the
     # LR schedule still spans the full num_epochs horizon, so an
     # interrupted-then-resumed run matches an uninterrupted one exactly
@@ -249,10 +254,12 @@ def train(apply_fn: Callable, params, task: GlueTask,
     def current_qstate():
         return QAT.merge_learnable_ranges(learnable, rest)
 
-    if tcfg.load_best_model_at_end and not (tcfg.eval_every
-                                            and eval_arrays is not None):
-        log_fn("WARNING: --load-best-model-at-end needs --eval-every and an "
-               "eval split to ever record a best model; it will be a no-op")
+    if tcfg.load_best_model_at_end and not (
+            (tcfg.eval_every or tcfg.eval_at_epoch_end)
+            and eval_arrays is not None):
+        log_fn("WARNING: --load-best-model-at-end needs an eval cadence "
+               "(--eval-every / --eval-strategy epoch) and an eval split "
+               "to ever record a best model; it will be a no-op")
 
     def _track_best(m, step_i):
         if not tcfg.load_best_model_at_end:
@@ -271,6 +278,33 @@ def train(apply_fn: Callable, params, task: GlueTask,
             best["state"] = jax.tree.map(jnp.copy, (params, learnable, rest))
             log_fn(f"[step {step_i}] new best {key}={score:.4f}")
 
+    def run_mid_eval(step_i):
+        if eval_arrays is None:
+            return
+        m = evaluate(apply_fn, params, current_qstate(), task,
+                     eval_arrays, qcfg=qcfg, mode=mid_eval_mode,
+                     batch_size=tcfg.eval_batch_size)
+        log_fn(f"[step {step_i}] eval: {m}")
+        _track_best(m, step_i)
+        if tb_writer is not None:
+            for k, v in m.items():
+                tb_writer.scalar(f"eval/{k}", float(v), step_i)
+
+    def maybe_tqdm(it, epoch):
+        if not tcfg.progress_bar:
+            return it
+        try:
+            import sys as _sys
+
+            from tqdm import tqdm as _tqdm
+
+            if not _sys.stderr.isatty():
+                return it
+            return _tqdm(it, total=steps_per_epoch, leave=False,
+                         desc=f"epoch {epoch}")
+        except ImportError:
+            return it
+
     # cadences (max_steps/eval_every/save_every) are in *optimizer* steps
     # (HF Trainer semantics); step_i counts micro-batches, so with
     # gradient accumulation each cadence stretches by accum
@@ -279,9 +313,9 @@ def train(apply_fn: Callable, params, task: GlueTask,
     data_rng = np.random.RandomState(tcfg.seed)
     step_i = 0
     for epoch in range(tcfg.num_epochs):
-        for batch in batch_iterator(train_arrays, tcfg.batch_size,
-                                    shuffle=True, rng=data_rng,
-                                    drop_last=True):
+        for batch in maybe_tqdm(batch_iterator(train_arrays, tcfg.batch_size,
+                                               shuffle=True, rng=data_rng,
+                                               drop_last=True), epoch):
             if step_i < start_step:
                 # resumed run: replay the (deterministic) shuffle order
                 # without stepping, so data order matches the original run
@@ -302,14 +336,7 @@ def train(apply_fn: Callable, params, task: GlueTask,
                     tb_writer.scalar("train/loss", float(loss), step_i)
             if (tcfg.eval_every and eval_arrays is not None
                     and step_i % (tcfg.eval_every * accum) == 0):
-                m = evaluate(apply_fn, params, current_qstate(), task,
-                             eval_arrays, qcfg=qcfg, mode=mid_eval_mode,
-                             batch_size=tcfg.eval_batch_size)
-                log_fn(f"[step {step_i}] eval: {m}")
-                _track_best(m, step_i)
-                if tb_writer is not None:
-                    for k, v in m.items():
-                        tb_writer.scalar(f"eval/{k}", float(v), step_i)
+                run_mid_eval(step_i)
             if tcfg.save_every and step_i % (tcfg.save_every * accum) == 0:
                 if save_fn is not None:
                     save_fn(params, current_qstate(), step_i)
@@ -318,6 +345,8 @@ def train(apply_fn: Callable, params, task: GlueTask,
                                      rest, opt_state, rng, step_i, best)
             if max_micro is not None and step_i >= max_micro:
                 return _finish(params, learnable, rest, best, log_fn)
+        if tcfg.eval_at_epoch_end and step_i > start_step:
+            run_mid_eval(step_i)
     return _finish(params, learnable, rest, best, log_fn)
 
 
