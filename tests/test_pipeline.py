@@ -1,0 +1,170 @@
+"""GPipe pipeline parallelism over the 'pp' mesh axis (parallel/pipeline.py).
+
+Forward and train-step parity vs single device on the virtual 8-device CPU
+mesh, composition with dp (automatic axes inside the manual pp program),
+and the read-only-state gate. No reference counterpart (SURVEY.md §2.6)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformer_quantization_tpu.models import bert as B
+from transformer_quantization_tpu.parallel.mesh import make_mesh
+from transformer_quantization_tpu.quant.qconfig import (
+    Phase,
+    QuantDefaults,
+    QuantMode,
+)
+from transformer_quantization_tpu.quant.quantizers import QMethod
+from transformer_quantization_tpu.quant.ranges import RangeMethod
+from transformer_quantization_tpu.training.calibration import (
+    prepare_quantized_model,
+)
+
+CFG = B.BertConfig(vocab_size=128, hidden_size=32, num_hidden_layers=4,
+                   num_attention_heads=2, intermediate_size=64,
+                   max_position_embeddings=32, num_labels=2,
+                   hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    params = B.init_bert_params(jax.random.PRNGKey(0), CFG)
+    d = QuantDefaults(method=QMethod.symmetric_uniform,
+                      act_method=QMethod.asymmetric_uniform, n_bits=8,
+                      weight_range_method=RangeMethod.current_minmax,
+                      act_range_method=RangeMethod.current_minmax)
+    qcfg = B.declare_bert_sites(d, CFG)
+    rng = np.random.RandomState(0)
+    bsz, seq = 16, 16
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, 128, (bsz, seq)), jnp.int32),
+        "attention_mask": jnp.asarray(
+            (rng.rand(bsz, seq) > 0.2).astype(np.float32)),
+        "token_type_ids": jnp.zeros((bsz, seq), jnp.int32),
+    }
+    batch["attention_mask"] = batch["attention_mask"].at[:, 0].set(1.0)
+    apply_fn = functools.partial(B.bert_apply, cfg=CFG)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [batch],
+        weight_tensors=B.bert_weight_site_tensors(params))
+    return params, qcfg, qstate, mode, batch
+
+
+def test_pp_forward_matches_single_device(setup):
+    params, qcfg, qstate, mode, batch = setup
+    ref, _ = jax.jit(functools.partial(B.bert_apply, cfg=CFG, qcfg=qcfg,
+                                       mode=mode))(params, batch,
+                                                   qstate=qstate)
+    mesh = make_mesh(pp=4)
+    with jax.set_mesh(mesh):
+        out, _ = jax.jit(functools.partial(
+            B.bert_apply, cfg=CFG, qcfg=qcfg, mode=mode, pp_mesh=mesh,
+            pp_microbatches=4))(params, batch, qstate=qstate)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pp_composes_with_dp(setup):
+    params, qcfg, qstate, mode, batch = setup
+    ref, _ = jax.jit(functools.partial(B.bert_apply, cfg=CFG, qcfg=qcfg,
+                                       mode=mode))(params, batch,
+                                                   qstate=qstate)
+    mesh = make_mesh(dp=2, pp=4)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    with jax.set_mesh(mesh):
+        b = {k: jax.device_put(v, NamedSharding(mesh, P("dp")))
+             for k, v in batch.items()}
+        out, _ = jax.jit(functools.partial(
+            B.bert_apply, cfg=CFG, qcfg=qcfg, mode=mode, pp_mesh=mesh,
+            pp_microbatches=2))(params, b, qstate=qstate)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pp_fp32_baseline_forward(setup):
+    """Pipeline works for the unquantized model too (qcfg=None)."""
+    params, _, _, _, batch = setup
+    fp = QuantMode(weight_quant=False, act_quant=False)
+    ref, _ = jax.jit(functools.partial(B.bert_apply, cfg=CFG,
+                                       mode=fp))(params, batch)
+    mesh = make_mesh(pp=2)
+    with jax.set_mesh(mesh):
+        out, _ = jax.jit(functools.partial(
+            B.bert_apply, cfg=CFG, mode=fp, pp_mesh=mesh,
+            pp_microbatches=4))(params, batch)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pp_qat_train_step_matches_single_device(setup):
+    """One learn-ranges QAT step on a dp=2 x pp=4 mesh: loss and updated
+    params match the single-device step (dropout disabled in CFG; the
+    pipeline's per-microbatch rng folding is then inert)."""
+    from transformer_quantization_tpu.training import qat as QAT
+    from transformer_quantization_tpu.utils.glue import TASKS  # noqa: F401
+
+    params, qcfg, qstate, _, batch = setup
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, 2, (16,)),
+                         jnp.int32)
+    tbatch = dict(batch, labels=labels)
+    apply_fn = functools.partial(B.bert_apply, cfg=CFG)
+
+    def one_step(qat_cfg, mesh=None):
+        tx = QAT.make_optimizer(qat_cfg)
+        step = QAT.make_qat_train_step(apply_fn, qcfg, qat_cfg, tx,
+                                       donate=False)
+        p, learn, rest, opt = QAT.init_qat_state(
+            qcfg, qat_cfg, jax.tree.map(jnp.copy, params),
+            jax.tree.map(jnp.copy, dict(qstate)), tx)
+        if mesh is not None:
+            with jax.set_mesh(mesh):
+                out = step(p, learn, rest, opt, tbatch, jax.random.PRNGKey(7))
+        else:
+            out = step(p, learn, rest, opt, tbatch, jax.random.PRNGKey(7))
+        return out[0], out[1], out[-1]  # params, learnable, loss
+
+    base = QAT.QATConfig(learn_ranges=True, learning_rate=1e-4)
+    p_ref, l_ref, loss_ref = one_step(base)
+
+    mesh = make_mesh(dp=2, pp=4)
+    pp_cfg = QAT.QATConfig(learn_ranges=True, learning_rate=1e-4,
+                           pp_mesh=mesh, pp_microbatches=2)
+    p_pp, l_pp, loss_pp = one_step(pp_cfg, mesh=mesh)
+
+    np.testing.assert_allclose(float(loss_pp), float(loss_ref),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_pp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(l_ref), jax.tree.leaves(l_pp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_pp_rejects_estimate_phase(setup):
+    params, qcfg, qstate, _, batch = setup
+    est = QuantMode(act_phase=Phase.estimate)
+    mesh = make_mesh(pp=4)
+    with pytest.raises(ValueError, match="bubble garbage|estimate"):
+        with jax.set_mesh(mesh):
+            B.bert_apply(params, batch, CFG, qcfg, qstate, est,
+                         pp_mesh=mesh, pp_microbatches=4)
+
+
+def test_pp_rejects_indivisible_layers(setup):
+    params, qcfg, qstate, mode, batch = setup
+    mesh = make_mesh(pp=8)  # 4 layers % 8 stages != 0
+    with pytest.raises(ValueError, match="divisible"):
+        with jax.set_mesh(mesh):
+            B.bert_apply(params, batch, CFG, qcfg, qstate, mode,
+                         pp_mesh=mesh, pp_microbatches=4)

@@ -172,6 +172,17 @@ def build_parser() -> argparse.ArgumentParser:
                        help="per-layer residual histograms (per-tensor + "
                             "per-token) before and after training, like "
                             "the reference's tb_utils forward hooks")
+        g.add_argument("--pp-stages", type=int, default=1,
+                       help="GPipe pipeline-parallel stages for the QAT "
+                            "train step: the encoder's layer stack shards "
+                            "over a 'pp' mesh axis, activations hop stages "
+                            "via ppermute; remaining devices become dp "
+                            "(parallel/pipeline.py; needs --learn-ranges "
+                            "or fixed ranges — pipeline state is "
+                            "read-only)")
+        g.add_argument("--pp-microbatches", type=int, default=2,
+                       help="microbatches per batch in the GPipe schedule "
+                            "(bubble fraction = (S-1)/(S-1+M))")
 
     def add_quant(sp):
         g = sp.add_argument_group("quantization")
@@ -515,8 +526,25 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                              metric_for_best_model=args.metric_for_best_model,
                              greater_is_better=not args.smaller_is_better)
         amp_dtype = "bfloat16" if args.amp else None
+        pp_mesh = None
+        if args.pp_stages > 1:
+            import jax as _jax
+
+            from transformer_quantization_tpu.parallel.mesh import make_mesh
+
+            n_dev = len(_jax.devices())
+            if n_dev % args.pp_stages:
+                raise SystemExit(f"--pp-stages {args.pp_stages} does not "
+                                 f"divide the {n_dev} available devices")
+            pp_mesh = make_mesh(dp=n_dev // args.pp_stages,
+                                pp=args.pp_stages)
+            logger.info("pipeline training: mesh dp=%d x pp=%d, "
+                        "%d microbatches", n_dev // args.pp_stages,
+                        args.pp_stages, args.pp_microbatches)
         qat_cfg = QAT.QATConfig(compute_dtype=amp_dtype, remat=args.remat,
-                                scan_layers=args.scan_layers)
+                                scan_layers=args.scan_layers,
+                                pp_mesh=pp_mesh,
+                                pp_microbatches=args.pp_microbatches)
         if quantized:
             qat_cfg = QAT.QATConfig(
                 learn_ranges=args.learn_ranges,
@@ -525,7 +553,9 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                 learning_rate=args.learning_rate,
                 range_learning_rate=args.range_learning_rate,
                 compute_dtype=amp_dtype, remat=args.remat,
-                scan_layers=args.scan_layers)
+                scan_layers=args.scan_layers,
+                pp_mesh=pp_mesh,
+                pp_microbatches=args.pp_microbatches)
 
         save_fn = None
         if args.output_dir and args.save_every:

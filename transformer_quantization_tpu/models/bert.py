@@ -647,7 +647,7 @@ def make_dropout_rngs(cfg, train: bool, dropout_rng):
 
 def run_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
                 first_site: str, remat: bool = False,
-                scan: bool = False):
+                scan: bool = False, pipeline=None):
     """Encoder-layer stack shared by BERT and RoBERTa.
 
     ``remat=True`` wraps each layer in :func:`jax.checkpoint`: activations
@@ -661,7 +661,16 @@ def run_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
     when the layers are interchangeable (:func:`can_scan_encoder`):
     trace+compile cost becomes depth-independent. Falls back to the loop
     when any feature needs per-layer identity.
+
+    ``pipeline=(mesh, n_microbatches)`` runs the stack as a GPipe pipeline
+    over the mesh's ``pp`` axis (parallel/pipeline.py); raises if the
+    configuration cannot pipeline — an explicit request must not silently
+    lose 1/S of the machine.
     """
+    if pipeline is not None and pipeline[0].shape.get("pp", 1) > 1:
+        return _pipeline_encoder(ctx, params, cfg, h, mask_bias, train,
+                                 rngs, mesh=pipeline[0],
+                                 n_micro=pipeline[1])
     if scan and can_scan_encoder(ctx, cfg):
         return _scan_encoder(ctx, params, cfg, h, mask_bias, train, rngs,
                              remat=remat)
@@ -796,6 +805,31 @@ def scan_layer_stack(ctx, n_layers: int, layer_params: list, h,
     return h
 
 
+def _pipeline_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
+                      mesh, n_micro: int):
+    """BERT/RoBERTa/DistilBERT encoder as a GPipe pipeline over ``pp``
+    (parallel/pipeline.py). Quant state is read-only inside (fix/learn
+    phases only — can_pipeline enforces it)."""
+    from transformer_quantization_tpu.parallel.pipeline import (
+        can_pipeline,
+        pipeline_layer_stack,
+    )
+
+    why = can_pipeline(ctx, cfg, mesh.shape["pp"], n_micro, h.shape[0])
+    if why:
+        raise ValueError(f"cannot pipeline the encoder: {why}")
+    L = cfg.num_hidden_layers
+    rng_list = ([jnp.stack(rngs[1 + 3 * i:4 + 3 * i]) for i in range(L)]
+                if rngs else None)
+
+    def layer_fn(sub, p_i, hc, m, rng_i):
+        return _layer(sub, p_i, cfg, hc, m, "L.", train, rng_i)
+
+    h = pipeline_layer_stack(mesh, ctx, L, params["layers"], h, mask_bias,
+                             rng_list, layer_fn, n_micro=n_micro)
+    return h, f"L{L - 1}.ffn.ln.out"
+
+
 def _scan_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
                   remat: bool = False):
     """BERT/RoBERTa/DistilBERT encoder stack via :func:`scan_layer_stack`."""
@@ -848,7 +882,9 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                attention_dtype=None,
                int8_attention: bool = False,
                remat: bool = False,
-               scan_layers: bool = False) -> Tuple[Dict, Dict]:
+               scan_layers: bool = False,
+               pp_mesh=None,
+               pp_microbatches: int = 1) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``.
 
     ``batch`` holds ``input_ids`` (B, T) plus optional ``attention_mask``,
@@ -891,7 +927,9 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                     train, rngs[0] if rngs else None)
     h, h_site = run_encoder(ctx, params, cfg, h, mask_bias, train, rngs,
                             first_site="emb.ln.out", remat=remat,
-                            scan=scan_layers)
+                            scan=scan_layers,
+                            pipeline=((pp_mesh, pp_microbatches)
+                                      if pp_mesh is not None else None))
 
     outputs = _classification_head(ctx, params, cfg, h, h_site, batch,
                                    train, rngs)

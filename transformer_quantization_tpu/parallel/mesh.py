@@ -31,18 +31,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from transformer_quantization_tpu.models.bert import BertConfig
 
 
-def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
-    """dp x tp x sp device mesh.
+def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1, pp: int = 1,
+              devices=None) -> Mesh:
+    """dp x tp x sp x pp device mesh.
 
     ``sp`` (sequence parallel) shards the time dimension of activations;
     it is a pure annotation axis — models are unchanged and GSPMD inserts
     the all-gathers attention needs (scores contract the full sequence)
     while embeddings/LayerNorm/FFN stay sequence-sharded.
+
+    ``pp`` (pipeline parallel) is a *manual* axis consumed by the GPipe
+    encoder schedule (parallel/pipeline.py): layer stacks shard over it and
+    activations hop stages via ppermute; dp/tp/sp stay automatic (GSPMD)
+    inside each stage.
     """
     devices = devices if devices is not None else jax.devices()
-    assert dp * tp * sp <= len(devices), (dp, tp, sp, len(devices))
-    arr = np.asarray(devices[: dp * tp * sp]).reshape(dp, tp, sp)
-    return Mesh(arr, ("dp", "tp", "sp"))
+    assert dp * tp * sp * pp <= len(devices), (dp, tp, sp, pp, len(devices))
+    arr = np.asarray(devices[: dp * tp * sp * pp]).reshape(dp, tp, sp, pp)
+    return Mesh(arr, ("dp", "tp", "sp", "pp"))
 
 
 def _lin_col(shard_bias: bool = True) -> Dict:

@@ -1,0 +1,172 @@
+"""GPipe-style pipeline parallelism over a ``pp`` mesh axis.
+
+No reference counterpart (SURVEY.md §2.6 — the reference is single-process,
+single-device). This is the TPU-native formulation: the encoder's layers are
+stacked ``[L, ...]`` and sharded over ``pp`` so each stage holds ``L/S``
+contiguous layers, and a *partial-manual* :func:`jax.shard_map` program runs
+the classic GPipe schedule — at tick ``t`` stage ``s`` processes microbatch
+``t - s``, and activations hop stage→stage over ICI via
+:func:`jax.lax.ppermute`. Everything is differentiable (``ppermute``
+transposes to the reverse shift), so the same program serves eval and the
+QAT train step; ``dp``/``tp``/``sp`` remain *automatic* axes — GSPMD keeps
+sharding the batch and weights inside each stage, composing pipeline with
+data/tensor parallelism without any manual cross-talk.
+
+Semantics notes:
+
+- Quantization state is **read-only** inside the pipeline (weight/act phases
+  must be ``fix`` or ``learn``): per-layer site states ride the stacked
+  ``[L, ...]`` inputs exactly like scan-over-layers, and estimate-phase
+  range updates — which would see pipeline-bubble garbage — are gated off
+  (:func:`can_pipeline`).
+- During fill/drain ticks every stage still executes (SPMD programs cannot
+  idle); the wasted compute equals GPipe's bubble fraction
+  ``(S-1)/(n_micro+S-1)``. Bubble outputs never reach real data: batch rows
+  are independent in a transformer encoder and the collected outputs are
+  masked to the last stage's real writes before the replicating ``psum``.
+- Dropout draws per (layer, microbatch) via ``fold_in(key, microbatch)`` —
+  a different (equally valid) pattern from the single-device step.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from transformer_quantization_tpu.quant.qconfig import Phase, QuantModelConfig
+
+
+def can_pipeline(ctx, cfg, n_stages: int, n_micro: int,
+                 batch_size: int) -> Optional[str]:
+    """None when the encoder stack can run as a GPipe pipeline, else the
+    human-readable reason it cannot (callers raise: an explicit pipeline
+    request that silently falls back would hide a 1/S throughput loss)."""
+    from transformer_quantization_tpu.models.bert import can_scan_encoder
+
+    if ctx.mode is not None:
+        if ctx.mode.act_quant and ctx.mode.act_phase not in (Phase.fix,
+                                                             Phase.learn):
+            return ("activation ranges update inside the forward "
+                    f"(act_phase={ctx.mode.act_phase.name}); pipeline "
+                    "stages would estimate on bubble garbage — calibrate "
+                    "first (fix) or learn ranges")
+        if ctx.mode.weight_quant and ctx.mode.weight_phase not in (
+                Phase.fix, Phase.learn):
+            return ("weight ranges re-estimate inside the forward "
+                    f"(weight_phase={ctx.mode.weight_phase.name}); the "
+                    "pipeline treats quant state as read-only")
+    if cfg.num_hidden_layers % n_stages != 0:
+        return (f"num_hidden_layers={cfg.num_hidden_layers} not divisible "
+                f"by pp={n_stages}")
+    if batch_size % n_micro != 0:
+        return f"batch={batch_size} not divisible by microbatches={n_micro}"
+    if not can_scan_encoder(ctx, cfg):
+        return ("layers are not interchangeable (per-layer site configs/"
+                "state shapes differ, or an identity-needing feature like "
+                "int payload plans / capture / host-MSE is active)")
+    return None
+
+
+def pipeline_layer_stack(mesh: Mesh, ctx, n_layers: int,
+                         layer_params: List, h, mask_bias,
+                         rngs_list: Optional[List],
+                         layer_fn: Callable, *, n_micro: int):
+    """Run an encoder stack as a GPipe pipeline over ``mesh``'s ``pp`` axis.
+
+    ``layer_fn(sub_ctx, p_i, h, mask, rng_i) -> h`` evaluates ONE layer
+    under generic ``L.``-prefixed site names (the scan-over-layers
+    contract, models/bert.py scan_layer_stack) and must take the attention
+    mask explicitly — the pipeline slices it per microbatch. Quant state is
+    read-only (gate with :func:`can_pipeline` first); the caller's
+    ``ctx.qstate`` is returned unchanged.
+    """
+    from transformer_quantization_tpu.models.bert import _split_layer_site
+
+    S = mesh.shape["pp"]
+    L = n_layers
+    assert L % S == 0, (L, S)
+
+    scan_cfg = QuantModelConfig(tuple(
+        (f"L.{s[1]}", c) for name, c in ctx.cfg.items()
+        if (s := _split_layer_site(name)) and s[0] == 0))
+    suffixes = sorted({s[1] for n in ctx.qstate
+                       if (s := _split_layer_site(n))})
+    stacked_state = {
+        suf: jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[ctx.qstate[f"L{i}.{suf}"] for i in range(L)])
+        for suf in suffixes
+    }
+    stacked_params = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
+    has_rngs = rngs_list is not None
+    if has_rngs:
+        stacked_rngs = jax.tree.map(lambda *xs: jnp.stack(xs), *rngs_list)
+    else:
+        stacked_rngs = jnp.zeros((L, 1), jnp.int32)  # unused placeholder
+    has_mask = mask_bias is not None
+    mask_in = mask_bias if has_mask else jnp.zeros((h.shape[0],), h.dtype)
+
+    def pp_fn(p_loc, qs_loc, rng_loc, h_g, mask_g):
+        # manual over 'pp' only: p/qs/rng are this stage's [L/S, ...]
+        # slices; h/mask stay logically global — GSPMD keeps handling
+        # their dp/sp sharding automatically inside the stage compute
+        stage = jax.lax.axis_index("pp")
+        B = h_g.shape[0]
+        mb = B // n_micro
+        hm = h_g.reshape((n_micro, mb) + h_g.shape[1:])
+        mm = mask_g.reshape((n_micro, mb) + mask_g.shape[1:])
+
+        def run_stage(x, m, micro_idx):
+            def body(hc, xs):
+                p_i, qs_i, rng_i = xs
+                sub = copy.copy(ctx)
+                sub.cfg = scan_cfg
+                sub.qstate = {f"L.{suf}": st for suf, st in qs_i.items()}
+                if has_rngs:
+                    r = [jax.random.fold_in(rng_i[j], micro_idx)
+                         for j in range(rng_i.shape[0])]
+                else:
+                    r = None
+                y = layer_fn(sub, p_i, hc, m if has_mask else None, r)
+                return y, None
+            y, _ = jax.lax.scan(body, x, (p_loc, qs_loc, rng_loc))
+            return y
+
+        def tick(carry, t):
+            buf, outs = carry
+            x_in = jax.lax.dynamic_index_in_dim(
+                hm, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False)
+            x = jnp.where(stage == 0, x_in, buf)
+            # stage s works on microbatch t - s during the steady state
+            idx_s = jnp.clip(t - stage, 0, n_micro - 1)
+            m = jax.lax.dynamic_index_in_dim(mm, idx_s, 0, keepdims=False)
+            y = run_stage(x, m, idx_s)
+            w_idx = jnp.clip(t - (S - 1), 0, n_micro - 1)
+            write = jnp.logical_and(stage == S - 1, t >= S - 1)
+            outs = jnp.where(
+                write, jax.lax.dynamic_update_index_in_dim(outs, y, w_idx, 0),
+                outs)
+            buf = jax.lax.ppermute(y, "pp",
+                                   [(i, (i + 1) % S) for i in range(S)])
+            return (buf, outs), None
+
+        # initial carries vary per stage once the schedule starts; mark
+        # them varying over 'pp' up front so scan's carry types close
+        buf0 = jax.lax.pcast(jnp.zeros_like(hm[0]), ("pp",), to="varying")
+        outs0 = jax.lax.pcast(jnp.zeros_like(hm), ("pp",), to="varying")
+        (_, outs), _ = jax.lax.scan(tick, (buf0, outs0),
+                                    jnp.arange(n_micro + S - 1))
+        # only the last stage holds real outputs; replicate them to every
+        # stage (the head runs redundantly on all of them — tiny compute)
+        outs = jnp.where(stage == S - 1, outs, jnp.zeros_like(outs))
+        outs = jax.lax.psum(outs, "pp")
+        return outs.reshape(h_g.shape)
+
+    sharded = jax.shard_map(
+        pp_fn, mesh=mesh, axis_names={"pp"},
+        in_specs=(P("pp"), P("pp"), P("pp"), P(), P()),
+        out_specs=P())
+    return sharded(stacked_params, stacked_state, stacked_rngs, h, mask_in)

@@ -103,6 +103,12 @@ class QATConfig:
     # interchangeable: trace+compile cost becomes depth-independent
     # (models/bert.py can_scan_encoder); numerics identical to the loop
     scan_layers: bool = False
+    # GPipe pipeline parallelism over the mesh's 'pp' axis
+    # (parallel/pipeline.py): layer stacks shard over stages, activations
+    # hop via ppermute, dp/tp/sp stay GSPMD-automatic inside each stage.
+    # Requires fix/learn range phases (pipeline state is read-only).
+    pp_mesh: object = None
+    pp_microbatches: int = 1
 
 
 def qat_mode(qat: QATConfig, weight_quant: bool = True,
@@ -165,6 +171,9 @@ def make_qat_train_step(apply_fn: Callable, qcfg: QuantModelConfig,
         extra["remat"] = True
     if qat.scan_layers:
         extra["scan_layers"] = True
+    if qat.pp_mesh is not None:
+        extra["pp_mesh"] = qat.pp_mesh
+        extra["pp_microbatches"] = qat.pp_microbatches
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3) if donate else ())
     def step(params, learnable, rest_qstate, opt_state, batch, rng):
