@@ -168,3 +168,43 @@ def test_pp_rejects_indivisible_layers(setup):
         with jax.set_mesh(mesh):
             B.bert_apply(params, batch, CFG, qcfg, qstate, mode,
                          pp_mesh=mesh, pp_microbatches=4)
+
+
+@pytest.mark.parametrize("model_name", ["roberta_base",
+                                        "distilbert_base_uncased",
+                                        "albert_base_v2",
+                                        "mobilebert_uncased",
+                                        "squeezebert_uncased"])
+def test_pp_forward_all_families(model_name):
+    """Every quantizable family pipelines: pp=2 forward parity vs single
+    device (ALBERT uses the shared-weights pipeline variant)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from transformer_quantization_tpu.models.registry import build_model
+    from transformer_quantization_tpu.quant.qconfig import QuantDefaults
+
+    fam, cfg, params = build_model(model_name, tiny=True, seed=0)
+    d = QuantDefaults(method=QMethod.symmetric_uniform,
+                      act_method=QMethod.asymmetric_uniform, n_bits=8,
+                      weight_range_method=RangeMethod.current_minmax,
+                      act_range_method=RangeMethod.current_minmax)
+    qcfg = fam.declare_sites(d, cfg)
+    rng = np.random.RandomState(0)
+    batch = {"input_ids": jnp.asarray(
+                 rng.randint(0, cfg.vocab_size, (8, 16)), jnp.int32),
+             "attention_mask": jnp.ones((8, 16), jnp.float32)}
+    apply_fn = functools.partial(fam.apply, cfg=cfg)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [batch],
+        weight_tensors=fam.weight_site_tensors(params))
+    ref, _ = jax.jit(functools.partial(
+        fam.apply, cfg=cfg, qcfg=qcfg, mode=mode))(params, batch,
+                                                   qstate=qstate)
+    mesh = make_mesh(pp=2)
+    with jax.set_mesh(mesh):
+        out, _ = jax.jit(functools.partial(
+            fam.apply, cfg=cfg, qcfg=qcfg, mode=mode, pp_mesh=mesh,
+            pp_microbatches=2))(params, batch, qstate=qstate)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-5, atol=1e-5)

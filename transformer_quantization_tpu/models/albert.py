@@ -270,7 +270,9 @@ def albert_apply(params: Dict, batch: Mapping[str, Array], cfg: AlbertConfig,
                  capture_pre_act: bool = False,
                  compute_dtype=None,
                  remat: bool = False,
-                 scan_layers: bool = False) -> Tuple[Dict, Dict]:
+                 scan_layers: bool = False,
+                 pp_mesh=None,
+                 pp_microbatches: int = 1) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
@@ -289,7 +291,26 @@ def albert_apply(params: Dict, batch: Mapping[str, Array], cfg: AlbertConfig,
                      params["emb_proj"]["bias"], input_site="emb.ln.out")
 
     h_site = "emb_proj.out"
-    if scan_layers and _can_scan_shared(ctx, cfg):
+    if pp_mesh is not None and pp_mesh.shape.get("pp", 1) > 1:
+        from transformer_quantization_tpu.parallel.pipeline import (
+            can_pipeline,
+            pipeline_shared_stack,
+        )
+
+        why = can_pipeline(ctx, cfg, pp_mesh.shape["pp"], pp_microbatches,
+                           h.shape[0])
+        if why:
+            raise ValueError(f"cannot pipeline the encoder: {why}")
+        L = cfg.num_hidden_layers
+        h = pipeline_shared_stack(
+            pp_mesh, ctx, L, params["shared"], h, mask_bias,
+            [list(rngs[1 + 3 * i:4 + 3 * i]) for i in range(L)]
+            if rngs else None,
+            lambda sub, p_sh, hc, m, r: B._layer(sub, p_sh, cfg, hc, m,
+                                                 "shared.", train, r),
+            n_micro=pp_microbatches)
+        h_site = "shared.ffn.ln.out"
+    elif scan_layers and _can_scan_shared(ctx, cfg):
         h = _scan_shared_encoder(ctx, params, cfg, h, mask_bias, train,
                                  rngs, remat=remat)
         h_site = "shared.ffn.ln.out"

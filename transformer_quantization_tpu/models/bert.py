@@ -819,7 +819,7 @@ def _pipeline_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
     if why:
         raise ValueError(f"cannot pipeline the encoder: {why}")
     L = cfg.num_hidden_layers
-    rng_list = ([jnp.stack(rngs[1 + 3 * i:4 + 3 * i]) for i in range(L)]
+    rng_list = ([list(rngs[1 + 3 * i:4 + 3 * i]) for i in range(L)]
                 if rngs else None)
 
     def layer_fn(sub, p_i, hc, m, rng_i):

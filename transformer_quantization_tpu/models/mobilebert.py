@@ -638,7 +638,9 @@ def mobilebert_apply(params: Dict, batch: Mapping[str, Array],
                      compute_dtype=None,
                      int8_attention: bool = False,
                      remat: bool = False,
-                     scan_layers: bool = False) -> Tuple[Dict, Dict]:
+                     scan_layers: bool = False,
+                     pp_mesh=None,
+                     pp_microbatches: int = 1) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
@@ -659,7 +661,28 @@ def mobilebert_apply(params: Dict, batch: Mapping[str, Array],
     h = _embeddings(ctx, params, cfg, input_ids, token_type_ids, position_ids,
                     train, rngs[0] if rngs else None)
     h_site = "emb.norm.out"
-    if scan_layers and B.can_scan_encoder(ctx, cfg):
+    if pp_mesh is not None and pp_mesh.shape.get("pp", 1) > 1:
+        from transformer_quantization_tpu.parallel.pipeline import (
+            can_pipeline,
+            pipeline_layer_stack,
+        )
+
+        why = can_pipeline(ctx, cfg, pp_mesh.shape["pp"], pp_microbatches,
+                           h.shape[0])
+        if why:
+            raise ValueError(f"cannot pipeline the encoder: {why}")
+        h = pipeline_layer_stack(
+            pp_mesh, ctx, cfg.num_hidden_layers, params["layers"], h,
+            mask_bias,
+            [rngs[1 + i] for i in range(cfg.num_hidden_layers)]
+            if rngs else None,
+            lambda sub, p_i, hc, m, r: _layer(sub, p_i, cfg, hc, m,
+                                              "L.", train, r),
+            n_micro=pp_microbatches)
+        i = cfg.num_hidden_layers - 1
+        h_site = (f"L{i}.out.bn.norm.out" if cfg.use_bottleneck
+                  else f"L{i}.out.norm.out")
+    elif scan_layers and B.can_scan_encoder(ctx, cfg):
         h = B.scan_layer_stack(
             ctx, cfg.num_hidden_layers, params["layers"], h,
             [rngs[1 + i] for i in range(cfg.num_hidden_layers)]

@@ -164,7 +164,9 @@ def roberta_apply(params: Dict, batch: Mapping[str, Array],
                   capture_pre_act: bool = False,
                   compute_dtype=None,
                   remat: bool = False,
-                  scan_layers: bool = False) -> Tuple[Dict, Dict]:
+                  scan_layers: bool = False,
+                  pp_mesh=None,
+                  pp_microbatches: int = 1) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
@@ -185,7 +187,9 @@ def roberta_apply(params: Dict, batch: Mapping[str, Array],
                       position_ids, train, rngs[0] if rngs else None)
     h, h_site = B.run_encoder(ctx, params, cfg, h, mask_bias, train, rngs,
                               first_site="emb.ln.out", remat=remat,
-                              scan=scan_layers)
+                              scan=scan_layers,
+                              pipeline=((pp_mesh, pp_microbatches)
+                                        if pp_mesh is not None else None))
 
     outputs = _roberta_head(ctx, params, cfg, h, h_site, batch, train, rngs)
     if capture_sites:

@@ -242,7 +242,9 @@ def squeezebert_apply(params: Dict, batch: Mapping[str, Array],
                       capture_pre_act: bool = False,
                       compute_dtype=None,
                       remat: bool = False,
-                      scan_layers: bool = False) -> Tuple[Dict, Dict]:
+                      scan_layers: bool = False,
+                      pp_mesh=None,
+                      pp_microbatches: int = 1) -> Tuple[Dict, Dict]:
     """Forward pass. Returns ``(outputs, new_qstate)``."""
     ctx = B.make_ctx(qcfg, qstate, mode, mse_session=mse_session,
                      int_params=int_params, use_pallas=use_pallas,
@@ -258,7 +260,26 @@ def squeezebert_apply(params: Dict, batch: Mapping[str, Array],
     h = B._embeddings(ctx, params, cfg, input_ids, token_type_ids,
                       position_ids, train, rngs[0] if rngs else None)
     h_site = "emb.ln.out"
-    if scan_layers and B.can_scan_encoder(ctx, cfg):
+    if pp_mesh is not None and pp_mesh.shape.get("pp", 1) > 1:
+        from transformer_quantization_tpu.parallel.pipeline import (
+            can_pipeline,
+            pipeline_layer_stack,
+        )
+
+        why = can_pipeline(ctx, cfg, pp_mesh.shape["pp"], pp_microbatches,
+                           h.shape[0])
+        if why:
+            raise ValueError(f"cannot pipeline the encoder: {why}")
+        L = cfg.num_hidden_layers
+        h = pipeline_layer_stack(
+            pp_mesh, ctx, L, params["layers"], h, mask_bias,
+            [list(rngs[1 + 3 * i:4 + 3 * i]) for i in range(L)]
+            if rngs else None,
+            lambda sub, p_i, hc, m, r: _sq_layer(sub, p_i, cfg, hc, m,
+                                                 "L.", train, r),
+            n_micro=pp_microbatches)
+        h_site = f"L{L - 1}.ffn.ln.out"
+    elif scan_layers and B.can_scan_encoder(ctx, cfg):
         L = cfg.num_hidden_layers
 
         def _fn(sub, p_i, hc, rng_i):

@@ -80,9 +80,13 @@ def pipeline_layer_stack(mesh: Mesh, ctx, n_layers: int,
     ``layer_fn(sub_ctx, p_i, h, mask, rng_i) -> h`` evaluates ONE layer
     under generic ``L.``-prefixed site names (the scan-over-layers
     contract, models/bert.py scan_layer_stack) and must take the attention
-    mask explicitly — the pipeline slices it per microbatch. Quant state is
-    read-only (gate with :func:`can_pipeline` first); the caller's
-    ``ctx.qstate`` is returned unchanged.
+    mask explicitly — the pipeline slices it per microbatch. ``rngs_list``
+    is a list (length L) of per-layer pytrees whose leaves are SINGLE PRNG
+    keys; the pipeline pre-folds each per microbatch
+    (``fold_in(key, microbatch)``) outside the manual region and hands
+    ``layer_fn`` the same pytree shape back. Quant state is read-only
+    (gate with :func:`can_pipeline` first); the caller's ``ctx.qstate`` is
+    returned unchanged.
     """
     from transformer_quantization_tpu.models.bert import _split_layer_site
 
@@ -103,7 +107,14 @@ def pipeline_layer_stack(mesh: Mesh, ctx, n_layers: int,
     stacked_params = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
     has_rngs = rngs_list is not None
     if has_rngs:
-        stacked_rngs = jax.tree.map(lambda *xs: jnp.stack(xs), *rngs_list)
+        # pre-fold per microbatch OUTSIDE the manual region (key-type
+        # agnostic): leaves become [L, n_micro, ...key]
+        def _expand(k):
+            return jnp.stack([jax.random.fold_in(k, m)
+                              for m in range(n_micro)])
+
+        per_layer = [jax.tree.map(_expand, r) for r in rngs_list]
+        stacked_rngs = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
     else:
         stacked_rngs = jnp.zeros((L, 1), jnp.int32)  # unused placeholder
     has_mask = mask_bias is not None
@@ -126,8 +137,9 @@ def pipeline_layer_stack(mesh: Mesh, ctx, n_layers: int,
                 sub.cfg = scan_cfg
                 sub.qstate = {f"L.{suf}": st for suf, st in qs_i.items()}
                 if has_rngs:
-                    r = [jax.random.fold_in(rng_i[j], micro_idx)
-                         for j in range(rng_i.shape[0])]
+                    r = jax.tree.map(
+                        lambda a: jax.lax.dynamic_index_in_dim(
+                            a, micro_idx, 0, keepdims=False), rng_i)
                 else:
                     r = None
                 y = layer_fn(sub, p_i, hc, m if has_mask else None, r)
@@ -170,3 +182,91 @@ def pipeline_layer_stack(mesh: Mesh, ctx, n_layers: int,
         in_specs=(P("pp"), P("pp"), P("pp"), P(), P()),
         out_specs=P())
     return sharded(stacked_params, stacked_state, stacked_rngs, h, mask_in)
+
+
+def pipeline_shared_stack(mesh: Mesh, ctx, n_layers: int, shared_params,
+                          h, mask_bias, rngs_list: Optional[List],
+                          layer_fn: Callable, *, n_micro: int):
+    """ALBERT-style pipeline: every stage holds the SAME shared layer
+    params (replicated) and runs its ``L/S`` iterations of the schedule.
+
+    Weight sharing means pipeline here splits *compute*, not parameter
+    memory. ``layer_fn(sub_ctx, params, h, mask, rng_i) -> h`` runs one
+    iteration under the family's own (shared) site names — no per-layer
+    renaming; the shared quant state is read-only (fix/learn phases,
+    :func:`can_pipeline` semantics apply). ``rngs_list`` is a list
+    (length L) of pytrees of single keys, consumed ``L/S`` per stage in
+    layer order.
+    """
+    S = mesh.shape["pp"]
+    L = n_layers
+    assert L % S == 0, (L, S)
+
+    has_rngs = rngs_list is not None
+    if has_rngs:
+        def _expand(k):
+            return jnp.stack([jax.random.fold_in(k, m)
+                              for m in range(n_micro)])
+
+        per_layer = [jax.tree.map(_expand, r) for r in rngs_list]
+        stacked_rngs = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    else:
+        stacked_rngs = jnp.zeros((L, 1), jnp.int32)
+    has_mask = mask_bias is not None
+    mask_in = mask_bias if has_mask else jnp.zeros((h.shape[0],), h.dtype)
+
+    def pp_fn(p_shared, qs_shared, rng_loc, h_g, mask_g):
+        stage = jax.lax.axis_index("pp")
+        B = h_g.shape[0]
+        mb = B // n_micro
+        hm = h_g.reshape((n_micro, mb) + h_g.shape[1:])
+        mm = mask_g.reshape((n_micro, mb) + mask_g.shape[1:])
+
+        def run_stage(x, m, micro_idx):
+            def body(hc, rng_i):
+                sub = copy.copy(ctx)
+                sub.qstate = dict(qs_shared)
+                if has_rngs:
+                    r = jax.tree.map(
+                        lambda a: jax.lax.dynamic_index_in_dim(
+                            a, micro_idx, 0, keepdims=False), rng_i)
+                else:
+                    r = None
+                y = layer_fn(sub, p_shared, hc, m if has_mask else None, r)
+                return y, None
+            y, _ = jax.lax.scan(body, x, rng_loc)
+            return y
+
+        def tick(carry, t):
+            buf, outs = carry
+            x_in = jax.lax.dynamic_index_in_dim(
+                hm, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False)
+            x = jnp.where(stage == 0, x_in, buf)
+            idx_s = jnp.clip(t - stage, 0, n_micro - 1)
+            m = jax.lax.dynamic_index_in_dim(mm, idx_s, 0, keepdims=False)
+            y = run_stage(x, m, idx_s)
+            w_idx = jnp.clip(t - (S - 1), 0, n_micro - 1)
+            write = jnp.logical_and(stage == S - 1, t >= S - 1)
+            outs = jnp.where(
+                write, jax.lax.dynamic_update_index_in_dim(outs, y, w_idx, 0),
+                outs)
+            buf = jax.lax.ppermute(y, "pp",
+                                   [(i, (i + 1) % S) for i in range(S)])
+            return (buf, outs), None
+
+        buf0 = jax.lax.pcast(jnp.zeros_like(hm[0]), ("pp",), to="varying")
+        outs0 = jax.lax.pcast(jnp.zeros_like(hm), ("pp",), to="varying")
+        (_, outs), _ = jax.lax.scan(tick, (buf0, outs0),
+                                    jnp.arange(n_micro + S - 1))
+        outs = jnp.where(stage == S - 1, outs, jnp.zeros_like(outs))
+        outs = jax.lax.psum(outs, "pp")
+        return outs.reshape(h_g.shape)
+
+    # shared quant state rides replicated (read-only); only the per-layer
+    # rng stack shards over stages
+    qstate_in = {k: v for k, v in ctx.qstate.items()}
+    sharded = jax.shard_map(
+        pp_fn, mesh=mesh, axis_names={"pp"},
+        in_specs=(P(), P(), P("pp"), P(), P()),
+        out_specs=P())
+    return sharded(shared_params, qstate_in, stacked_rngs, h, mask_in)
