@@ -208,3 +208,36 @@ def test_pp_forward_all_families(model_name):
     np.testing.assert_allclose(np.asarray(out["logits"]),
                                np.asarray(ref["logits"]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pp_serving_engine(setup):
+    """ServingEngine over a pp=4 pipeline forward: stage-parallel serving
+    — results match the single-device forward."""
+    params, qcfg, qstate, mode, batch = setup
+    from transformer_quantization_tpu.serving.engine import (
+        ServeConfig,
+        ServingEngine,
+    )
+
+    mesh = make_mesh(pp=4)
+    fwd = jax.jit(functools.partial(
+        B.bert_apply, cfg=CFG, qcfg=qcfg, mode=mode, qstate=qstate,
+        pp_mesh=mesh, pp_microbatches=2))
+
+    def serve_fwd(b):
+        out, _ = fwd(params, b)
+        return out["logits"]
+
+    scfg = ServeConfig(max_batch=8, seq_buckets=(16,), batch_buckets=(4, 8))
+    eng = ServingEngine(serve_fwd, scfg)
+    rng = np.random.RandomState(3)
+    ids = rng.randint(1, 128, 16).astype(np.int32)
+    with jax.set_mesh(mesh):
+        with eng:
+            logits = eng.submit_ids(ids).result(timeout=300)
+    ref_batch = {"input_ids": jnp.asarray(ids)[None],
+                 "attention_mask": jnp.ones((1, 16), jnp.float32),
+                 "token_type_ids": jnp.zeros((1, 16), jnp.int32)}
+    out, _ = B.bert_apply(params, ref_batch, CFG, qcfg, qstate, mode)
+    np.testing.assert_allclose(logits, np.asarray(out["logits"][0]),
+                               rtol=2e-4, atol=2e-4)
