@@ -183,6 +183,15 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--pp-microbatches", type=int, default=2,
                        help="microbatches per batch in the GPipe schedule "
                             "(bubble fraction = (S-1)/(S-1+M))")
+        g.add_argument("--export-dir", default=None,
+                       help="after eval, export the calibrated real-int "
+                            "forward as a portable StableHLO artifact with "
+                            "a symbolic batch dimension (jax.export; "
+                            "serve via serving/server.py --export-dir)")
+        g.add_argument("--export-seq-buckets", nargs="+", type=int,
+                       default=None,
+                       help="sequence buckets to export (default: "
+                            "--max-seq-length only)")
 
     def add_quant(sp):
         g = sp.add_argument_group("quantization")
@@ -748,6 +757,34 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
     else:
         final, results = eval_mean(qstate, eval_mode)
     logger.info("Phase timings:\n%s", timer.report())
+
+    if getattr(args, "export_dir", None) and quantized:
+        # AOT deployment artifact: the calibrated real-int forward as
+        # portable StableHLO with a symbolic batch dim (serving/export.py)
+        from transformer_quantization_tpu.serving import export as EX
+
+        ip = fam.build_int_params(params, qcfg, qstate, args.n_bits <= 4)
+        ex_mode = eval_mode
+
+        def export_fwd(ids, mask, tt):
+            b = {"input_ids": ids, "attention_mask": mask,
+                 "token_type_ids": tt}
+            out, _ = fam.apply(params, b, cfg, qcfg, qstate, ex_mode,
+                               int_params=ip)
+            return out["logits"]
+
+        buckets = (args.export_seq_buckets
+                   if args.export_seq_buckets else [args.max_seq_length])
+        man = EX.save_export(
+            os.path.join(args.export_dir, task.name), export_fwd,
+            seq_buckets=[int(s) for s in buckets],
+            meta={"family": fam.name, "task": task.name,
+                  "num_labels": cfg.num_labels, "n_bits": args.n_bits,
+                  "vocab_size": cfg.vocab_size,
+                  "dynamic": bool(args.dynamic)})
+        logger.info("exported AOT artifact: %s (platforms %s)",
+                    os.path.join(args.export_dir, task.name),
+                    man["platforms"])
 
     if tb_writer is not None:
         if quantized and qstate:

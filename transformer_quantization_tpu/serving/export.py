@@ -1,0 +1,121 @@
+"""AOT model export: the calibrated quantized forward as a portable
+StableHLO artifact.
+
+Deployment story the reference lacks entirely (its eval path re-builds the
+torch module tree in-process every run): quantize + calibrate once, export,
+then serve from the artifact with no model code and no jit-on-first-request.
+`jax.export` serializes the jitted forward — including the packed int8/int4
+weight payloads and all baked quantization scales, which ride the artifact
+as StableHLO constants — with a *symbolic batch dimension*, so one artifact
+serves every batch size at a fixed sequence bucket. The torch-world
+analogue is TorchScript/ONNX export; here the artifact is the same StableHLO
+that XLA compiles on any supported backend (TPU/CPU).
+
+Layout on disk::
+
+    <dir>/manifest.json      {seq_buckets, family, num_labels, vs, ...}
+    <dir>/seq<T>.stablehlo   one serialized Exported per sequence bucket
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+MANIFEST = "manifest.json"
+
+
+def export_forward(fwd: Callable, seq_len: int, *,
+                   with_token_types: bool = True,
+                   platforms: Sequence[str] = ("cpu", "tpu")):
+    """Export ``fwd(input_ids, attention_mask[, token_type_ids]) -> logits``
+    at one sequence bucket with a symbolic batch dimension.
+
+    ``fwd`` must close over params / quant state / int payloads — they are
+    baked into the artifact as constants. Returns the serialized bytes.
+    """
+    b, = jexport.symbolic_shape("b")
+    args = [jax.ShapeDtypeStruct((b, seq_len), jnp.int32),
+            jax.ShapeDtypeStruct((b, seq_len), jnp.float32)]
+    if with_token_types:
+        args.append(jax.ShapeDtypeStruct((b, seq_len), jnp.int32))
+    try:
+        exp = jexport.export(jax.jit(fwd), platforms=tuple(platforms))(*args)
+    except Exception:
+        # single-platform fallback: some lowerings (e.g. custom calls)
+        # refuse multi-platform export; the artifact is then tied to the
+        # exporting backend, which the manifest records
+        exp = jexport.export(jax.jit(fwd))(*args)
+    return exp.serialize(), list(exp.platforms)
+
+
+def save_export(dir_path: str, fwd: Callable, *, seq_buckets: Sequence[int],
+                meta: Dict, with_token_types: bool = True) -> Dict:
+    """Export ``fwd`` at every sequence bucket into ``dir_path``."""
+    os.makedirs(dir_path, exist_ok=True)
+    platforms = None
+    for seq in seq_buckets:
+        data, platforms = export_forward(
+            fwd, seq, with_token_types=with_token_types)
+        with open(os.path.join(dir_path, f"seq{seq}.stablehlo"), "wb") as f:
+            f.write(data)
+    manifest = dict(meta, seq_buckets=sorted(seq_buckets),
+                    with_token_types=with_token_types,
+                    platforms=platforms,
+                    format="jax.export.Exported v" + str(
+                        jexport.maximum_supported_calling_convention_version))
+    with open(os.path.join(dir_path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def is_export(dir_path: str) -> bool:
+    return os.path.exists(os.path.join(dir_path, MANIFEST))
+
+
+class ExportedModel:
+    """Serve-side loader: rebuilds callables from a :func:`save_export`
+    directory. ``__call__`` pads the sequence up to the nearest bucket and
+    dispatches to that bucket's deserialized program (batch is symbolic —
+    any batch size runs without recompilation beyond XLA's per-shape
+    specialization)."""
+
+    def __init__(self, dir_path: str):
+        with open(os.path.join(dir_path, MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self.seq_buckets = list(self.manifest["seq_buckets"])
+        self._fns = {}
+        for seq in self.seq_buckets:
+            with open(os.path.join(dir_path, f"seq{seq}.stablehlo"),
+                      "rb") as f:
+                self._fns[seq] = jexport.deserialize(f.read())
+
+    def bucket_for(self, seq_len: int) -> int:
+        for s in self.seq_buckets:
+            if seq_len <= s:
+                return s
+        raise ValueError(f"sequence length {seq_len} exceeds the largest "
+                         f"exported bucket {self.seq_buckets[-1]}")
+
+    def __call__(self, batch: Dict) -> jax.Array:
+        ids = jnp.asarray(batch["input_ids"], jnp.int32)
+        mask = jnp.asarray(batch.get(
+            "attention_mask", jnp.ones(ids.shape, jnp.float32)), jnp.float32)
+        seq = self.bucket_for(ids.shape[1])
+        pad = seq - ids.shape[1]
+        if pad:
+            ids = jnp.pad(ids, ((0, 0), (0, pad)))
+            mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        args = [ids, mask]
+        if self.manifest["with_token_types"]:
+            tt = batch.get("token_type_ids")
+            tt = (jnp.zeros(ids.shape, jnp.int32) if tt is None
+                  else jnp.pad(jnp.asarray(tt, jnp.int32),
+                               ((0, 0), (0, pad))))
+            args.append(tt)
+        return self._fns[seq].call(*args)

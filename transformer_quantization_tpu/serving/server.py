@@ -102,6 +102,24 @@ def build_engine_from_checkpoint(ckpt_dir: str, *, bf16: bool = False,
                          tokenizer=tokenizer)
 
 
+def build_engine_from_export(export_dir: str, *, tokenizer=None,
+                             serve_cfg: Optional[ServeConfig] = None
+                             ) -> ServingEngine:
+    """Serve from an AOT StableHLO artifact (serving/export.py) — no model
+    code, no quant state, no jit-on-first-request: weights, packed int
+    payloads, and scales are constants inside the deserialized program."""
+    from transformer_quantization_tpu.serving.export import ExportedModel
+    from transformer_quantization_tpu.utils.data import SyntheticTokenizer
+
+    model = ExportedModel(export_dir)
+    scfg = serve_cfg or ServeConfig(
+        seq_buckets=tuple(model.seq_buckets))
+    if tokenizer is None:
+        tokenizer = SyntheticTokenizer(model.manifest.get("vocab_size",
+                                                          30522))
+    return ServingEngine(model, scfg, tokenizer=tokenizer)
+
+
 def make_handler(engine: ServingEngine):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -153,7 +171,11 @@ def serve(engine: ServingEngine, port: int = 8080,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint", required=True)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--checkpoint")
+    src.add_argument("--export-dir",
+                     help="serve an AOT StableHLO artifact produced by "
+                          "validate-quantized --export-dir")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--vocab", default=None,
@@ -166,8 +188,11 @@ def main():
         )
 
         tok = WordPieceTokenizer(args.vocab)
-    eng = build_engine_from_checkpoint(args.checkpoint, bf16=args.bf16,
-                                       tokenizer=tok)
+    if args.export_dir:
+        eng = build_engine_from_export(args.export_dir, tokenizer=tok)
+    else:
+        eng = build_engine_from_checkpoint(args.checkpoint, bf16=args.bf16,
+                                           tokenizer=tok)
     print(f"serving on :{args.port}")
     serve(eng, args.port)
 
