@@ -71,6 +71,64 @@ def can_pipeline(ctx, cfg, n_stages: int, n_micro: int,
     return None
 
 
+def _stack_micro_rngs(rngs_list, n_micro: int):
+    """Per-(layer, microbatch) keys, pre-folded OUTSIDE the manual region
+    (key-type agnostic): leaves become ``[L, n_micro, ...key]``."""
+    def _expand(k):
+        return jnp.stack([jax.random.fold_in(k, m) for m in range(n_micro)])
+
+    per_layer = [jax.tree.map(_expand, r) for r in rngs_list]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+
+
+def _pick_micro_rng(rng_i, micro_idx):
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, micro_idx, 0,
+                                               keepdims=False), rng_i)
+
+
+def _gpipe_schedule(S: int, n_micro: int, h_g, mask_g, run_stage):
+    """The GPipe schedule body (called INSIDE the manual 'pp' region).
+
+    At tick ``t`` stage ``s`` runs ``run_stage(x, mask, microbatch=t-s)``;
+    activations hop stage->stage via ppermute; the last stage's outputs
+    are collected and replicated to every stage with one psum.
+    """
+    stage = jax.lax.axis_index("pp")
+    mb = h_g.shape[0] // n_micro
+    hm = h_g.reshape((n_micro, mb) + h_g.shape[1:])
+    mm = mask_g.reshape((n_micro, mb) + mask_g.shape[1:])
+
+    def tick(carry, t):
+        buf, outs = carry
+        x_in = jax.lax.dynamic_index_in_dim(
+            hm, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False)
+        x = jnp.where(stage == 0, x_in, buf)
+        # stage s works on microbatch t - s during the steady state
+        idx_s = jnp.clip(t - stage, 0, n_micro - 1)
+        m = jax.lax.dynamic_index_in_dim(mm, idx_s, 0, keepdims=False)
+        y = run_stage(x, m, idx_s)
+        w_idx = jnp.clip(t - (S - 1), 0, n_micro - 1)
+        write = jnp.logical_and(stage == S - 1, t >= S - 1)
+        outs = jnp.where(
+            write, jax.lax.dynamic_update_index_in_dim(outs, y, w_idx, 0),
+            outs)
+        buf = jax.lax.ppermute(y, "pp", [(i, (i + 1) % S) for i in range(S)])
+        return (buf, outs), None
+
+    # initial carries vary per stage once the schedule starts; mark them
+    # varying over 'pp' up front so scan's carry types close
+    buf0 = jax.lax.pcast(jnp.zeros_like(hm[0]), ("pp",), to="varying")
+    outs0 = jax.lax.pcast(jnp.zeros_like(hm), ("pp",), to="varying")
+    (_, outs), _ = jax.lax.scan(tick, (buf0, outs0),
+                                jnp.arange(n_micro + S - 1))
+    # only the last stage holds real outputs; replicate them to every
+    # stage (the head runs redundantly on all of them -- tiny compute)
+    outs = jnp.where(stage == S - 1, outs, jnp.zeros_like(outs))
+    outs = jax.lax.psum(outs, "pp")
+    return outs.reshape(h_g.shape)
+
+
 def pipeline_layer_stack(mesh: Mesh, ctx, n_layers: int,
                          layer_params: List, h, mask_bias,
                          rngs_list: Optional[List],
@@ -106,17 +164,8 @@ def pipeline_layer_stack(mesh: Mesh, ctx, n_layers: int,
     }
     stacked_params = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
     has_rngs = rngs_list is not None
-    if has_rngs:
-        # pre-fold per microbatch OUTSIDE the manual region (key-type
-        # agnostic): leaves become [L, n_micro, ...key]
-        def _expand(k):
-            return jnp.stack([jax.random.fold_in(k, m)
-                              for m in range(n_micro)])
-
-        per_layer = [jax.tree.map(_expand, r) for r in rngs_list]
-        stacked_rngs = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
-    else:
-        stacked_rngs = jnp.zeros((L, 1), jnp.int32)  # unused placeholder
+    stacked_rngs = (_stack_micro_rngs(rngs_list, n_micro) if has_rngs
+                    else jnp.zeros((L, 1), jnp.int32))  # unused placeholder
     has_mask = mask_bias is not None
     mask_in = mask_bias if has_mask else jnp.zeros((h.shape[0],), h.dtype)
 
@@ -124,58 +173,19 @@ def pipeline_layer_stack(mesh: Mesh, ctx, n_layers: int,
         # manual over 'pp' only: p/qs/rng are this stage's [L/S, ...]
         # slices; h/mask stay logically global — GSPMD keeps handling
         # their dp/sp sharding automatically inside the stage compute
-        stage = jax.lax.axis_index("pp")
-        B = h_g.shape[0]
-        mb = B // n_micro
-        hm = h_g.reshape((n_micro, mb) + h_g.shape[1:])
-        mm = mask_g.reshape((n_micro, mb) + mask_g.shape[1:])
-
         def run_stage(x, m, micro_idx):
             def body(hc, xs):
                 p_i, qs_i, rng_i = xs
                 sub = copy.copy(ctx)
                 sub.cfg = scan_cfg
                 sub.qstate = {f"L.{suf}": st for suf, st in qs_i.items()}
-                if has_rngs:
-                    r = jax.tree.map(
-                        lambda a: jax.lax.dynamic_index_in_dim(
-                            a, micro_idx, 0, keepdims=False), rng_i)
-                else:
-                    r = None
+                r = _pick_micro_rng(rng_i, micro_idx) if has_rngs else None
                 y = layer_fn(sub, p_i, hc, m if has_mask else None, r)
                 return y, None
             y, _ = jax.lax.scan(body, x, (p_loc, qs_loc, rng_loc))
             return y
 
-        def tick(carry, t):
-            buf, outs = carry
-            x_in = jax.lax.dynamic_index_in_dim(
-                hm, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False)
-            x = jnp.where(stage == 0, x_in, buf)
-            # stage s works on microbatch t - s during the steady state
-            idx_s = jnp.clip(t - stage, 0, n_micro - 1)
-            m = jax.lax.dynamic_index_in_dim(mm, idx_s, 0, keepdims=False)
-            y = run_stage(x, m, idx_s)
-            w_idx = jnp.clip(t - (S - 1), 0, n_micro - 1)
-            write = jnp.logical_and(stage == S - 1, t >= S - 1)
-            outs = jnp.where(
-                write, jax.lax.dynamic_update_index_in_dim(outs, y, w_idx, 0),
-                outs)
-            buf = jax.lax.ppermute(y, "pp",
-                                   [(i, (i + 1) % S) for i in range(S)])
-            return (buf, outs), None
-
-        # initial carries vary per stage once the schedule starts; mark
-        # them varying over 'pp' up front so scan's carry types close
-        buf0 = jax.lax.pcast(jnp.zeros_like(hm[0]), ("pp",), to="varying")
-        outs0 = jax.lax.pcast(jnp.zeros_like(hm), ("pp",), to="varying")
-        (_, outs), _ = jax.lax.scan(tick, (buf0, outs0),
-                                    jnp.arange(n_micro + S - 1))
-        # only the last stage holds real outputs; replicate them to every
-        # stage (the head runs redundantly on all of them — tiny compute)
-        outs = jnp.where(stage == S - 1, outs, jnp.zeros_like(outs))
-        outs = jax.lax.psum(outs, "pp")
-        return outs.reshape(h_g.shape)
+        return _gpipe_schedule(S, n_micro, h_g, mask_g, run_stage)
 
     sharded = jax.shard_map(
         pp_fn, mesh=mesh, axis_names={"pp"},
@@ -203,64 +213,23 @@ def pipeline_shared_stack(mesh: Mesh, ctx, n_layers: int, shared_params,
     assert L % S == 0, (L, S)
 
     has_rngs = rngs_list is not None
-    if has_rngs:
-        def _expand(k):
-            return jnp.stack([jax.random.fold_in(k, m)
-                              for m in range(n_micro)])
-
-        per_layer = [jax.tree.map(_expand, r) for r in rngs_list]
-        stacked_rngs = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
-    else:
-        stacked_rngs = jnp.zeros((L, 1), jnp.int32)
+    stacked_rngs = (_stack_micro_rngs(rngs_list, n_micro) if has_rngs
+                    else jnp.zeros((L, 1), jnp.int32))
     has_mask = mask_bias is not None
     mask_in = mask_bias if has_mask else jnp.zeros((h.shape[0],), h.dtype)
 
     def pp_fn(p_shared, qs_shared, rng_loc, h_g, mask_g):
-        stage = jax.lax.axis_index("pp")
-        B = h_g.shape[0]
-        mb = B // n_micro
-        hm = h_g.reshape((n_micro, mb) + h_g.shape[1:])
-        mm = mask_g.reshape((n_micro, mb) + mask_g.shape[1:])
-
         def run_stage(x, m, micro_idx):
             def body(hc, rng_i):
                 sub = copy.copy(ctx)
                 sub.qstate = dict(qs_shared)
-                if has_rngs:
-                    r = jax.tree.map(
-                        lambda a: jax.lax.dynamic_index_in_dim(
-                            a, micro_idx, 0, keepdims=False), rng_i)
-                else:
-                    r = None
+                r = _pick_micro_rng(rng_i, micro_idx) if has_rngs else None
                 y = layer_fn(sub, p_shared, hc, m if has_mask else None, r)
                 return y, None
             y, _ = jax.lax.scan(body, x, rng_loc)
             return y
 
-        def tick(carry, t):
-            buf, outs = carry
-            x_in = jax.lax.dynamic_index_in_dim(
-                hm, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False)
-            x = jnp.where(stage == 0, x_in, buf)
-            idx_s = jnp.clip(t - stage, 0, n_micro - 1)
-            m = jax.lax.dynamic_index_in_dim(mm, idx_s, 0, keepdims=False)
-            y = run_stage(x, m, idx_s)
-            w_idx = jnp.clip(t - (S - 1), 0, n_micro - 1)
-            write = jnp.logical_and(stage == S - 1, t >= S - 1)
-            outs = jnp.where(
-                write, jax.lax.dynamic_update_index_in_dim(outs, y, w_idx, 0),
-                outs)
-            buf = jax.lax.ppermute(y, "pp",
-                                   [(i, (i + 1) % S) for i in range(S)])
-            return (buf, outs), None
-
-        buf0 = jax.lax.pcast(jnp.zeros_like(hm[0]), ("pp",), to="varying")
-        outs0 = jax.lax.pcast(jnp.zeros_like(hm), ("pp",), to="varying")
-        (_, outs), _ = jax.lax.scan(tick, (buf0, outs0),
-                                    jnp.arange(n_micro + S - 1))
-        outs = jnp.where(stage == S - 1, outs, jnp.zeros_like(outs))
-        outs = jax.lax.psum(outs, "pp")
-        return outs.reshape(h_g.shape)
+        return _gpipe_schedule(S, n_micro, h_g, mask_g, run_stage)
 
     # shared quant state rides replicated (read-only); only the per-layer
     # rng stack shards over stages
