@@ -140,3 +140,26 @@ def test_cli_export_dir(tmp_path):
                  "attention_mask": np.ones((2, 16), np.float32)})
     assert np.asarray(out).shape == (2, model.manifest["num_labels"])
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_cli_export_dynamic_and_int4(tmp_path):
+    """--export-dir composes with --dynamic (ranges re-estimated inside
+    the exported program) and with W4 packed weights."""
+    from transformer_quantization_tpu import cli
+
+    for extra, tag in ([["--dynamic"], "dyn"],
+                       [["--n-bits", "4"], "w4"]):
+        d = str(tmp_path / f"exp_{tag}")
+        cli.main(["validate-quantized", "--task", "rte", "--synthetic-data",
+                  "--num-val-samples", "8", "--tiny-model",
+                  "--max-seq-length", "16", "--num-est-batches", "1",
+                  "--seed", "1000", "--weight-quant-method",
+                  "current_minmax", "--export-dir", d, *extra])
+        model = EX.ExportedModel(os.path.join(d, "rte"))
+        rng = np.random.RandomState(5)
+        out = model({"input_ids": rng.randint(
+                         0, model.manifest["vocab_size"],
+                         (3, 16)).astype(np.int32),
+                     "attention_mask": np.ones((3, 16), np.float32)})
+        assert np.asarray(out).shape[0] == 3
+        assert np.all(np.isfinite(np.asarray(out)))
