@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--small", action="store_true",
                     help="tiny model for CPU debugging")
+    ap.add_argument("--large", action="store_true",
+                    help="BERT-large (24 layers, hidden 1024) instead of "
+                         "BERT-base")
     ap.add_argument("--full", action="store_true",
                     help="also time fp32 dense, generic XLA int8, and the "
                          "int4 engine (3 extra compiles)")
@@ -108,6 +111,9 @@ def main():
         cfg = B.BertConfig(vocab_size=512, hidden_size=128,
                            num_hidden_layers=2, num_attention_heads=4,
                            intermediate_size=256, max_position_embeddings=128)
+    elif args.large:
+        cfg = B.BertConfig(hidden_size=1024, num_hidden_layers=24,
+                           num_attention_heads=16, intermediate_size=4096)
     else:
         cfg = B.BertConfig()  # BERT-base
 
@@ -235,8 +241,9 @@ def main():
     def sps(t):
         return round(args.batch / t, 2) if t else None
 
+    size = "large" if args.large else ("small" if args.small else "base")
     result = {
-        "metric": "bert_base_w8a8_int8_inference_seq_per_sec_per_chip",
+        "metric": f"bert_{size}_w8a8_int8_inference_seq_per_sec_per_chip",
         "value": round(seqps, 2),
         "unit": "seq/s",
         "vs_baseline": round(t_sim / t_best, 3) if t_sim else None,
