@@ -204,15 +204,86 @@ def synthetic_examples(task: GlueTask, split: str, n: int,
     return examples
 
 
+def _read_examples_file(path: str, task: GlueTask) -> List[Dict]:
+    """One file -> [example dicts]. JSONL (keys = sentence keys + label)
+    or TSV with a header row naming the same columns."""
+    import csv
+    import json
+
+    examples: List[Dict] = []
+    want = list(task.sentence_keys) + ["label"]
+    if path.endswith(".jsonl") or path.endswith(".json"):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    examples.append(json.loads(line))
+    else:  # tsv
+        with open(path, newline="") as f:
+            for row in csv.DictReader(f, delimiter="\t",
+                                      quoting=csv.QUOTE_NONE):
+                examples.append({k: row[k] for k in want if k in row})
+    out = []
+    for ex in examples:
+        label = ex.get("label")
+        if label is not None:
+            label = (float(label) if task.num_labels == 1
+                     else int(label))
+        out.append({**{k: ex.get(k, "") for k in task.sentence_keys},
+                    "label": label})
+    return out
+
+
+def _load_from_files(task: GlueTask,
+                     data_dir: str) -> Optional[Dict[str, List[Dict]]]:
+    """``<data_dir>/<task>/<split>.{jsonl,tsv}`` -> split dict, or None
+    when the directory has no files for this task."""
+    base = os.path.join(data_dir, task.name)
+    if not os.path.isdir(base):
+        base = data_dir  # flat layout: files directly under data_dir
+
+    def find(names):
+        for n in names:
+            for ext in (".jsonl", ".json", ".tsv"):
+                p = os.path.join(base, n + ext)
+                if os.path.exists(p):
+                    return p
+        return None
+
+    train = find(["train"])
+    val = find(["validation_matched", "dev_matched"]
+               if task.name == "mnli" else ["validation", "dev"])
+    if train is None or val is None:
+        return None
+    out = {"train": _read_examples_file(train, task),
+           "validation": _read_examples_file(val, task)}
+    if task.name == "mnli":
+        mm = find(["validation_mismatched", "dev_mismatched"])
+        if mm is not None:
+            out["validation_mismatched"] = _read_examples_file(mm, task)
+    return out
+
+
 def load_task_data(task: GlueTask, data_dir: Optional[str] = None,
                    synthetic: bool = False, synthetic_sizes=(256, 128),
                    seed: int = 0) -> Dict[str, List[Dict]]:
     """Return {split: [examples]} with splits train/validation
     (+ validation_mismatched for MNLI, main.py:748-760).
 
-    Priority: explicit synthetic -> local HF datasets cache -> data_dir
-    files -> synthetic fallback (warns).
+    Priority: explicit synthetic -> data_dir files -> local HF datasets
+    cache -> synthetic fallback (warns).
+
+    ``data_dir`` files: ``<data_dir>/<task>/<split>.jsonl`` (one example
+    object per line, keys = the task's sentence keys + ``label``) or
+    ``<split>.tsv`` with a header row naming the same columns — the
+    layout of the official GLUE downloads. Splits: ``train``,
+    ``validation`` (MNLI also ``validation_mismatched``; ``dev``/
+    ``dev_matched``/``dev_mismatched`` accepted as aliases).
     """
+    if data_dir is not None and not synthetic:
+        loaded = _load_from_files(task, data_dir)
+        if loaded is not None:
+            return loaded
     if not synthetic:
         try:
             import datasets  # HF; works offline iff cached
