@@ -161,3 +161,16 @@ def test_cli_reference_flag_aliases():
     assert a.eval_strategy == "epoch"
     assert a.tqdm is False
     assert a.eval_during_training is True
+
+
+def test_cli_compat_flags_accepted(tmp_path):
+    """Reference command lines run unchanged: always-on/declared-unused
+    flags parse, and --tb defaults the TB dir under --output-dir."""
+    from transformer_quantization_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["train-quantized", "--overwrite-output",
+                      "--save-model", "--logging-first-step",
+                      "--greater-is-better", "--save-attn",
+                      "--gamma", "0.1", "--margin", "2.0", "--tb"])
+    assert a.tb is True and a.gamma == 0.1

@@ -192,6 +192,25 @@ def build_parser() -> argparse.ArgumentParser:
                        default=None,
                        help="sequence buckets to export (default: "
                             "--max-seq-length only)")
+        g.add_argument("--tb", action="store_true",
+                       help="enable the TensorBoard writer at "
+                            "<output-dir>/tb when --tb-logging-dir is not "
+                            "given (reference --tb)")
+        # drop-in script compatibility: reference flags whose behavior is
+        # always-on here (--overwrite-output, --save-model: saving into
+        # --output-dir always overwrites; --logging-first-step: step 1 is
+        # always logged; --greater-is-better: the default — use
+        # --smaller-is-better to flip) or that the reference itself
+        # declares but never consumes (--gamma, --margin, --save-attn,
+        # transformer_click_options.py). Accepted so reference command
+        # lines run unchanged; they change nothing.
+        for flag in ("--overwrite-output", "--save-model",
+                     "--logging-first-step", "--greater-is-better",
+                     "--save-attn"):
+            g.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
+        for flag in ("--gamma", "--margin"):
+            g.add_argument(flag, type=float, default=None,
+                           help=argparse.SUPPRESS)
 
     def add_quant(sp):
         g = sp.add_argument_group("quantization")
@@ -498,10 +517,14 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                     seed=args.seed)
 
     tb_writer = None
-    if args.tb_logging_dir:
+    tb_dir = args.tb_logging_dir
+    if tb_dir is None and getattr(args, "tb", False):
+        # reference --tb without an explicit dir: default under output-dir
+        tb_dir = os.path.join(args.output_dir or ".", "tb")
+    if tb_dir:
         from transformer_quantization_tpu.utils.telemetry import TBWriter
 
-        tb_writer = TBWriter(os.path.join(args.tb_logging_dir, task.name))
+        tb_writer = TBWriter(os.path.join(tb_dir, task.name))
 
     if do_train:
         # evaluation frequency levels (reference --eval-strategy /
