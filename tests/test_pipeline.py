@@ -241,3 +241,37 @@ def test_pp_serving_engine(setup):
     out, _ = B.bert_apply(params, ref_batch, CFG, qcfg, qstate, mode)
     np.testing.assert_allclose(logits, np.asarray(out["logits"][0]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pp_with_remat_matches(setup):
+    """Pipeline + remat: recomputing layer activations in the backward
+    changes memory, not numerics — one QAT step matches pp without remat."""
+    from transformer_quantization_tpu.training import qat as QAT
+
+    params, qcfg, qstate, _, batch = setup
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, 2, (16,)),
+                         jnp.int32)
+    tbatch = dict(batch, labels=labels)
+    apply_fn = functools.partial(B.bert_apply, cfg=CFG)
+    mesh = make_mesh(pp=4)
+
+    def one_step(remat):
+        qat_cfg = QAT.QATConfig(learn_ranges=True, learning_rate=1e-4,
+                                pp_mesh=mesh, pp_microbatches=2, remat=remat)
+        tx = QAT.make_optimizer(qat_cfg)
+        step = QAT.make_qat_train_step(apply_fn, qcfg, qat_cfg, tx,
+                                       donate=False)
+        p, learn, rest, opt = QAT.init_qat_state(
+            qcfg, qat_cfg, jax.tree.map(jnp.copy, params),
+            jax.tree.map(jnp.copy, dict(qstate)), tx)
+        with jax.set_mesh(mesh):
+            out = step(p, learn, rest, opt, tbatch, jax.random.PRNGKey(7))
+        return out[0], out[-1]
+
+    p_plain, loss_plain = one_step(False)
+    p_remat, loss_remat = one_step(True)
+    np.testing.assert_allclose(float(loss_remat), float(loss_plain),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

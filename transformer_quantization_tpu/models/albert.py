@@ -308,7 +308,7 @@ def albert_apply(params: Dict, batch: Mapping[str, Array], cfg: AlbertConfig,
             if rngs else None,
             lambda sub, p_sh, hc, m, r: B._layer(sub, p_sh, cfg, hc, m,
                                                  "shared.", train, r),
-            n_micro=pp_microbatches)
+            n_micro=pp_microbatches, remat=remat)
         h_site = "shared.ffn.ln.out"
     elif scan_layers and _can_scan_shared(ctx, cfg):
         h = _scan_shared_encoder(ctx, params, cfg, h, mask_bias, train,

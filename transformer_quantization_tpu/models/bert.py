@@ -670,7 +670,7 @@ def run_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
     if pipeline is not None and pipeline[0].shape.get("pp", 1) > 1:
         return _pipeline_encoder(ctx, params, cfg, h, mask_bias, train,
                                  rngs, mesh=pipeline[0],
-                                 n_micro=pipeline[1])
+                                 n_micro=pipeline[1], remat=remat)
     if scan and can_scan_encoder(ctx, cfg):
         return _scan_encoder(ctx, params, cfg, h, mask_bias, train, rngs,
                              remat=remat)
@@ -806,7 +806,7 @@ def scan_layer_stack(ctx, n_layers: int, layer_params: list, h,
 
 
 def _pipeline_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
-                      mesh, n_micro: int):
+                      mesh, n_micro: int, remat: bool = False):
     """BERT/RoBERTa/DistilBERT encoder as a GPipe pipeline over ``pp``
     (parallel/pipeline.py). Quant state is read-only inside (fix/learn
     phases only — can_pipeline enforces it)."""
@@ -826,7 +826,8 @@ def _pipeline_encoder(ctx, params, cfg, h, mask_bias, train, rngs, *,
         return _layer(sub, p_i, cfg, hc, m, "L.", train, rng_i)
 
     h = pipeline_layer_stack(mesh, ctx, L, params["layers"], h, mask_bias,
-                             rng_list, layer_fn, n_micro=n_micro)
+                             rng_list, layer_fn, n_micro=n_micro,
+                             remat=remat)
     return h, f"L{L - 1}.ffn.ln.out"
 
 

@@ -678,7 +678,7 @@ def mobilebert_apply(params: Dict, batch: Mapping[str, Array],
             if rngs else None,
             lambda sub, p_i, hc, m, r: _layer(sub, p_i, cfg, hc, m,
                                               "L.", train, r),
-            n_micro=pp_microbatches)
+            n_micro=pp_microbatches, remat=remat)
         i = cfg.num_hidden_layers - 1
         h_site = (f"L{i}.out.bn.norm.out" if cfg.use_bottleneck
                   else f"L{i}.out.norm.out")

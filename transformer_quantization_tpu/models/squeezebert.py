@@ -277,7 +277,7 @@ def squeezebert_apply(params: Dict, batch: Mapping[str, Array],
             if rngs else None,
             lambda sub, p_i, hc, m, r: _sq_layer(sub, p_i, cfg, hc, m,
                                                  "L.", train, r),
-            n_micro=pp_microbatches)
+            n_micro=pp_microbatches, remat=remat)
         h_site = f"L{L - 1}.ffn.ln.out"
     elif scan_layers and B.can_scan_encoder(ctx, cfg):
         L = cfg.num_hidden_layers

@@ -132,7 +132,8 @@ def _gpipe_schedule(S: int, n_micro: int, h_g, mask_g, run_stage):
 def pipeline_layer_stack(mesh: Mesh, ctx, n_layers: int,
                          layer_params: List, h, mask_bias,
                          rngs_list: Optional[List],
-                         layer_fn: Callable, *, n_micro: int):
+                         layer_fn: Callable, *, n_micro: int,
+                         remat: bool = False):
     """Run an encoder stack as a GPipe pipeline over ``mesh``'s ``pp`` axis.
 
     ``layer_fn(sub_ctx, p_i, h, mask, rng_i) -> h`` evaluates ONE layer
@@ -182,7 +183,10 @@ def pipeline_layer_stack(mesh: Mesh, ctx, n_layers: int,
                 r = _pick_micro_rng(rng_i, micro_idx) if has_rngs else None
                 y = layer_fn(sub, p_i, hc, m if has_mask else None, r)
                 return y, None
-            y, _ = jax.lax.scan(body, x, (p_loc, qs_loc, rng_loc))
+            # GPipe keeps every microbatch's activations live for the
+            # backward pass; remat recomputes them per layer instead
+            body_fn = jax.checkpoint(body) if remat else body
+            y, _ = jax.lax.scan(body_fn, x, (p_loc, qs_loc, rng_loc))
             return y
 
         return _gpipe_schedule(S, n_micro, h_g, mask_g, run_stage)
@@ -196,7 +200,8 @@ def pipeline_layer_stack(mesh: Mesh, ctx, n_layers: int,
 
 def pipeline_shared_stack(mesh: Mesh, ctx, n_layers: int, shared_params,
                           h, mask_bias, rngs_list: Optional[List],
-                          layer_fn: Callable, *, n_micro: int):
+                          layer_fn: Callable, *, n_micro: int,
+                          remat: bool = False):
     """ALBERT-style pipeline: every stage holds the SAME shared layer
     params (replicated) and runs its ``L/S`` iterations of the schedule.
 
@@ -226,7 +231,8 @@ def pipeline_shared_stack(mesh: Mesh, ctx, n_layers: int, shared_params,
                 r = _pick_micro_rng(rng_i, micro_idx) if has_rngs else None
                 y = layer_fn(sub, p_shared, hc, m if has_mask else None, r)
                 return y, None
-            y, _ = jax.lax.scan(body, x, rng_loc)
+            body_fn = jax.checkpoint(body) if remat else body
+            y, _ = jax.lax.scan(body_fn, x, rng_loc)
             return y
 
         return _gpipe_schedule(S, n_micro, h_g, mask_g, run_stage)
