@@ -5,3 +5,8 @@ from transformer_quantization_tpu.parallel.mesh import (
     shard_params,
     shard_batch,
 )
+from transformer_quantization_tpu.parallel.pipeline import (  # noqa: F401
+    can_pipeline,
+    pipeline_layer_stack,
+    pipeline_shared_stack,
+)

@@ -3,3 +3,8 @@ from transformer_quantization_tpu.serving.engine import (
     ServeConfig,
     ServingEngine,
 )
+from transformer_quantization_tpu.serving.export import (  # noqa: F401
+    ExportedModel,
+    is_export,
+    save_export,
+)
