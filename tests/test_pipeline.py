@@ -275,3 +275,24 @@ def test_pp_with_remat_matches(setup):
     for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_pp_composes_with_dp_and_sp(setup):
+    """dp x sp x pp on one mesh: batch AND sequence stay GSPMD-sharded
+    (automatic axes) inside the manual pipeline region."""
+    params, qcfg, qstate, mode, batch = setup
+    ref, _ = jax.jit(functools.partial(B.bert_apply, cfg=CFG, qcfg=qcfg,
+                                       mode=mode))(params, batch,
+                                                   qstate=qstate)
+    mesh = make_mesh(dp=2, sp=2, pp=2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    with jax.set_mesh(mesh):
+        b = {k: jax.device_put(v, NamedSharding(mesh, P("dp", "sp")))
+             for k, v in batch.items()}
+        out, _ = jax.jit(functools.partial(
+            B.bert_apply, cfg=CFG, qcfg=qcfg, mode=mode, pp_mesh=mesh,
+            pp_microbatches=2))(params, b, qstate=qstate)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-5, atol=1e-5)
