@@ -296,3 +296,25 @@ def test_pp_composes_with_dp_and_sp(setup):
     np.testing.assert_allclose(np.asarray(out["logits"]),
                                np.asarray(ref["logits"]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pp_composes_with_tp(setup):
+    """tp x pp: Megatron-sharded weights stay tensor-parallel (automatic
+    axis) inside each pipeline stage — all four parallel axes compose."""
+    from transformer_quantization_tpu.parallel.mesh import bert_param_pspecs
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    params, qcfg, qstate, mode, batch = setup
+    ref, _ = jax.jit(functools.partial(B.bert_apply, cfg=CFG, qcfg=qcfg,
+                                       mode=mode))(params, batch,
+                                                   qstate=qstate)
+    mesh = make_mesh(tp=2, pp=4)
+    p_sh = jax.tree.map(lambda x, s: jax.device_put(
+        x, NamedSharding(mesh, s)), params, bert_param_pspecs(CFG))
+    with jax.set_mesh(mesh):
+        out, _ = jax.jit(functools.partial(
+            B.bert_apply, cfg=CFG, qcfg=qcfg, mode=mode, pp_mesh=mesh,
+            pp_microbatches=2))(p_sh, batch, qstate=qstate)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-5, atol=1e-5)
