@@ -175,18 +175,22 @@ def main():
               file=sys.stderr, flush=True)
         return t
 
-    # essential pair first (the driver's bench window may be short)
+    # essential set first (the driver's bench window may be short):
+    # the engine, its baseline (the reference's fake-quant workload), and
+    # BOTH unquantized alternatives it must beat
     t_sim = measure("sim", sim_step, params, batch)
     t_eng = measure("engine", engine_step, params, batch)
     t_bf16 = measure("bf16_dense", bf16_step, params_bf16, batch)
 
-    t_fp32 = t_int8_xla = t_int4 = None
-    if args.full:
-        @jax.jit
-        def fp32_step(params, batch):
-            out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, fp_mode)
-            return out["logits"]
+    @jax.jit
+    def fp32_step(params, batch):
+        out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, fp_mode)
+        return out["logits"]
 
+    t_fp32 = measure("fp32_dense", fp32_step, params, batch)
+
+    t_int8_xla = t_int4 = None
+    if args.full:
         @jax.jit
         def int8_xla_step(params, batch):
             out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, q_mode,
@@ -194,7 +198,6 @@ def main():
                                   attention_dtype=jnp.bfloat16)
             return out["logits"]
 
-        t_fp32 = measure("fp32_dense", fp32_step, params, batch)
         t_int8_xla = measure("int8_xla", int8_xla_step, params, batch)
 
         # W4A8: 4-bit symmetric weights, packed two-per-byte (engine w4)
