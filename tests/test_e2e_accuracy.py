@@ -122,3 +122,29 @@ def test_qat_learn_ranges_finetune(tmp_path):
                       "--num-est-batches", "2",
                       "--est-ranges-batch-size", "8"])
     assert score >= fp32 - 0.1, (fp32, score)
+
+
+def test_qat_pipeline_parallel_finetune(tmp_path):
+    """QAT fine-tune THROUGH the GPipe pipeline (dp=4 x pp=2 on the
+    virtual mesh) reaches the same quality as single-device QAT — the
+    pipeline's gradients genuinely train, not just compile."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    out_dir = str(tmp_path / "run")
+    base = ["--task", "rte", "--synthetic-data", "--tiny-model",
+            "--max-seq-length", "32", "--seed", "1000"]
+    fp32 = cli.main(["train-baseline", *base, "--num-epochs", "6",
+                     "--batch-size", "16", "--learning-rate", "3e-4",
+                     "--output-dir", out_dir])
+    assert fp32 > 0.8, fp32
+    score = cli.main(["train-quantized", *base,
+                      "--model-path", f"{out_dir}/checkpoint_rte",
+                      "--num-epochs", "2", "--batch-size", "16",
+                      "--learning-rate", "5e-5", "--learn-ranges",
+                      "--range-learning-rate", "1e-5",
+                      "--num-est-batches", "2",
+                      "--est-ranges-batch-size", "8",
+                      "--pp-stages", "2", "--pp-microbatches", "2"])
+    assert score >= fp32 - 0.1, (fp32, score)
