@@ -318,3 +318,22 @@ def test_pp_composes_with_tp(setup):
     np.testing.assert_allclose(np.asarray(out["logits"]),
                                np.asarray(ref["logits"]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pp_composes_with_bf16_compute(setup):
+    """--amp + pipeline: the collect-psum runs in f32 (a bf16 all-reduce
+    after the stage mask crashes XLA CPU's AllReducePromotion pass);
+    results match the single-device bf16 forward to bf16 precision."""
+    params, qcfg, qstate, mode, batch = setup
+    ref, _ = jax.jit(functools.partial(
+        B.bert_apply, cfg=CFG, qcfg=qcfg, mode=mode,
+        compute_dtype=jnp.bfloat16))(params, batch, qstate=qstate)
+    mesh = make_mesh(pp=4)
+    with jax.set_mesh(mesh):
+        out, _ = jax.jit(functools.partial(
+            B.bert_apply, cfg=CFG, qcfg=qcfg, mode=mode,
+            compute_dtype=jnp.bfloat16, pp_mesh=mesh,
+            pp_microbatches=2))(params, batch, qstate=qstate)
+    np.testing.assert_allclose(np.asarray(out["logits"], np.float32),
+                               np.asarray(ref["logits"], np.float32),
+                               rtol=2e-2, atol=2e-2)

@@ -123,9 +123,17 @@ def _gpipe_schedule(S: int, n_micro: int, h_g, mask_g, run_stage):
     (_, outs), _ = jax.lax.scan(tick, (buf0, outs0),
                                 jnp.arange(n_micro + S - 1))
     # only the last stage holds real outputs; replicate them to every
-    # stage (the head runs redundantly on all of them -- tiny compute)
+    # stage (the head runs redundantly on all of them -- tiny compute).
+    # psum in f32: XLA CPU's AllReducePromotion pass crashes outright on
+    # a bf16 all-reduce fed by this where-mask (hlo_instruction.cc
+    # "Invalid binary instruction opcode copy"), and f32 accumulation is
+    # the safer summation dtype everywhere else too
     outs = jnp.where(stage == S - 1, outs, jnp.zeros_like(outs))
-    outs = jax.lax.psum(outs, "pp")
+    if outs.dtype != jnp.float32:
+        outs = jax.lax.psum(outs.astype(jnp.float32),
+                            "pp").astype(h_g.dtype)
+    else:
+        outs = jax.lax.psum(outs, "pp")
     return outs.reshape(h_g.shape)
 
 
