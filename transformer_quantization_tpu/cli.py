@@ -420,6 +420,18 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
         # compile too; contexts scan can't serve (capture, int payload
         # plans, per-layer overrides) auto-fall back to the loop
         apply_fn = functools.partial(apply_fn, scan_layers=True)
+    pp_mesh = None
+    if getattr(args, "pp_stages", 1) > 1:
+        from transformer_quantization_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev % args.pp_stages:
+            raise SystemExit(f"--pp-stages {args.pp_stages} does not "
+                             f"divide the {n_dev} available devices")
+        pp_mesh = make_mesh(dp=n_dev // args.pp_stages, pp=args.pp_stages)
+        logger.info("pipeline mesh: dp=%d x pp=%d, %d microbatches",
+                    n_dev // args.pp_stages, args.pp_stages,
+                    args.pp_microbatches)
     weight_quant = act_quant = False
     qcfg = qstate = None
     eval_mode = T.FP32_MODE
@@ -558,21 +570,6 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                              metric_for_best_model=args.metric_for_best_model,
                              greater_is_better=not args.smaller_is_better)
         amp_dtype = "bfloat16" if args.amp else None
-        pp_mesh = None
-        if args.pp_stages > 1:
-            import jax as _jax
-
-            from transformer_quantization_tpu.parallel.mesh import make_mesh
-
-            n_dev = len(_jax.devices())
-            if n_dev % args.pp_stages:
-                raise SystemExit(f"--pp-stages {args.pp_stages} does not "
-                                 f"divide the {n_dev} available devices")
-            pp_mesh = make_mesh(dp=n_dev // args.pp_stages,
-                                pp=args.pp_stages)
-            logger.info("pipeline training: mesh dp=%d x pp=%d, "
-                        "%d microbatches", n_dev // args.pp_stages,
-                        args.pp_stages, args.pp_microbatches)
         qat_cfg = QAT.QATConfig(compute_dtype=amp_dtype, remat=args.remat,
                                 scan_layers=args.scan_layers,
                                 pp_mesh=pp_mesh,
@@ -749,8 +746,20 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
     def eval_mean(qs, mode):
         split_scores, res = [], {}
         engine_fwd = make_engine_apply(qs, mode)
+        pp_fwd = None
+        if (engine_fwd is None and pp_mesh is not None
+                and mode.act_phase in (Phase.fix, Phase.learn)
+                and mode.weight_phase in (Phase.fix, Phase.learn)
+                and args.eval_batch_size % args.pp_microbatches == 0):
+            # stage-parallel eval: the same GPipe program the train step
+            # uses (evaluate pads every batch to eval_batch_size, so the
+            # microbatch split always divides)
+            pp_fwd = functools.partial(
+                apply_fn, pp_mesh=pp_mesh,
+                pp_microbatches=args.pp_microbatches)
         for split_name, arr in eval_splits:
-            fwd = engine_fwd if engine_fwd is not None else apply_fn
+            fwd = (engine_fwd if engine_fwd is not None
+                   else (pp_fwd if pp_fwd is not None else apply_fn))
             with timer.phase("eval"):
                 m = T.evaluate(fwd, params, qs, task, arr, qcfg=qcfg,
                                mode=mode, batch_size=args.eval_batch_size,
