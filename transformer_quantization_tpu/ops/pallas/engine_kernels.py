@@ -46,10 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from transformer_quantization_tpu.ops.pallas.int_matmul import (
-    _ACTS,
-    pallas_available,
-)
+from transformer_quantization_tpu.ops.pallas.int_matmul import _ACTS
 
 try:
     from jax.experimental import pallas as pl

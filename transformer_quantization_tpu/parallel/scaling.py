@@ -23,7 +23,7 @@ Two modes:
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Optional, Sequence
+from typing import Callable, Dict, Sequence
 
 import jax
 import numpy as np
