@@ -338,3 +338,28 @@ def test_remat_step_matches_plain(model_name):
                     jax.tree.leaves(outs[False][0])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_squeezebert_grouped_int_path_parity():
+    """Grouped (block-diagonal) kernels now ride the real int8 path:
+    model-level output matches the fake-quant simulation, and the packed
+    payloads actually cover the grouped sites."""
+    fam, cfg, params = build_model("squeezebert_uncased", tiny=True, seed=3)
+    rng = np.random.RandomState(3)
+    batch = {"input_ids": jnp.asarray(
+                 rng.randint(0, cfg.vocab_size, (4, 16)), jnp.int32),
+             "attention_mask": jnp.ones((4, 16), jnp.float32)}
+    qcfg = fam.declare_sites(sym_defaults(), cfg)
+    apply_fn = functools.partial(fam.apply, cfg=cfg)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [batch],
+        weight_tensors=fam.weight_site_tensors(params))
+    out_q, _ = fam.apply(params, batch, cfg, qcfg, qstate, mode)
+    int_params = fam.build_int_params(params, qcfg, qstate, False)
+    assert "L0.attn.q" in int_params          # grouped site packed
+    assert "L0.ffn.inter" in int_params
+    out_i, _ = fam.apply(params, batch, cfg, qcfg, qstate, mode,
+                         int_params=int_params)
+    np.testing.assert_allclose(np.asarray(out_i["logits"]),
+                               np.asarray(out_q["logits"]),
+                               rtol=1e-3, atol=1e-4)

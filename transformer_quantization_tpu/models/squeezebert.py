@@ -142,17 +142,13 @@ def squeezebert_adaround_specs(params: Dict, cfg: SqueezeBertConfig
 def build_squeezebert_int_params(params: Dict, qcfg: QuantModelConfig,
                                  qstate: Mapping,
                                  use_int4: bool = False) -> Dict:
-    """Only the ungrouped sites (embeddings, post-attention when groups=1,
-    pooler, classifier) take the int8 fast path; grouped kernels run
-    fake-quant (block-diagonal int packing is future work)."""
-    tensors = {
-        "emb.word.w": params["embeddings"]["word"],
-        "emb.position.w": params["embeddings"]["position"],
-        "emb.token_type.w": params["embeddings"]["token_type"],
-        "pooler.dense.w": params["pooler"]["kernel"],
-        "classifier.w": params["classifier"]["kernel"],
-    }
-    return B.pack_int_params(tensors, qcfg, qstate, use_int4=use_int4)
+    """All weight sites pack, including the grouped (block-diagonal)
+    kernels: a grouped kernel is ``(O, I/groups)`` and each output row
+    contracts only its own group's inputs, so the dense packer's per-row
+    ``colsum`` zero-point correction is already exact — execution rides
+    ops/int_linear.int8_grouped_linear."""
+    return B.pack_int_params(squeezebert_weight_site_tensors(params),
+                             qcfg, qstate, use_int4=use_int4)
 
 
 def _sq_layer(ctx, layer, cfg: SqueezeBertConfig, h, mask_bias, prefix,

@@ -144,6 +144,38 @@ def int8_linear(x_int8: Array, x_scale: Array, x_shift: Array, packed: Dict,
     return y
 
 
+def int8_grouped_linear(x_int8: Array, x_scale: Array, x_shift: Array,
+                        packed: Dict, bias: Optional[Array], groups: int,
+                        activation=None) -> Array:
+    """Block-diagonal (grouped) variant of :func:`int8_linear` —
+    SqueezeBERT's kernel-size-1 grouped convs on the int8 MXU path.
+
+    The packed weight is ``(O, I/groups)``; output group j contracts
+    input group j only, so ``colsum`` (per output row, over that row's
+    own contracted inputs) makes the asymmetric-input zero-point
+    correction exact per group, and input scales fold into the epilogue
+    exactly as in the dense case.
+    """
+    if "w_packed" in packed:
+        w_int = unpack_int4(packed["w_packed"], packed["in_features"])
+    else:
+        w_int = packed["w_int"]
+    out_f, in_g = w_int.shape
+    lead = x_int8.shape[:-1]
+    xg = x_int8.reshape(*lead, groups, in_g)
+    wg = w_int.reshape(groups, out_f // groups, in_g)
+    acc = jnp.einsum("...gi,goi->...go", xg, wg,
+                     preferred_element_type=jnp.int32)
+    acc = acc.reshape(*lead, out_f).astype(jnp.float32)
+    acc = acc + x_shift * packed["colsum"]
+    y = (x_scale * packed["scale"]) * acc
+    if bias is not None:
+        y = y + bias
+    if activation is not None:
+        y = activation(y)
+    return y
+
+
 def pack_embedding_int8(spec: Q.QuantizerSpec, qp: Q.QuantParams,
                         table: Array) -> Dict:
     """Int8 embedding table; dequantized per gathered row."""

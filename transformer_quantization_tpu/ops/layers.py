@@ -231,7 +231,25 @@ def quant_grouped_linear(ctx, name: str, x: Array, w: Array,
     if groups == 1:
         return quant_linear(ctx, name, x, w, b, activation=activation,
                             input_site=input_site)
+    from transformer_quantization_tpu.ops import int_linear as IL
+
     act = _resolve_act(activation)
+    fast = _int8_fast_path(ctx, name, input_site)
+    if fast is not None and fast[0].axis == x.ndim - 1:
+        fast = None  # per-embd (axis=last): scales vary along contraction
+    if fast is not None:
+        in_cfg, in_qp, packed = fast
+        if in_cfg.axis is not None:
+            from transformer_quantization_tpu.quant import quantizers as Q
+
+            in_qp = Q.expand_qparams(in_qp, x.ndim, in_cfg.axis)
+        x_int8, s_x, shift = IL.quantize_activation_int8(in_cfg.spec,
+                                                         in_qp, x)
+        y = IL.int8_grouped_linear(x_int8, s_x, shift, packed, b, groups,
+                                   act)
+        y = y.astype(x.dtype)
+        _maybe_capture(ctx, name, x, y)
+        return ctx.act(f"{name}.out", y)
     w_q = _weight_from_int_or_fake(ctx, name, w)
     if getattr(ctx, "compute_dtype", None) is not None:
         w_q = w_q.astype(ctx.compute_dtype)
