@@ -747,6 +747,9 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
         split_scores, res = [], {}
         engine_fwd = make_engine_apply(qs, mode)
         pp_fwd = None
+        if engine_fwd is not None and pp_mesh is not None:
+            logger.info("--pp-stages ignored for eval: the int8 engine "
+                        "path is single-chip and takes precedence")
         if (engine_fwd is None and pp_mesh is not None
                 and mode.act_phase in (Phase.fix, Phase.learn)
                 and mode.weight_phase in (Phase.fix, Phase.learn)
