@@ -238,3 +238,36 @@ def test_multi_task_macro_average():
                   "--eval-batch-size", "8", "--tiny-model",
                   "--num-est-batches", "1"])
     assert 0.0 <= s <= 1.0
+
+
+def test_named_recipe_presets():
+    """--recipe applies the reference README's documented settings to
+    defaults only; explicit flags win."""
+    from transformer_quantization_tpu.cli import apply_recipe, build_parser
+
+    p = build_parser()
+    a = p.parse_args(["validate-quantized", "--recipe", "w4-adaround"])
+    apply_recipe(a)
+    assert a.n_bits == 4 and a.no_act_quant is True
+    assert a.adaround == ["all"] and a.adaround_iters == 10000
+    assert a.weight_opt_method == "grid"
+
+    # explicit flag beats the recipe
+    a = p.parse_args(["validate-quantized", "--recipe", "w4-adaround",
+                      "--adaround-iters", "50"])
+    apply_recipe(a)
+    assert a.adaround_iters == 50 and a.n_bits == 4
+
+    a = p.parse_args(["train-quantized", "--recipe", "qat-w4a8"])
+    apply_recipe(a)
+    assert a.learn_ranges is True and a.n_bits == 4 and a.n_bits_act == 8
+    assert a.warmup_steps == 186 and a.pad_to_max_length is True
+
+    a = p.parse_args(["validate-quantized", "--recipe", "w8a8-peg"])
+    apply_recipe(a)
+    assert "ngp6" in a.quant_dict and a.per_groups_permute_shared_h is True
+
+
+def test_recipe_end_to_end_w8a8():
+    score = _run("--recipe", "w8a8", "--seed", "1000")
+    assert 0.0 <= score <= 1.0

@@ -214,6 +214,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     def add_quant(sp):
         g = sp.add_argument_group("quantization")
+        g.add_argument("--recipe", default=None,
+                       choices=["w8a8", "w8a8-mixed", "w8a8-peg",
+                                "w4-adaround", "qat-w4a8"],
+                       help="apply one of the reference README's documented "
+                            "experiment settings (README.md:145-200) to "
+                            "every option you left at its default; "
+                            "explicit flags take precedence")
         g.add_argument("--qmethod", default="symmetric_uniform",
                        choices=["symmetric_uniform", "asymmetric_uniform"])
         g.add_argument("--qmethod-act", default="asymmetric_uniform",
@@ -852,6 +859,65 @@ def _log_results(task_scores: Dict[str, float]):
                     100.0 * float(np.mean(no_wnli)))
 
 
+# The reference README's documented experiment settings as one flag
+# (reference README.md:145-200; each recipe = that section's command
+# line). A recipe only fills options the user left at their defaults, so
+# explicit flags always win.
+_W8A8 = dict(n_bits=8, n_bits_act=8, qmethod="symmetric_uniform",
+             qmethod_act="asymmetric_uniform", weight_quant_method="MSE",
+             weight_opt_method="golden_section",
+             act_quant_method="current_minmax",
+             est_ranges_batch_size=1, num_est_batches=1,
+             quant_setup="all", est_ranges_pad=False)
+RECIPES = {
+    # README §B.1 standard W8A8 per-tensor PTQ
+    "w8a8": dict(_W8A8),
+    # §B.2 mixed precision W8A{8,16} (STS-B adds P/C/MSE_logits itself)
+    "w8a8-mixed": dict(_W8A8, quant_dict="{'y': 16, 'h': 16, 'x': 16}"),
+    # §B.3 PEG, 6 permuted groups with shared-h permutation
+    "w8a8-peg": dict(_W8A8,
+                     quant_dict="{'y': 'ngp6', 'h': 'ngp6', 'x': 'ngp6'}",
+                     per_groups_permute_shared_h=True),
+    # §B.4 W4A32 AdaRound
+    "w4-adaround": dict(n_bits=4, no_act_quant=True,
+                        qmethod="symmetric_uniform",
+                        qmethod_act="asymmetric_uniform",
+                        weight_quant_method="MSE", weight_opt_method="grid",
+                        num_candidates=100, quant_setup="all",
+                        adaround=["all"], adaround_num_samples=1024,
+                        adaround_init="range_estimator",
+                        adaround_mode="learned_hard_sigmoid",
+                        adaround_iters=10000,
+                        adaround_act_quant_mode="no_act_quant",
+                        est_ranges_pad=False),
+    # §C QAT base run (W4A8, learnable ranges)
+    "qat-w4a8": dict(learn_ranges=True, batch_size=8, learning_rate=5e-5,
+                     num_epochs=6, warmup_steps=186, weight_decay=0.0,
+                     attn_dropout=0.0, hidden_dropout=0.0,
+                     max_seq_length=128, n_bits=4, n_bits_act=8,
+                     qmethod="symmetric_uniform",
+                     qmethod_act="asymmetric_uniform",
+                     weight_quant_method="MSE",
+                     weight_opt_method="golden_section",
+                     act_quant_method="current_minmax",
+                     est_ranges_batch_size=16, num_est_batches=1,
+                     quant_setup="all", pad_to_max_length=True),
+}
+
+
+def apply_recipe(args) -> None:
+    """Overlay a named recipe onto options the user left at defaults."""
+    recipe = RECIPES[args.recipe]
+    defaults = vars(build_parser().parse_args([args.command]))
+    for k, v in recipe.items():
+        if k not in vars(args):
+            continue  # e.g. adaround options on a train command
+        if vars(args)[k] == defaults.get(k):
+            setattr(args, k, v)
+    logger.info("applied recipe %r (explicit flags take precedence)",
+                args.recipe)
+
+
 def main(argv=None):
     # TQ_PLATFORM=cpu|tpu pins the jax platform even when the hosting
     # environment pre-imports jax with a different default (then the
@@ -863,6 +929,8 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
+    if getattr(args, "recipe", None):
+        apply_recipe(args)
     from transformer_quantization_tpu.utils import glue as G
     from transformer_quantization_tpu.utils.misc import seed_all
 
