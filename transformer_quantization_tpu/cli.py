@@ -800,12 +800,14 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
         final, results = eval_mean(qstate, eval_mode)
     logger.info("Phase timings:\n%s", timer.report())
 
-    if getattr(args, "export_dir", None) and quantized:
-        # AOT deployment artifact: the calibrated real-int forward as
-        # portable StableHLO with a symbolic batch dim (serving/export.py)
+    if getattr(args, "export_dir", None):
+        # AOT deployment artifact: the calibrated real-int forward (or the
+        # FP32 baseline) as portable StableHLO with a symbolic batch dim
+        # (serving/export.py)
         from transformer_quantization_tpu.serving import export as EX
 
-        ip = fam.build_int_params(params, qcfg, qstate, args.n_bits <= 4)
+        ip = (fam.build_int_params(params, qcfg, qstate, args.n_bits <= 4)
+              if quantized else None)
         ex_mode = eval_mode
 
         def export_fwd(ids, mask, tt):
@@ -821,9 +823,11 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
             os.path.join(args.export_dir, task.name), export_fwd,
             seq_buckets=[int(s) for s in buckets],
             meta={"family": fam.name, "task": task.name,
-                  "num_labels": cfg.num_labels, "n_bits": args.n_bits,
+                  "num_labels": cfg.num_labels,
+                  "n_bits": args.n_bits if quantized else None,
+                  "quantized": quantized,
                   "vocab_size": cfg.vocab_size,
-                  "dynamic": bool(args.dynamic)})
+                  "dynamic": bool(getattr(args, "dynamic", False))})
         logger.info("exported AOT artifact: %s (platforms %s)",
                     os.path.join(args.export_dir, task.name),
                     man["platforms"])
