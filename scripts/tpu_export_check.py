@@ -1,0 +1,80 @@
+"""Export-on-TPU check (NOTES to-do #5): build a tiny calibrated
+real-int model, save a multi-platform (cpu+tpu) StableHLO artifact,
+deserialize it, and run one batch on the live device, comparing against
+the direct forward. Exercises serving/export.py's jax.export path end to
+end on real hardware (the CI tests only cover the CPU platform).
+
+Run:  JAX_COMPILATION_CACHE_DIR=/root/repo/.jaxcache \
+      python scripts/tpu_export_check.py
+"""
+
+import functools
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_quantization_tpu.models import bert as B
+from transformer_quantization_tpu.quant.qconfig import QuantDefaults
+from transformer_quantization_tpu.quant.quantizers import QMethod
+from transformer_quantization_tpu.quant.ranges import RangeMethod
+from transformer_quantization_tpu.serving import export as EX
+from transformer_quantization_tpu.training.calibration import (
+    prepare_quantized_model,
+)
+
+
+def main():
+    print("devices:", jax.devices())
+    cfg = B.BertConfig(vocab_size=128, hidden_size=64,
+                       num_hidden_layers=2, num_attention_heads=2,
+                       intermediate_size=128, max_position_embeddings=32,
+                       num_labels=2)
+    params = B.init_bert_params(jax.random.PRNGKey(0), cfg)
+    d = QuantDefaults(method=QMethod.symmetric_uniform,
+                      act_method=QMethod.asymmetric_uniform, n_bits=8,
+                      weight_range_method=RangeMethod.current_minmax,
+                      act_range_method=RangeMethod.current_minmax)
+    qcfg = B.declare_bert_sites(d, cfg)
+    rng = np.random.RandomState(0)
+    cal = {"input_ids": jnp.asarray(rng.randint(0, 128, (4, 16)), jnp.int32),
+           "attention_mask": jnp.ones((4, 16), jnp.float32)}
+    qstate, mode = prepare_quantized_model(
+        functools.partial(B.bert_apply, cfg=cfg), params, qcfg, [cal],
+        weight_tensors=B.bert_weight_site_tensors(params))
+    int_params = B.build_bert_int_params(params, qcfg, qstate)
+
+    def fwd(ids, mask, tt):
+        b = {"input_ids": ids, "attention_mask": mask,
+             "token_type_ids": tt}
+        out, _ = B.bert_apply(params, b, cfg, qcfg, qstate, mode,
+                              int_params=int_params)
+        return out["logits"]
+
+    with tempfile.TemporaryDirectory() as td:
+        EX.save_export(td, fwd, seq_buckets=[16],
+                       meta={"family": "bert", "num_labels": 2,
+                             "vocab_size": 128})
+        model = EX.ExportedModel(td)
+        batch = {"input_ids": rng.randint(0, 128, (8, 16)).astype(np.int32),
+                 "attention_mask": np.ones((8, 16), np.float32),
+                 "token_type_ids": np.zeros((8, 16), np.int32)}
+        got = np.asarray(model(batch))
+        ref = np.asarray(fwd(jnp.asarray(batch["input_ids"]),
+                             jnp.asarray(batch["attention_mask"]),
+                             jnp.asarray(batch["token_type_ids"])))
+        err = float(np.max(np.abs(got - ref)))
+        print(f"platform={jax.devices()[0].platform} "
+              f"max_abs_err={err:.3e}")
+        ok = np.allclose(got, ref, rtol=1e-5, atol=1e-5)
+        print("EXPORT-ON-TPU:", "OK" if ok else "MISMATCH")
+        return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
