@@ -81,6 +81,11 @@ def main():
         ("qat_amp_remat",
          QAT.QATConfig(learn_ranges=False, compute_dtype="bfloat16",
                        remat=True)),
+        # scan alone OOMs HBM at B=32 (the stacked per-layer ys double-
+        # buffer the backward state); remat inside the scanned body is
+        # the config that actually ships for big models
+        ("qat_learn_scan_remat",
+         QAT.QATConfig(learn_ranges=True, scan_layers=True, remat=True)),
         ("baseline_fp32", None),
         ("baseline_amp", "amp"),
     ]
@@ -92,21 +97,27 @@ def main():
                 compute_dtype="bfloat16" if qat_cfg == "amp" else None)
         else:
             qc, qs = qcfg, qstate
-        step = QAT.make_qat_train_step(apply_fn, qc, qat_cfg, tx,
-                                       donate=False)
-        p, learnable, rest, opt = QAT.init_qat_state(qc, qat_cfg, params,
-                                                     qs, tx)
-        key = jax.random.PRNGKey(0)
-        out = step(p, learnable, rest, opt, batch, key)
-        # the first step drops the learnable sites' qp entries from the
-        # threaded qstate -> structure change -> one more compile; warm
-        # past it before timing
-        out = step(out[0], out[1], out[2], out[3], batch, out[4])
-        _sync(out[-1])
-        t1 = time.perf_counter()
-        for _ in range(args.iters):
+        try:
+            step = QAT.make_qat_train_step(apply_fn, qc, qat_cfg, tx,
+                                           donate=False)
+            p, learnable, rest, opt = QAT.init_qat_state(qc, qat_cfg,
+                                                         params, qs, tx)
+            key = jax.random.PRNGKey(0)
+            out = step(p, learnable, rest, opt, batch, key)
+            # the first step drops the learnable sites' qp entries from
+            # the threaded qstate -> structure change -> one more
+            # compile; warm past it before timing
             out = step(out[0], out[1], out[2], out[3], batch, out[4])
-        _sync(out[-1])
+            _sync(out[-1])
+            t1 = time.perf_counter()
+            for _ in range(args.iters):
+                out = step(out[0], out[1], out[2], out[3], batch, out[4])
+            _sync(out[-1])
+        except Exception as e:  # OOM on one variant must not kill the rest
+            msg = str(e).split("\n")[0][:160]
+            print(f"# {name}: FAILED ({msg})", file=sys.stderr, flush=True)
+            results[name] = {"error": msg}
+            continue
         dt = (time.perf_counter() - t1) / args.iters
         print(f"# {name}: {dt * 1e3:.2f} ms/step  "
               f"{args.batch / dt:.1f} seq/s "
