@@ -14,8 +14,9 @@ beat) and the matmul-FLOP MFU against the chip's measured int8 peak, so
 the artifact tells the whole story on its own.
 
 Usage: python bench.py [--batch 128] [--seq 128] [--iters 20] [--small]
-       [--full]   also time fp32 dense, the generic XLA int8 path, and
-                  the W4A8 packed-int4 engine (3 extra compiles)
+       [--fast]   skip fp32 dense, the generic XLA int8 path, and the
+                  W4A8 packed-int4 engine (3 fewer compiles); by default
+                  the artifact includes every row so it has no null fields
        [--engine-backend pallas|xla]
 """
 
@@ -74,9 +75,12 @@ def main():
     ap.add_argument("--large", action="store_true",
                     help="BERT-large (24 layers, hidden 1024) instead of "
                          "BERT-base")
+    ap.add_argument("--fast", action="store_true",
+                    help="skip generic XLA int8 and the int4 engine "
+                         "(3 fewer compiles); default is the full set so "
+                         "the driver-captured artifact has no null fields")
     ap.add_argument("--full", action="store_true",
-                    help="also time fp32 dense, generic XLA int8, and the "
-                         "int4 engine (3 extra compiles)")
+                    help="deprecated: the full set is now the default")
     ap.add_argument("--engine-backend", default="pallas",
                     choices=["pallas", "xla"])
     args = ap.parse_args()
@@ -194,7 +198,7 @@ def main():
     t_fp32 = measure("fp32_dense", fp32_step, params, batch)
 
     t_int8_xla = t_int4 = None
-    if args.full:
+    if not args.fast:
         @jax.jit
         def int8_xla_step(params, int_params, batch):
             out, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, q_mode,
@@ -244,10 +248,17 @@ def main():
                          int4_params, batch)
 
     int_times = [t for t in (t_eng, t_int8_xla) if t is not None]
-    if not int_times:
-        # still emit an artifact: the context numbers tell the story and
-        # the driver records SOMETHING instead of a stack trace
+    fallback = not int_times
+    if fallback:
+        # Both int paths failed. Still emit an artifact so the driver
+        # records SOMETHING, but NEVER report a float run under the int8
+        # metric name: the value/vs_baseline/MFU fields would lie.
         int_times = [t for t in (t_sim, t_bf16, t_fp32) if t is not None]
+        if not int_times:
+            print(json.dumps({"metric": "bench_error", "value": None,
+                              "unit": "seq/s", "vs_baseline": None,
+                              "error": "every measurement failed"}))
+            raise SystemExit(4)
     t_best = min(int_times)
     seqps = args.batch / t_best
     flops = matmul_flops_per_seq(cfg, args.seq)
@@ -256,12 +267,18 @@ def main():
         return round(args.batch / t, 2) if t else None
 
     size = "large" if args.large else ("small" if args.small else "base")
+    metric = (f"bert_{size}_float_fallback_seq_per_sec_per_chip" if fallback
+              else f"bert_{size}_w8a8_int8_inference_seq_per_sec_per_chip")
     result = {
-        "metric": f"bert_{size}_w8a8_int8_inference_seq_per_sec_per_chip",
+        "metric": metric,
         "value": round(seqps, 2),
         "unit": "seq/s",
-        "vs_baseline": round(t_sim / t_best, 3) if t_sim else None,
+        "vs_baseline": (None if fallback else
+                        round(t_sim / t_best, 3) if t_sim else None),
         "detail": {
+            **({"fallback": True,
+                "note": "int8 paths failed; value is a FLOAT run"}
+               if fallback else {}),
             "batch": args.batch, "seq": args.seq,
             "baseline": "reference workload = W8A8 fake-quant simulation",
             "simulation_seq_per_sec": sps(t_sim),
@@ -274,8 +291,8 @@ def main():
             "int8_xla_seq_per_sec": sps(t_int8_xla),
             "int4_engine_seq_per_sec": sps(t_int4),
             "matmul_gflops_per_seq": round(flops / 1e9, 2),
-            "mfu_pct_of_int8_peak": round(
-                100.0 * seqps * flops / (MEASURED_INT8_PEAK_TOPS * 1e12), 1),
+            "mfu_pct_of_int8_peak": (None if fallback else round(
+                100.0 * seqps * flops / (MEASURED_INT8_PEAK_TOPS * 1e12), 1)),
             "device": str(jax.devices()[0]),
         },
     }

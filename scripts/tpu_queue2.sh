@@ -1,7 +1,6 @@
 #!/bin/bash
 # Follow-up TPU queue: BERT-large engine (after the jit-arg fix for the
-# remote-compile 413), learn-ranges profile, export round-trip check,
-# and a retry of the scan-alone learn-ranges compile.
+# remote-compile 413), learn-ranges profile, and export round-trip check.
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jaxcache
