@@ -154,14 +154,36 @@ def test_engine_eval_roberta():
 
 
 def test_engine_falls_back_when_incompatible(caplog):
-    """16-bit sites break the payload protocol; the CLI must fall back."""
+    """16-bit on an attention-internal site breaks the payload protocol;
+    the CLI must fall back to the generic path."""
     import logging
 
     with caplog.at_level(logging.INFO, logger="tq_tpu"):
-        s = _run("--quant-dict", "{'x': 16}", "--engine", "auto",
+        s = _run("--quant-dict", "{'s': 16}", "--engine", "auto",
                  "--weight-quant-method", "current_minmax")
     assert 0.0 <= s <= 1.0
     assert any("engine unavailable" in r.message for r in caplog.records)
+
+
+@pytest.mark.parametrize("qd", ["{'y': 16, 'h': 16, 'x': 16}",
+                                "{'y': 'ngp4', 'h': 'ngp4', 'x': 'ngp4'}"],
+                         ids=["mixed", "peg"])
+def test_engine_runs_accuracy_recipes(caplog, qd):
+    """The mixed W8A{8,16} and PEG quant_dicts (README.md:159-173) ride
+    the engine — no fallback — and score like the generic path."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="tq_tpu"):
+        s_eng = _run("--quant-dict", qd, "--engine", "auto",
+                     "--weight-quant-method", "current_minmax",
+                     "--seed", "1000")
+    assert not any("engine unavailable" in r.message
+                   for r in caplog.records)
+    assert any("engine active" in r.message for r in caplog.records)
+    s_gen = _run("--quant-dict", qd,
+                 "--weight-quant-method", "current_minmax",
+                 "--seed", "1000")
+    assert s_eng == pytest.approx(s_gen, abs=0.13), (s_eng, s_gen)
 
 
 def test_dynamic_per_token_int8_engine_matches_simulation():

@@ -107,8 +107,9 @@ def test_incompatible_config_rejected(tiny_setup):
     bad = qcfg.replace_site("L0.attn.q.out", enabled=False)
     with pytest.raises(ENG.EngineIncompatible):
         B.build_bert_engine(params, cfg, bad, qstate, int_params=int_params)
-    # 16-bit FFN residual-path sites (the mixed W8A{8,16} recipe) likewise
-    bad16 = B.apply_bert_quant_dict(qcfg, {"x": 16}, cfg.num_hidden_layers)
+    # 16-bit on an attention-internal site can't ride the payload protocol
+    # (only the 'x'/'h'/'y' FFN-residual sites have flex edges)
+    bad16 = B.apply_bert_quant_dict(qcfg, {"s": 16}, cfg.num_hidden_layers)
     with pytest.raises(ENG.EngineIncompatible):
         B.build_bert_engine(params, cfg, bad16, qstate,
                             int_params=int_params)
@@ -384,3 +385,85 @@ def test_per_channel_weight_engine_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(out["logits"]),
                                np.asarray(ref["logits"]),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Flex edges: the accuracy-preserving recipes ride the engine
+# (reference README.md:159-173 — mixed W8A{8,16} and PEG quant_dicts)
+# ---------------------------------------------------------------------------
+
+
+def _flex_setup(quant_dict):
+    from transformer_quantization_tpu.quant.manager import init_weight_qstate
+    from transformer_quantization_tpu.quant.qconfig import Phase
+    from transformer_quantization_tpu.training import calibration as CAL
+
+    cfg = B.BertConfig(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                       num_attention_heads=4, intermediate_size=128,
+                       max_position_embeddings=64, num_labels=2)
+    params = jax.jit(lambda k: B.init_bert_params(k, cfg))(
+        jax.random.PRNGKey(0))
+    qcfg = B.declare_bert_sites(G._w8a8_defaults(), cfg)
+    qcfg = B.apply_bert_quant_dict(qcfg, quant_dict, cfg.num_hidden_layers)
+    rng = np.random.RandomState(0)
+    cal = {
+        "input_ids": jnp.asarray(rng.randint(0, 128, (2, 16)), jnp.int32),
+        "attention_mask": jnp.ones((2, 16), jnp.float32),
+        "token_type_ids": jnp.zeros((2, 16), jnp.int32),
+    }
+    qstate = init_weight_qstate(qcfg, B.bert_weight_site_tensors(params))
+    if any(isinstance(v, str) and v.startswith("ngp")
+           for v in quant_dict.values()):
+        apply_fn = lambda p, b, qcfg, qstate, mode: B.bert_apply(  # noqa
+            p, b, cfg, qcfg, qstate, mode)
+        qstate = CAL.record_permutation_ranges(apply_fn, params, qcfg,
+                                               qstate, [cal])
+    _, qstate = B.bert_apply(params, cal, cfg, qcfg, qstate,
+                             QuantMode(act_phase=Phase.estimate))
+    int_params = B.build_bert_int_params(params, qcfg, qstate)
+    static, plan, _ = B.build_bert_engine(params, cfg, qcfg, qstate,
+                                          int_params=int_params)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, 128, (4, 16)), jnp.int32),
+        "attention_mask": jnp.asarray(
+            (np.arange(16)[None, :] < rng.randint(8, 17, (4, 1))),
+            jnp.float32),
+        "token_type_ids": jnp.zeros((4, 16), jnp.int32),
+    }
+    return cfg, params, qcfg, qstate, static, plan, int_params, batch
+
+
+@pytest.mark.parametrize("qd", [
+    {"x": 16, "h": 16, "y": 16},
+    {"x": "ngp4", "h": "ngp4", "y": "ngp4"},
+    {"x": "ng4", "h": 16, "y": "per_embd"},
+], ids=["mixed-w8a16", "peg-permuted", "mixed-combo"])
+def test_engine_flex_recipes_match_generic(qd):
+    """Mixed 16-bit and PEG 'x'/'h'/'y' sites run the engine (no fallback):
+    16-bit sites travel as float value edges, per-embedding/grouped sites
+    get per-column requant vectors — and match the generic QuantCtx int
+    path on the same data."""
+    cfg, params, qcfg, qstate, static, plan, int_params, batch = \
+        _flex_setup(qd)
+    assert static.any_flex
+    ref, _ = B.bert_apply(params, batch, cfg, qcfg, qstate, QuantMode(),
+                          int_params=int_params)
+    out = B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                              plan, int_params, backend="xla")
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=2e-3, atol=3e-3)
+    pal = B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                              plan, int_params, backend="pallas",
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(pal["logits"]),
+                               np.asarray(out["logits"]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_engine_flex_rejects_mixed_backend():
+    cfg, params, qcfg, qstate, static, plan, int_params, batch = \
+        _flex_setup({"x": 16, "h": 16, "y": 16})
+    with pytest.raises(ValueError, match="uniform engine backend"):
+        B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                            plan, int_params, backend="mix:xla,pallas,xla")

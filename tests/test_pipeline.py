@@ -147,8 +147,15 @@ def test_pp_qat_train_step_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
     for a, b in zip(jax.tree.leaves(l_ref), jax.tree.leaves(l_pp)):
+        # Learned-range (LSQ) leaves get a looser bound: their gradient is
+        # a sum of O(1) per-element terms gated by the clip-boundary mask
+        # (quant/quantizers.py clamp — torch-parity inclusive-keep
+        # semantics). Microbatched matmuls reduce in a different order
+        # than the full batch, so a half-ulp flip of round(x/scale) on a
+        # grid boundary moves one element in/out of the mask — an O(lr)
+        # jump in a scalar leaf after one step, not a pipeline bug.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
+                                   rtol=2e-4, atol=5e-4)
 
 
 def test_pp_rejects_estimate_phase(setup):

@@ -65,6 +65,17 @@ class EngineStatic:
     # (masked positions underflow to exactly 0). Proven at plan-build
     # time from the concrete scores-site scales; False when unprovable.
     attn_skip_max: bool = False
+    # Flex-edge descriptors for the accuracy-preserving recipes
+    # (reference README.md:159-173): per layer
+    # (x_mode 'i8'|'f', x_bits, h_bits, y_bits, lnv1?, lnv2?) where
+    # x = attn_out.ln.out (FFN input), h = ffn.dense.out fold,
+    # y = ffn.res; lnv1/lnv2 mark per-column (PEG) site params for the
+    # attention / FFN megakernels. Empty tuple entries mean all-int8.
+    flex: Tuple[Tuple[str, int, int, int, bool, bool], ...] = ()
+
+    @property
+    def any_flex(self) -> bool:
+        return any(f != ("i8", 8, 8, 8, False, False) for f in self.flex)
 
 
 # ---------------------------------------------------------------------------
@@ -99,6 +110,38 @@ def act_site_scalars(qcfg, qstate: Mapping, name: str) -> Tuple[Array, Array]:
     shift = (128.0 - Q.zero_point_of(c.spec, qp).reshape(())).astype(
         jnp.float32)
     return s, shift
+
+
+def act_edge_params(qcfg, qstate: Mapping, name: str):
+    """Classify an act site as an engine edge: ``('i8', 8, s, shift)`` for
+    per-tensor 8-bit asymmetric sites (int8 payload protocol), or
+    ``('f', bits, s, shift)`` for 16-bit per-tensor and per-embedding /
+    PEG sites — the recipes of reference README.md:159-173 — whose values
+    travel as float edges with the fake-quant fused into the producer
+    (per-column scales can't factor out of an int8 contraction). ``s``/
+    ``shift`` are scalars or (C,) vectors; shift = 2^(b-1) - zero_point.
+    """
+    _require(name in qcfg, f"no act site {name!r}")
+    c = qcfg[name]
+    _require(c.kind == "act", f"{name!r} is not an act site")
+    _require(c.enabled, f"act site {name!r} disabled")
+    _require(not c.spec.symmetric, f"act site {name!r} is symmetric")
+    _require(name in qstate, f"act site {name!r} not calibrated")
+    bits = c.spec.n_bits
+    qp = qstate[name]["qp"]
+    s = Q.scale_of(c.spec, qp).astype(jnp.float32)
+    zp = Q.zero_point_of(c.spec, qp).astype(jnp.float32)
+    shift = 2.0 ** (bits - 1) - zp
+    if (c.axis is None and not c.n_groups and bits == 8
+            and qp.delta.ndim == 0):
+        return ("i8", 8, s.reshape(()), shift.reshape(()))
+    _require(bits <= 16, f"act site {name!r} is {bits}-bit (engine max 16)")
+    if qp.delta.ndim > 0:
+        _require(c.axis == 2,
+                 f"act site {name!r}: engine flex edges must be "
+                 "per-embedding (axis=2)")
+    return ("f", bits, s.reshape(-1) if qp.delta.ndim else s.reshape(()),
+            shift.reshape(-1) if qp.delta.ndim else shift.reshape(()))
 
 
 def _act_enabled(qcfg, name: str) -> bool:
@@ -147,35 +190,58 @@ def _mm_plan(int_params: Mapping, names: List[str], biases: List[Array],
 
 def _ln_plan(qcfg, qstate, params_ln: Mapping, res_site: str, ln_site: str,
              ln_wsite: str, y_site: Optional[Tuple[Array, Array]],
-             r_site: Tuple[Array, Array]) -> Tuple[Dict, bool]:
+             r_site: Tuple[Array, Array],
+             flex_ln: bool = False) -> Tuple[Dict, bool, int, Tuple]:
     """gamma/beta (+quantized gamma) and site scalars for one fused
-    add+LN; returns (plan, res_quant_enabled).
+    add+LN; returns (plan, res_quant_enabled, res_bits, ln_edge).
 
     ``y_site``/``r_site``: payload params of the two add inputs (the
     producing matmul's fold site and the previous ln/entry site), used by
     the payload-residual flow; ``y_site`` None when the fold site is
-    disabled (payload flow unavailable)."""
+    disabled (payload flow unavailable). ``flex_ln`` lets the res/ln
+    sites be flex edges (16-bit / PEG); the plan then carries a (4, N)
+    per-column ``lnv`` when either is per-column.
+    """
     gamma = params_ln["scale"].astype(jnp.float32)
     beta = params_ln["bias"].astype(jnp.float32)
+    n = gamma.shape[0]
     if ln_wsite in qcfg and qcfg[ln_wsite].enabled:
         c = qcfg[ln_wsite]
         _require(ln_wsite in qstate, f"{ln_wsite!r} not calibrated")
         gamma = Q.fake_quant(c.spec, qstate[ln_wsite]["qp"], gamma,
                              axis=0 if c.per_channel else None)
     res_quant = _act_enabled(qcfg, res_site)
+    res_bits = 8
     if res_quant:
-        res_s, res_sh = act_site_scalars(qcfg, qstate, res_site)
+        if flex_ln:
+            _, res_bits, res_s, res_sh = act_edge_params(qcfg, qstate,
+                                                         res_site)
+        else:
+            res_s, res_sh = act_site_scalars(qcfg, qstate, res_site)
     else:
         res_s, res_sh = jnp.ones(()), jnp.zeros(())
-    l_s, l_sh = act_site_scalars(qcfg, qstate, ln_site)
+    if flex_ln:
+        ln_edge = act_edge_params(qcfg, qstate, ln_site)
+        _, _, l_s, l_sh = ln_edge
+    else:
+        l_s, l_sh = act_site_scalars(qcfg, qstate, ln_site)
+        ln_edge = ("i8", 8, l_s, l_sh)
     y_s, y_sh = y_site if y_site is not None else (jnp.ones(()),
                                                    jnp.zeros(()))
     r_s, r_sh = r_site
-    return {
+    pervec = res_s.ndim > 0 or l_s.ndim > 0
+    plan = {
         "gb": jnp.stack([gamma, beta]),
-        "scal": jnp.stack([y_s, y_sh, r_s, r_sh, res_s, res_sh,
-                           l_s, l_sh]).reshape(1, 8),
-    }, res_quant
+        "scal": jnp.stack(
+            [jnp.reshape(v, ()) for v in (y_s, y_sh, r_s, r_sh)]
+            + ([jnp.zeros(())] * 4 if pervec else
+               [jnp.reshape(v, ()) for v in (res_s, res_sh, l_s, l_sh)])
+        ).reshape(1, 8),
+    }
+    if pervec:
+        plan["lnv"] = jnp.stack([_bcast(res_s, n), _bcast(res_sh, n),
+                                 _bcast(l_s, n), _bcast(l_sh, n)])
+    return plan, res_quant, res_bits, ln_edge
 
 
 def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
@@ -195,6 +261,7 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
     w4_flags = []
     fold_flags = []
     res_flags = []
+    flex_flags = []
     for i, lp in enumerate(layer_params):
         p = prefixes[i] if prefixes is not None else f"L{i}."
         if i == 0:
@@ -224,29 +291,57 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
             int_params, [p + "attn_out.dense"],
             [lp["attn_out"]["dense"]["bias"]], ctx_scal, ao_out)
 
-        ln1, res1 = _ln_plan(qcfg, qstate, lp["attn_out"]["ln"],
-                             p + "attn_out.res", p + "attn_out.ln.out",
-                             p + "attn_out.ln.w",
-                             ao_out[0] if ao_fold else None, in_scal)
+        # ln1's LN site is the FFN input — quant_dict 'x', flexible
+        ln1, res1, res1_bits, x_edge = _ln_plan(
+            qcfg, qstate, lp["attn_out"]["ln"],
+            p + "attn_out.res", p + "attn_out.ln.out",
+            p + "attn_out.ln.w", ao_out[0] if ao_fold else None, in_scal,
+            flex_ln=True)
+        _require(res1_bits == 8,
+                 "attn_out.res must be 8-bit for the engine")
+        x_mode, x_bits, x_s, x_sh = x_edge
 
-        ln1_scal = act_site_scalars(qcfg, qstate, p + "attn_out.ln.out")
+        if x_mode == "i8":
+            ln1_scal = (x_s, x_sh)
+            inter_in = ln1_scal
+        else:
+            ln1_scal = (jnp.ones(()), jnp.zeros(()))  # value edge
+            inter_in = ln1_scal
         inter_out = [act_site_scalars(qcfg, qstate, p + "ffn.inter.out")]
         inter, inter_w4 = _mm_plan(
             int_params, [p + "ffn.inter"], [lp["ffn"]["inter"]["bias"]],
-            ln1_scal, inter_out)
+            inter_in, inter_out)
 
         i_scal = act_site_scalars(qcfg, qstate, p + "ffn.inter.out")
         d_fold = _act_enabled(qcfg, p + "ffn.dense.out")
-        d_out = ([act_site_scalars(qcfg, qstate, p + "ffn.dense.out")]
-                 if d_fold else None)
+        # the dense fold site is quant_dict 'h' — flexible (bits / PEG)
+        h_bits = 8
+        d_out = None
+        if d_fold:
+            _, h_bits, h_s, h_sh = act_edge_params(qcfg, qstate,
+                                                   p + "ffn.dense.out")
+            d_out = [(h_s, h_sh)]
         dense, dense_w4 = _mm_plan(
             int_params, [p + "ffn.dense"], [lp["ffn"]["dense"]["bias"]],
             i_scal, d_out)
 
-        ln2, res2 = _ln_plan(qcfg, qstate, lp["ffn"]["ln"],
-                             p + "ffn.res", p + "ffn.ln.out",
-                             p + "ffn.ln.w",
-                             d_out[0] if d_fold else None, ln1_scal)
+        # ln2's res site is quant_dict 'y' — flexible; its LN site
+        # (ffn.ln.out) is the next layer's int8 input, kept strict
+        ln2, res2, y_bits, out_edge = _ln_plan(
+            qcfg, qstate, lp["ffn"]["ln"],
+            p + "ffn.res", p + "ffn.ln.out", p + "ffn.ln.w",
+            (d_out[0] if d_fold and h_bits == 8
+             and d_out[0][0].ndim == 0 else None),
+            ln1_scal, flex_ln=True)
+        _require(out_edge[0] == "i8",
+                 f"{p}ffn.ln.out must be per-tensor 8-bit (it is the next "
+                 "layer's int8 matmul input)")
+
+        flex = (x_mode, x_bits, h_bits, y_bits,
+                ln1.get("lnv") is not None, ln2.get("lnv") is not None)
+        if flex != ("i8", 8, 8, 8, False, False):
+            _require(ao_fold and d_fold,
+                     "flex recipes need both fold sites enabled")
 
         layers.append({"qkv": qkv, "attn_scal": attn_scal,
                        "attn_out": attn_out, "ln1": ln1, "inter": inter,
@@ -254,6 +349,7 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
         w4_flags.append((qkv_w4, ao_w4, inter_w4, dense_w4))
         fold_flags.append((ao_fold, d_fold))
         res_flags.append((res1, res2))
+        flex_flags.append(flex)
 
     entry_scal = jnp.stack(
         act_site_scalars(qcfg, qstate, entry_site)).reshape(1, 2)
@@ -273,7 +369,8 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
     static = EngineStatic(
         n_layers=len(layer_params), n_heads=n_heads, ln_eps=ln_eps,
         hidden_act=hidden_act, w4=tuple(w4_flags), fold=tuple(fold_flags),
-        res_quant=tuple(res_flags), attn_skip_max=skip_max)
+        res_quant=tuple(res_flags), attn_skip_max=skip_max,
+        flex=tuple(flex_flags))
     return static, {"layers": layers, "entry_scal": entry_scal}
 
 
@@ -393,11 +490,53 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
     # attn_out -> add+LN) becomes ONE kernel when everything is pallas:
     # the (M, 3H) qkv payload spills to HBM between separate kernels
     fuse_attn = fuse_ln and mm_be == "pallas" and attn_be == "pallas"
+    # flex layers (16-bit / PEG 'x','h','y' sites — README.md:159-173)
+    # run ONLY through the mega route: one attention-block call and one
+    # FFN-block call, pallas kernels or their XLA-composed refs
+    mega = payload_res and mm_be == attn_be == ln_be
+    if getattr(static, "any_flex", False) and not mega:
+        raise ValueError(
+            "mixed/PEG recipe layers need a uniform engine backend "
+            f"('pallas' or 'xla'), got {backend!r}")
 
+    default_flex = ("i8", 8, 8, 8, False, False)
     for i, lp in enumerate(plan["layers"]):
         qkv_w4, ao_w4, inter_w4, dense_w4 = static.w4[i]
         ao_fold, d_fold = static.fold[i]
         res1, res2 = static.res_quant[i]
+        flex = static.flex[i] if static.flex else default_flex
+        x_mode, x_bits, h_bits, y_bits, _, _ = flex
+        is_flex = flex != default_flex
+
+        if is_flex and mega:
+            akw = dict(n_heads=static.n_heads, seq=t, eps=static.ln_eps,
+                       res_quant=res1, skip_max=static.attn_skip_max,
+                       w4q=qkv_w4, w4o=ao_w4,
+                       ln_out="emit" if x_mode == "i8" else "f",
+                       ln_bits=x_bits, out_dtype=out_dtype)
+            aargs = (h8, lp["qkv"]["w"], lp["qkv"]["vecs"],
+                     lp["qkv"]["scal"], mask_bias, lp["attn_scal"],
+                     lp["attn_out"]["w"], lp["attn_out"]["vecs"],
+                     lp["attn_out"]["scal"], lp["ln1"]["gb"],
+                     lp["ln1"]["scal"], lp["ln1"].get("lnv"))
+            if mm_be == "pallas":
+                hx = EK.int8_attn_ln(*aargs, interpret=interpret, **akw)
+            else:
+                hx = EK.int8_attn_ln_ref(*aargs, **akw)
+            fkw = dict(activation=hidden_act, eps=static.ln_eps,
+                       res_quant=res2, w4i=inter_w4, w4d=dense_w4,
+                       in_mode=x_mode, res_mode=x_mode, h_bits=h_bits,
+                       y_bits=y_bits)
+            fargs = (hx, lp["inter"]["w"], lp["inter"]["vecs"],
+                     lp["inter"]["scal"], lp["dense"]["w"],
+                     lp["dense"]["vecs"], lp["dense"]["scal"], hx,
+                     lp["ln2"]["gb"], lp["ln2"]["scal"],
+                     lp["ln2"].get("lnv"))
+            if mm_be == "pallas":
+                h8 = EK.int8_ffn_ln(*fargs, interpret=interpret, **fkw)
+            else:
+                h8 = EK.int8_ffn_ln_ref(*fargs, **fkw)
+            continue
 
         if fuse_attn:
             h8 = EK.int8_attn_ln(
@@ -449,6 +588,12 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
             else:
                 h8, hf = add_ln(y, hf, lp["ln2"], res2)
     if payload_res:
-        ls = plan["layers"][-1]["ln2"]["scal"]
-        hf = EK.dequantize_payload(h8, ls[0, 6], ls[0, 7]).astype(out_dtype)
+        ln2 = plan["layers"][-1]["ln2"]
+        if ln2.get("lnv") is not None:
+            # per-column plan: the (strict, scalar) ffn.ln.out params live
+            # broadcast in lnv rows 2/3 — any element is the scalar
+            s_l, sh_l = ln2["lnv"][2, 0], ln2["lnv"][3, 0]
+        else:
+            s_l, sh_l = ln2["scal"][0, 6], ln2["scal"][0, 7]
+        hf = EK.dequantize_payload(h8, s_l, sh_l).astype(out_dtype)
     return hf.reshape(b, t, hdim)

@@ -80,9 +80,23 @@ def dequantize_payload(p: Array, s, shift) -> Array:
     return s * (p.astype(jnp.float32) + shift)
 
 
-def fakequant_f32(x: Array, s, shift) -> Array:
+def _clip_bounds(bits: int) -> Tuple[float, float]:
+    """Payload-grid clip bounds of a ``bits``-bit site.
+
+    The b-bit generalization of the int8 payload convention: levels are
+    shifted by ``2^(b-1) - zero_point`` so the grid is symmetric around 0
+    (``clip(round(x/s)+zp, 0, 2^b-1) - zp == clip(round(x/s)-sh, -H, H-1)
+    + sh`` with ``H = 2^(b-1)``, ``sh = H - zp``). 16-bit sites of the
+    mixed W8A{8,16} recipe use (-32768, 32767); levels stay exact in f32.
+    """
+    half = float(2 ** (bits - 1))
+    return -half, half - 1.0
+
+
+def fakequant_f32(x: Array, s, shift, lo: float = -128.0,
+                  hi: float = 127.0) -> Array:
     """Fake-quant through the payload grid (quantizers.py:189-211)."""
-    r = jnp.clip(jnp.round(x * (1.0 / s)) - shift, -128.0, 127.0)
+    r = jnp.clip(jnp.round(x * (1.0 / s)) - shift, lo, hi)
     return s * (r + shift)
 
 
@@ -113,27 +127,62 @@ def _int_dot(x8, w_ref, w4):
     return acc.astype(jnp.float32)
 
 
+def _f_dot(x, w_ref, w4):
+    """Float-edge variant of :func:`_int_dot`: (BM, K) bf16/f32 activation
+    tile against the int8/int4 weight ref, cast in-register (int8 -> bf16
+    is exact), MXU matmul with f32 accumulation. Used for 16-bit / PEG
+    activation edges whose per-column scales can't factor out of the
+    contraction."""
+    dims = (((1,), (1,)), ((), ()))
+    if w4:
+        p = w_ref[:].astype(jnp.int32)
+        lo = p & 0xF
+        hi = p >> 4
+        lo = jnp.where(lo >= 8, lo - 16, lo).astype(x.dtype)
+        hi = jnp.where(hi >= 8, hi - 16, hi).astype(x.dtype)
+        k2 = x.shape[1] // 2
+        return (jax.lax.dot_general(x[:, :k2], lo, dimension_numbers=dims,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(x[:, k2:], hi, dimension_numbers=dims,
+                                      preferred_element_type=jnp.float32))
+    return jax.lax.dot_general(x, w_ref[:].astype(x.dtype),
+                               dimension_numbers=dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _mm_body(x, w_ref, vec_ref, smem_ref, *, w4, in_mode):
+    """Shared matmul + dequant-fold: returns the pre-activation f32 tile."""
+    if in_mode == "i8":
+        in_s = smem_ref[0, 0]
+        in_shift = smem_ref[0, 1]
+        acc = _int_dot(x, w_ref, w4)
+        # x = s_x (p + shift)  =>  x @ W^T = s_x s_w (p @ w8^T + sh colsum)
+        y = (in_s * vec_ref[0, :]) * (acc + in_shift * vec_ref[1, :])
+    else:  # 'f': x carries the (fake-quantized) site VALUE
+        acc = _f_dot(x, w_ref, w4)
+        y = vec_ref[0, :] * acc
+    return y + vec_ref[2, :]
+
+
 def _mm_kernel(x_ref, w_ref, vec_ref, smem_ref, out_ref, *, activation,
-               out_mode, w4):
+               out_mode, w4, in_mode="i8", out_bits=8):
     """One (BM, K) payload tile against the full (N, K) int8 weight.
 
     ``vec_ref`` rows: 0 wscale, 1 colsum, 2 bias, 3 out_s, 4 out_shift
-    (all (1, N) f32). ``smem_ref``: [in_s, in_shift].
+    (all (1, N) f32). ``smem_ref``: [in_s, in_shift] (i8 edges only).
+    ``in_mode``: 'i8' int8-payload input | 'f' float value-edge input.
+    ``out_bits`` generalizes the fold grid (16-bit mixed-recipe sites).
     """
-    in_s = smem_ref[0, 0]
-    in_shift = smem_ref[0, 1]
-    acc = _int_dot(x_ref[:], w_ref, w4)
-    # x = s_x (p + shift)  =>  x @ W^T = s_x s_w (p @ w8^T + shift colsum)
-    y = (in_s * vec_ref[0, :]) * (acc + in_shift * vec_ref[1, :])
-    y = y + vec_ref[2, :]
+    y = _mm_body(x_ref[:], w_ref, vec_ref, smem_ref, w4=w4, in_mode=in_mode)
     act = _ACTS[activation]
     if act is not None:
         y = act(y)
     if out_mode == "float":
         out_ref[:] = y.astype(out_ref.dtype)
         return
+    lo, hi = _clip_bounds(out_bits)
     r = jnp.clip(jnp.round(y * (1.0 / vec_ref[3, :])) - vec_ref[4, :],
-                 -128.0, 127.0)
+                 lo, hi)
     if out_mode == "emit":
         out_ref[:] = r.astype(jnp.int8)
     else:  # fold: fake-quantized float output
@@ -153,26 +202,32 @@ def _pick_block_m(m: int, bytes_per_row: int, requested: Optional[int]) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("activation", "out_mode", "out_dtype", "block_m",
-                     "interpret", "w4"))
+                     "interpret", "w4", "in_mode", "out_bits"))
 def int8_matmul(x8: Array, w8: Array, vecs: Array, scalars: Array, *,
                 activation=None, out_mode="emit", out_dtype=jnp.float32,
                 block_m: Optional[int] = None, interpret: bool = False,
-                w4: bool = False) -> Array:
+                w4: bool = False, in_mode: str = "i8",
+                out_bits: int = 8) -> Array:
     """Payload matmul ``y = act(s_x s_w (x8 @ w8^T + shift colsum) + b)``.
 
-    ``x8``: (M, K) int8 payload. ``w8``: (N, K) int8 (or (N, K/2) packed
-    int4 nibbles when ``w4``). ``vecs``: (5, N) f32 rows
+    ``x8``: (M, K) int8 payload (``in_mode='i8'``) or bf16/f32 value edge
+    (``in_mode='f'``). ``w8``: (N, K) int8 (or (N, K/2) packed int4
+    nibbles when ``w4``). ``vecs``: (5, N) f32 rows
     [wscale, colsum, bias, out_s, out_shift]. ``scalars``: (1, 2) f32
     [in_s, in_shift]. ``out_mode``: 'emit' int8 payload of the output
-    site | 'fold' fake-quantized float | 'float' raw float.
+    site | 'fold' fake-quantized float (grid of ``out_bits``) | 'float'
+    raw float.
     """
     m, k = x8.shape
     n = w8.shape[0]
     out_is_int8 = out_mode == "emit"
-    row_bytes = k + n * (1 if out_is_int8 else 4) + 6 * 4
+    assert not (out_is_int8 and out_bits != 8)
+    in_bytes = 1 if in_mode == "i8" else x8.dtype.itemsize
+    row_bytes = k * in_bytes + n * (1 if out_is_int8 else 4) + 6 * 4
     bm = _pick_block_m(m, row_bytes, block_m)
     kernel = functools.partial(_mm_kernel, activation=activation,
-                               out_mode=out_mode, w4=w4)
+                               out_mode=out_mode, w4=w4, in_mode=in_mode,
+                               out_bits=out_bits)
     return pl.pallas_call(
         kernel,
         grid=(m // bm,),
@@ -199,23 +254,32 @@ def int8_matmul(x8: Array, w8: Array, vecs: Array, scalars: Array, *,
 
 
 def int8_matmul_ref(x8, w8, vecs, scalars, *, activation=None,
-                    out_mode="emit", out_dtype=jnp.float32, w4=False):
+                    out_mode="emit", out_dtype=jnp.float32, w4=False,
+                    in_mode="i8", out_bits=8):
     """jnp oracle / XLA-composed backend for :func:`int8_matmul`."""
     if w4:
         from transformer_quantization_tpu.ops.int_linear import unpack_int4
 
         w8 = unpack_int4(w8, x8.shape[1])
-    acc = jax.lax.dot_general(
-        x8, w8, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32).astype(jnp.float32)
-    in_s, in_shift = scalars[0, 0], scalars[0, 1]
-    y = (in_s * vecs[0]) * (acc + in_shift * vecs[1]) + vecs[2]
+    dims = (((1,), (1,)), ((), ()))
+    if in_mode == "i8":
+        acc = jax.lax.dot_general(
+            x8, w8, dimension_numbers=dims,
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        in_s, in_shift = scalars[0, 0], scalars[0, 1]
+        y = (in_s * vecs[0]) * (acc + in_shift * vecs[1]) + vecs[2]
+    else:
+        acc = jax.lax.dot_general(
+            x8, w8.astype(x8.dtype), dimension_numbers=dims,
+            preferred_element_type=jnp.float32)
+        y = vecs[0] * acc + vecs[2]
     act = _ACTS[activation]
     if act is not None:
         y = act(y)
     if out_mode == "float":
         return y.astype(out_dtype)
-    r = jnp.clip(jnp.round(y / vecs[3]) - vecs[4], -128.0, 127.0)
+    lo, hi = _clip_bounds(out_bits)
+    r = jnp.clip(jnp.round(y / vecs[3]) - vecs[4], lo, hi)
     if out_mode == "emit":
         return r.astype(jnp.int8)
     return (vecs[3] * (r + vecs[4])).astype(out_dtype)
@@ -270,10 +334,20 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
 
 
 def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
-              head_dim, skip_max, group):
+              head_dim, skip_max, group, corr_mode="f32p1"):
     """Attention phases for ONE batch row's (seq, H) q/k/v payload tiles;
     returns the (seq, H) int8 context-site payload. Shared by the
-    standalone attention kernel and the fused attention megakernel."""
+    standalone attention kernel and the fused attention megakernel.
+
+    ``corr_mode`` selects where the rank-1 payload-shift corrections are
+    applied (A/B-measured on v5e, scripts/attn_corr_bench.py):
+      'f32p1'  — f32 scratch; per-group corrections in phase 1 (shipped:
+                 fastest — Mosaic handles 2-D f32 tile math best)
+      'i32p2'  — int32 scratch; exact-integer corrections folded into
+                 phase 2 on a (n_heads, seq, seq) reshape (measured 5%
+                 SLOWER model-level: 3-D int32 VPU adds cost more than
+                 the saved converts)
+    """
     (q_s, q_sh, k_s, k_sh, v_s, v_sh,
      sc_s, sc_sh, p_s, p_sh, c_s, c_sh) = sv
     rsqrt_d = np.float32(1.0 / np.sqrt(head_dim))
@@ -287,8 +361,10 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
         lmask = [(lane >= h * head_dim) & (lane < (h + 1) * head_dim)
                  for h in range(g)]
 
-    # phase 1: q@k^T dots with the rank-1 payload-shift corrections
-    # applied in-register -> scratch (n_heads*seq, seq)
+    i32 = corr_mode == "i32p2"
+
+    # phase 1: q@k^T dots -> scratch (n_heads*seq, seq); 'f32p1' applies
+    # the corrections here per group, 'i32p2' stores raw int32 acc
     if g > 1:
         for p in range(n_heads // g):
             cols = slice(p * gw, (p + 1) * gw)
@@ -297,7 +373,11 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
                 [jnp.where(lmask[h], qp, 0) for h in range(g)], axis=0)
             acc = jax.lax.dot_general(
                 qbd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
+                preferred_element_type=jnp.int32)
+            if i32:
+                scores_scr[p * g * seq:(p + 1) * g * seq, :] = acc
+                continue
+            acc = acc.astype(jnp.float32)
             ksum_rows = jnp.concatenate(
                 [jnp.broadcast_to(
                     jnp.sum(jnp.where(lmask[h], kp, 0)
@@ -317,7 +397,11 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
             q8, k8 = qj[:, cols], kj[:, cols]
             acc = jax.lax.dot_general(
                 q8, k8, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
+                preferred_element_type=jnp.int32)
+            if i32:
+                scores_scr[hh * seq:(hh + 1) * seq, :] = acc
+                continue
+            acc = acc.astype(jnp.float32)
             qsum = jnp.sum(q8.astype(jnp.float32), axis=1,
                            keepdims=True)
             ksum = jnp.sum(k8.astype(jnp.float32), axis=1,
@@ -339,8 +423,25 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
     qk_over_sc = q_s * k_s * (1.0 / sc_s)
     a = sc_s * rsqrt_d * log2e
     mask2 = mask_j * log2e + a * sc_sh
-    r = jnp.clip(jnp.round(scores_scr[:, :] * qk_over_sc) - sc_sh,
-                 -128.0, 127.0)
+    if i32:
+        # exact-integer corrections folded into this pass
+        q_sh_i = q_sh.astype(jnp.int32)
+        k_sh_i = k_sh.astype(jnp.int32)
+        qsum_i = jnp.stack(
+            [jnp.sum(qj[:, h * head_dim:(h + 1) * head_dim]
+                     .astype(jnp.int32), axis=1)
+             for h in range(n_heads)])  # (n, seq)
+        ksum_i = jnp.stack(
+            [jnp.sum(kj[:, h * head_dim:(h + 1) * head_dim]
+                     .astype(jnp.int32), axis=1)
+             for h in range(n_heads)])  # (n, seq)
+        corr = (q_sh_i * ksum_i[:, None, :] + k_sh_i * qsum_i[:, :, None]
+                + head_dim * q_sh_i * k_sh_i)  # (n, seq, seq)
+        scores = (scores_scr[:, :].reshape(n_heads, seq, seq) + corr
+                  ).astype(jnp.float32).reshape(n_heads * seq, seq)
+    else:
+        scores = scores_scr[:, :]
+    r = jnp.clip(jnp.round(scores * qk_over_sc) - sc_sh, -128.0, 127.0)
     s2 = a * r + mask2
     if skip_max:
         # quantized scores are grid-bounded (|s2| provably << 126,
@@ -565,16 +666,30 @@ def int8_attention_qkv_ref(q_arr, k_arr, v_arr, mask_bias, scalars, *,
 # ---------------------------------------------------------------------------
 
 
-def _ln_body(x, gb_ref, smem_ref, *, eps, res_quant, norm="layernorm"):
+def _site_vals(smem_ref, lnv_ref):
+    """LN-stage site params (res_s, res_sh, ln_s, ln_sh): per-column (1, N)
+    rows from a VMEM vector ref when the sites are per-axis/grouped (PEG),
+    else scalars from smem."""
+    if lnv_ref is not None:
+        return (lnv_ref[0:1, :], lnv_ref[1:2, :],
+                lnv_ref[2:3, :], lnv_ref[3:4, :])
+    return (smem_ref[0, 4], smem_ref[0, 5], smem_ref[0, 6], smem_ref[0, 7])
+
+
+def _ln_body(x, gb_ref, site_vals, *, eps, res_quant, norm="layernorm",
+             res_bits=8, ln_bits=8):
     """res-site fake-quant -> LayerNorm/NoNorm -> norm-site quant levels.
 
-    smem layout (1, 8): [y_s, y_sh, r_s, r_sh, res_s, res_sh, ln_s, ln_sh]
-    (the first four are input-payload params, used by the payload kernel
-    only). ``norm='nonorm'`` is MobileBERT's reduction-free affine
-    (ops/layers.py quant_nonorm): z = x * gamma_q + beta_q.
+    ``site_vals`` = (res_s, res_sh, ln_s, ln_sh), scalars or per-column
+    (1, N) rows (PEG sites). ``res_bits``/``ln_bits`` generalize the site
+    grids (16-bit sites of the mixed recipe). ``norm='nonorm'`` is
+    MobileBERT's reduction-free affine (ops/layers.py quant_nonorm):
+    z = x * gamma_q + beta_q.
     """
+    res_s, res_sh, ln_s, ln_sh = site_vals
     if res_quant:
-        x = fakequant_f32(x, smem_ref[0, 4], smem_ref[0, 5])
+        lo, hi = _clip_bounds(res_bits)
+        x = fakequant_f32(x, res_s, res_sh, lo, hi)
     if norm == "nonorm":
         z = x * gb_ref[0, :] + gb_ref[1, :]
     else:
@@ -587,14 +702,14 @@ def _ln_body(x, gb_ref, smem_ref, *, eps, res_quant, norm="layernorm"):
         var = jnp.maximum(ms - mean * mean, 0.0)
         z = ((x - mean) * jax.lax.rsqrt(var + eps) * gb_ref[0, :]
              + gb_ref[1, :])
-    s_l, sh_l = smem_ref[0, 6], smem_ref[0, 7]
-    return jnp.clip(jnp.round(z * (1.0 / s_l)) - sh_l, -128.0, 127.0), s_l, sh_l
+    lo, hi = _clip_bounds(ln_bits)
+    return jnp.clip(jnp.round(z * (1.0 / ln_s)) - ln_sh, lo, hi), ln_s, ln_sh
 
 
 def _add_ln_kernel(y_ref, r_ref, gb_ref, smem_ref, p_ref, f_ref, *, eps,
                    res_quant):
     x = y_ref[:].astype(jnp.float32) + r_ref[:].astype(jnp.float32)
-    q, s_l, sh_l = _ln_body(x, gb_ref, smem_ref, eps=eps,
+    q, s_l, sh_l = _ln_body(x, gb_ref, _site_vals(smem_ref, None), eps=eps,
                             res_quant=res_quant)
     p_ref[:] = q.astype(jnp.int8)
     f_ref[:] = (s_l * (q + sh_l)).astype(f_ref.dtype)
@@ -612,7 +727,8 @@ def _add_ln_payload_kernel(y_ref, r_ref, gb_ref, smem_ref, p_ref, *, eps,
     r_s, r_sh = smem_ref[0, 2], smem_ref[0, 3]
     x = (y_s * (y_ref[:].astype(jnp.float32) + y_sh)
          + r_s * (r_ref[:].astype(jnp.float32) + r_sh))
-    q, _, _ = _ln_body(x, gb_ref, smem_ref, eps=eps, res_quant=res_quant)
+    q, _, _ = _ln_body(x, gb_ref, _site_vals(smem_ref, None), eps=eps,
+                       res_quant=res_quant)
     p_ref[:] = q.astype(jnp.int8)
 
 
@@ -731,11 +847,7 @@ def _mm_norm_core(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
     HBM and the norm pass's read of it disappears (measured 4.17 ms/step
     across 24 separate add+LN launches at B=128, S=128).
     """
-    in_s = smem_ref[0, 0]
-    in_shift = smem_ref[0, 1]
-    acc = _int_dot(x_ref[:], w_ref, w4)
-    y = (in_s * vec_ref[0, :]) * (acc + in_shift * vec_ref[1, :])
-    y = y + vec_ref[2, :]
+    y = _mm_body(x_ref[:], w_ref, vec_ref, smem_ref, w4=w4, in_mode="i8")
     # fold-site fake-quant (the producing matmul's .out site)
     r = jnp.clip(jnp.round(y * (1.0 / vec_ref[3, :])) - vec_ref[4, :],
                  -128.0, 127.0)
@@ -743,7 +855,7 @@ def _mm_norm_core(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
     if r_ref is not None:
         r_s, r_sh = ln_smem_ref[0, 2], ln_smem_ref[0, 3]
         y = y + r_s * (r_ref[:].astype(jnp.float32) + r_sh)
-    q, _, _ = _ln_body(y, gb_ref, ln_smem_ref, eps=eps,
+    q, _, _ = _ln_body(y, gb_ref, _site_vals(ln_smem_ref, None), eps=eps,
                        res_quant=res_quant, norm=norm)
     out_ref[:] = q.astype(jnp.int8)
 
@@ -883,9 +995,12 @@ def int8_matmul_norm_ref(x8, w8, vecs, scalars, gb, ln_scalars, *, eps,
                                   w4=w4, norm=norm)
 
 
-def _ln_ref_body(x, gb, s, *, eps, res_quant, norm="layernorm"):
+def _ln_body_ref(x, gb, sv, *, eps, res_quant, norm="layernorm",
+                 res_bits=8, ln_bits=8):
+    res_s, res_sh, ln_s, ln_sh = sv
     if res_quant:
-        x = fakequant_f32(x, s[4], s[5])
+        lo, hi = _clip_bounds(res_bits)
+        x = fakequant_f32(x, res_s, res_sh, lo, hi)
     if norm == "nonorm":
         z = x * gb[0] + gb[1]
     else:
@@ -894,7 +1009,13 @@ def _ln_ref_body(x, gb, s, *, eps, res_quant, norm="layernorm"):
         ms = jnp.mean(x * x, axis=-1, keepdims=True)
         var = jnp.maximum(ms - mean * mean, 0.0)
         z = (x - mean) * jax.lax.rsqrt(var + eps) * gb[0] + gb[1]
-    return jnp.clip(jnp.round(z / s[6]) - s[7], -128.0, 127.0)
+    lo, hi = _clip_bounds(ln_bits)
+    return jnp.clip(jnp.round(z / ln_s) - ln_sh, lo, hi)
+
+
+def _ln_ref_body(x, gb, s, *, eps, res_quant, norm="layernorm"):
+    return _ln_body_ref(x, gb, (s[4], s[5], s[6], s[7]), eps=eps,
+                        res_quant=res_quant, norm=norm)
 
 
 def fused_add_ln_ref(y, r, gb, scalars, *, eps, res_quant=True,
@@ -924,8 +1045,9 @@ def fused_add_ln_payload_ref(y8, r8, gb, scalars, *, eps, res_quant=True):
 
 
 def _ffn_kernel(x_ref, wi_ref, vi_ref, si_ref, wd_ref, vd_ref, sd_ref,
-                r_ref, gb_ref, ln_smem_ref, out_ref, *, activation, eps,
-                res_quant, w4i, w4d, norm):
+                r_ref, gb_ref, ln_smem_ref, *rest, activation, eps,
+                res_quant, w4i, w4d, norm, in_mode="i8", res_mode="i8",
+                h_bits=8, y_bits=8, lnv=False):
     """One (BM, K) payload tile through the whole FFN block.
 
     The (BM, N1) inter payload lives only in VMEM registers: profiling
@@ -935,103 +1057,135 @@ def _ffn_kernel(x_ref, wi_ref, vi_ref, si_ref, wd_ref, vd_ref, sd_ref,
     :func:`_mm_kernel` with ``out_mode='emit'`` op-for-op; stage 2 is
     :func:`_mm_norm_core` — so the fused output is bit-identical to the
     separate pair.
+
+    Flex statics for the accuracy-preserving recipes (README.md:159-173):
+    ``in_mode='f'`` — the FFN input ('x' site) arrives as a bf16/f32
+    value edge (16-bit or PEG grids can't ride int8 payloads);
+    ``res_mode='f'`` likewise for the residual; ``h_bits`` — the dense
+    fold ('h') site's grid; ``lnv`` — res/ln site params come per-column
+    from a (4, N2) vector ref (PEG) appended after ``ln_smem_ref``.
     """
-    in_s, in_shift = si_ref[0, 0], si_ref[0, 1]
-    acc = _int_dot(x_ref[:], wi_ref, w4i)
-    y = (in_s * vi_ref[0, :]) * (acc + in_shift * vi_ref[1, :])
-    y = y + vi_ref[2, :]
+    lnv_ref = rest[0] if lnv else None
+    out_ref = rest[-1]
+    y = _mm_body(x_ref[:], wi_ref, vi_ref, si_ref, w4=w4i, in_mode=in_mode)
     act = _ACTS[activation]
     if act is not None:
         y = act(y)
     i8 = jnp.clip(jnp.round(y * (1.0 / vi_ref[3, :])) - vi_ref[4, :],
                   -128.0, 127.0).astype(jnp.int8)
 
-    d_in_s, d_in_shift = sd_ref[0, 0], sd_ref[0, 1]
-    acc2 = _int_dot(i8, wd_ref, w4d)
-    y2 = (d_in_s * vd_ref[0, :]) * (acc2 + d_in_shift * vd_ref[1, :])
-    y2 = y2 + vd_ref[2, :]
+    y2 = _mm_body(i8, wd_ref, vd_ref, sd_ref, w4=w4d, in_mode="i8")
+    lo_h, hi_h = _clip_bounds(h_bits)
     r2 = jnp.clip(jnp.round(y2 * (1.0 / vd_ref[3, :])) - vd_ref[4, :],
-                  -128.0, 127.0)
+                  lo_h, hi_h)
     y2 = vd_ref[3, :] * (r2 + vd_ref[4, :])
-    r_s, r_sh = ln_smem_ref[0, 2], ln_smem_ref[0, 3]
-    y2 = y2 + r_s * (r_ref[:].astype(jnp.float32) + r_sh)
-    q, _, _ = _ln_body(y2, gb_ref, ln_smem_ref, eps=eps,
-                       res_quant=res_quant, norm=norm)
+    if res_mode == "i8":
+        r_s, r_sh = ln_smem_ref[0, 2], ln_smem_ref[0, 3]
+        y2 = y2 + r_s * (r_ref[:].astype(jnp.float32) + r_sh)
+    else:  # value edge: the residual IS the float site value
+        y2 = y2 + r_ref[:].astype(jnp.float32)
+    q, _, _ = _ln_body(y2, gb_ref, _site_vals(ln_smem_ref, lnv_ref),
+                       eps=eps, res_quant=res_quant, norm=norm,
+                       res_bits=y_bits)
     out_ref[:] = q.astype(jnp.int8)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("activation", "eps", "res_quant", "block_m",
-                     "interpret", "w4i", "w4d", "norm"))
+                     "interpret", "w4i", "w4d", "norm", "in_mode",
+                     "res_mode", "h_bits", "y_bits"))
 def int8_ffn_ln(x8: Array, wi: Array, vi: Array, si: Array, wd: Array,
                 vd: Array, sd: Array, r8: Array, gb: Array,
-                ln_scalars: Array, *, activation, eps: float,
+                ln_scalars: Array, lnv: Optional[Array] = None, *,
+                activation, eps: float,
                 res_quant: bool = True, block_m: Optional[int] = None,
                 interpret: bool = False, w4i: bool = False,
-                w4d: bool = False, norm: str = "layernorm") -> Array:
+                w4d: bool = False, norm: str = "layernorm",
+                in_mode: str = "i8", res_mode: str = "i8",
+                h_bits: int = 8, y_bits: int = 8) -> Array:
     """Fused FFN block: (payload inter matmul + act -> inter.out payload
     -> dense matmul -> fold-site fake-quant -> +residual payload ->
     res-site fake-quant -> LayerNorm -> ln-site payload) in one kernel.
 
-    ``x8``: (M, K1) int8 payload (the attn_out ln site). ``wi``: (N1, K1)
-    int8 (or packed int4) inter weight, ``vi``/``si`` its epilogue
-    vectors/scalars as :func:`int8_matmul`. ``wd``: (N2, N1) dense
-    weight, ``vd``/``sd`` its vectors/scalars (``sd`` = the inter.out
-    site params). ``r8``: (M, N2) residual payload. ``gb``/``ln_scalars``
-    as :func:`int8_matmul_add_ln`. Bit-identical to
+    ``x8``: (M, K1) int8 payload (the attn_out ln site), or its bf16/f32
+    value edge when ``in_mode='f'`` (16-bit / PEG 'x' site). ``wi``:
+    (N1, K1) int8 (or packed int4) inter weight, ``vi``/``si`` its
+    epilogue vectors/scalars as :func:`int8_matmul`. ``wd``: (N2, N1)
+    dense weight, ``vd``/``sd`` its vectors/scalars (``sd`` = the
+    inter.out site params). ``r8``: (M, N2) residual payload (or value
+    edge when ``res_mode='f'``). ``gb``/``ln_scalars`` as
+    :func:`int8_matmul_add_ln`; ``lnv``: optional (4, N2) per-column
+    [res_s; res_sh; ln_s; ln_sh] for PEG sites. ``h_bits``/``y_bits``:
+    grids of the dense fold / residual sites (mixed recipe). In the
+    default all-int8 configuration, bit-identical to
     int8_matmul(out_mode='emit', activation) followed by
     :func:`int8_matmul_add_ln`.
     """
     m, k1 = x8.shape
     n1 = vi.shape[1]
     n2 = wd.shape[0]
+    in_b = 1 if in_mode == "i8" else x8.dtype.itemsize
+    res_b = 1 if res_mode == "i8" else r8.dtype.itemsize
     # row bytes: x tile + f32 inter accumulator + i8 inter + residual+out
-    bm = _pick_block_m(m, k1 + 5 * n1 + 2 * n2 + 64, block_m)
+    bm = _pick_block_m(m, k1 * in_b + 5 * n1 + (1 + res_b) * n2 + 64,
+                       block_m)
     kernel = functools.partial(_ffn_kernel, activation=activation, eps=eps,
                                res_quant=res_quant, w4i=w4i, w4d=w4d,
-                               norm=norm)
+                               norm=norm, in_mode=in_mode,
+                               res_mode=res_mode, h_bits=h_bits,
+                               y_bits=y_bits, lnv=lnv is not None)
+    full = lambda shape, space=None: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0),
+        memory_space=space or pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((bm, k1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        full(wi.shape), full((5, n1)), full((1, 2), pltpu.SMEM),
+        full(wd.shape), full((5, n2)), full((1, 2), pltpu.SMEM),
+        pl.BlockSpec((bm, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        full((2, n2)), full((1, 8), pltpu.SMEM),
+    ]
+    args = [x8, wi, vi, si, wd, vd, sd, r8, gb, ln_scalars]
+    if lnv is not None:
+        in_specs.append(full((4, n2)))
+        args.append(lnv)
     return pl.pallas_call(
         kernel,
         grid=(m // bm,),
-        in_specs=[
-            pl.BlockSpec((bm, k1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(wi.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, n1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(wd.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bm, n2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, n2), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n2), jnp.int8),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n1 * (k1 + n2) + 20 * m * (n1 + n2),
-            bytes_accessed=m * k1 + n1 * k1 + n2 * n1 + 2 * m * n2,
+            bytes_accessed=m * k1 * in_b + n1 * k1 + n2 * n1
+            + (1 + res_b) * m * n2,
             transcendentals=m * n1 + m),
         compiler_params=(None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT)),
         interpret=interpret,
-    )(x8, wi, vi, si, wd, vd, sd, r8, gb, ln_scalars)
+    )(*args)
 
 
-def int8_ffn_ln_ref(x8, wi, vi, si, wd, vd, sd, r8, gb, ln_scalars, *,
-                    activation, eps, res_quant=True, w4i=False, w4d=False,
-                    norm="layernorm"):
+def int8_ffn_ln_ref(x8, wi, vi, si, wd, vd, sd, r8, gb, ln_scalars,
+                    lnv=None, *, activation, eps, res_quant=True,
+                    w4i=False, w4d=False, norm="layernorm", in_mode="i8",
+                    res_mode="i8", h_bits=8, y_bits=8):
     """jnp oracle / XLA-composed backend for :func:`int8_ffn_ln`."""
     i8 = int8_matmul_ref(x8, wi, vi, si, activation=activation,
-                         out_mode="emit", w4=w4i)
-    return int8_matmul_add_ln_ref(i8, wd, vd, sd, r8, gb, ln_scalars,
-                                  eps=eps, res_quant=res_quant, w4=w4d,
-                                  norm=norm)
+                         out_mode="emit", w4=w4i, in_mode=in_mode)
+    y = int8_matmul_ref(i8, wd, vd, sd, activation=None, out_mode="fold",
+                        w4=w4d, out_bits=h_bits)
+    s = ln_scalars[0]
+    if res_mode == "i8":
+        y = y + s[2] * (r8.astype(jnp.float32) + s[3])
+    else:
+        y = y + r8.astype(jnp.float32)
+    sv = ((lnv[0:1, :], lnv[1:2, :], lnv[2:3, :], lnv[3:4, :])
+          if lnv is not None else (s[4], s[5], s[6], s[7]))
+    q = _ln_body_ref(y, gb, sv, eps=eps, res_quant=res_quant, norm=norm,
+                     res_bits=y_bits)
+    return q.astype(jnp.int8)
 
 
 # ---------------------------------------------------------------------------
@@ -1043,9 +1197,10 @@ def int8_ffn_ln_ref(x8, wi, vi, si, wd, vd, sd, r8, gb, ln_scalars, *,
 
 
 def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
-                      wo_ref, vo_ref, so_ref, gb_ref, ln_smem_ref, out_ref,
-                      scores_scr, *, n_batch, n_heads, seq, head_dim,
-                      skip_max, group, w4q, w4o, eps, res_quant, norm):
+                      wo_ref, vo_ref, so_ref, gb_ref, ln_smem_ref, *rest,
+                      n_batch, n_heads, seq, head_dim,
+                      skip_max, group, w4q, w4o, eps, res_quant, norm,
+                      ln_out="emit", ln_bits=8, lnv=False):
     """One (n_batch*seq, H) cell through the whole attention block.
 
     Stage 1 == :func:`_mm_kernel` (out_mode='emit') for the fused q|k|v
@@ -1055,7 +1210,15 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
     Stage 3 == :func:`_mm_norm_core` for attn_out + add + LN, with the
     layer-input payload (``x_ref`` itself) as the residual. Bit-identical
     to the separate three-kernel chain.
+
+    Flex statics (mixed / PEG recipes): ``ln_out='f'`` emits the ln site
+    ('x') as a fake-quantized float value edge (``ln_bits`` grid) instead
+    of an int8 payload; ``lnv`` reads per-column res/ln params from a
+    (4, H) vector ref appended after ``ln_smem_ref``.
     """
+    lnv_ref = rest[0] if lnv else None
+    out_ref = rest[-2]
+    scores_scr = rest[-1]
     in_s, in_shift = sq_ref[0, 0], sq_ref[0, 1]
     x8 = x_ref[:]
     acc = _int_dot(x8, wq_ref, w4q)
@@ -1086,24 +1249,30 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
     y2 = vo_ref[3, :] * (r2 + vo_ref[4, :])
     r_s, r_sh = ln_smem_ref[0, 2], ln_smem_ref[0, 3]
     y2 = y2 + r_s * (x8.astype(jnp.float32) + r_sh)
-    q, _, _ = _ln_body(y2, gb_ref, ln_smem_ref, eps=eps,
-                       res_quant=res_quant, norm=norm)
-    out_ref[:] = q.astype(jnp.int8)
+    q, s_l, sh_l = _ln_body(y2, gb_ref, _site_vals(ln_smem_ref, lnv_ref),
+                            eps=eps, res_quant=res_quant, norm=norm,
+                            ln_bits=ln_bits)
+    if ln_out == "emit":
+        out_ref[:] = q.astype(jnp.int8)
+    else:  # float value edge of the ln ('x') site
+        out_ref[:] = (s_l * (q + sh_l)).astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "seq", "eps", "res_quant", "batch_block",
                      "skip_max", "group", "interpret", "w4q", "w4o",
-                     "norm"))
+                     "norm", "ln_out", "ln_bits", "out_dtype"))
 def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
                  mask_bias: Array, attn_scal: Array, wo: Array, vo: Array,
-                 so: Array, gb: Array, ln_scalars: Array, *, n_heads: int,
+                 so: Array, gb: Array, ln_scalars: Array,
+                 lnv: Optional[Array] = None, *, n_heads: int,
                  seq: int, eps: float, res_quant: bool = True,
                  batch_block: Optional[int] = None, skip_max: bool = False,
                  group: Optional[int] = None, interpret: bool = False,
                  w4q: bool = False, w4o: bool = False,
-                 norm: str = "layernorm") -> Array:
+                 norm: str = "layernorm", ln_out: str = "emit",
+                 ln_bits: int = 8, out_dtype=jnp.bfloat16) -> Array:
     """Fused attention block: (payload q|k|v matmul -> site payloads ->
     attention -> attn_out matmul -> fold-site fake-quant -> +layer-input
     residual -> res-site fake-quant -> LayerNorm -> ln-site payload).
@@ -1114,7 +1283,10 @@ def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
     (B, T) f32. ``attn_scal``: (1, 12) attention site params.
     ``wo``/``vo``/``so``: attn_out matmul plan ((H, H) weight; ``so`` =
     context-site scalars). ``gb``/``ln_scalars`` as
-    :func:`int8_matmul_add_ln`. Bit-identical to int8_matmul(emit) ->
+    :func:`int8_matmul_add_ln`; ``lnv``: optional (4, H) per-column
+    res/ln params (PEG). ``ln_out='f'`` emits the ln ('x') site as a
+    fake-quantized ``out_dtype`` value edge on a ``ln_bits`` grid. In the
+    default all-int8 configuration, bit-identical to int8_matmul(emit) ->
     int8_attention -> int8_matmul_add_ln.
     """
     mt, hdim = x8.shape
@@ -1136,26 +1308,34 @@ def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
     kernel = functools.partial(
         _attn_mega_kernel, n_batch=bb, n_heads=n_heads, seq=seq,
         head_dim=d, skip_max=skip_max, group=group, w4q=w4q, w4o=w4o,
-        eps=eps, res_quant=res_quant, norm=norm)
+        eps=eps, res_quant=res_quant, norm=norm, ln_out=ln_out,
+        ln_bits=ln_bits, lnv=lnv is not None)
     blk = lambda r, c: pl.BlockSpec(  # noqa: E731
         (r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    in_specs = [
+        blk(bb * seq, hdim),            # x8
+        full(wq.shape), full((5, n3)), smem((1, 2)),
+        full((b, seq)),                 # mask
+        smem((1, 12)),                  # attention sites
+        full(wo.shape), full((5, hdim)), smem((1, 2)),
+        full((2, hdim)), smem((1, 8)),
+    ]
+    args = [x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so, gb,
+            ln_scalars]
+    if lnv is not None:
+        in_specs.append(full((4, hdim)))
+        args.append(lnv)
+    out_t = jnp.int8 if ln_out == "emit" else out_dtype
     return pl.pallas_call(
         kernel,
         grid=(b // bb,),
-        in_specs=[
-            blk(bb * seq, hdim),            # x8
-            full(wq.shape), full((5, n3)), smem((1, 2)),
-            full((b, seq)),                 # mask
-            smem((1, 12)),                  # attention sites
-            full(wo.shape), full((5, hdim)), smem((1, 2)),
-            full((2, hdim)), smem((1, 8)),
-        ],
+        in_specs=in_specs,
         out_specs=blk(bb * seq, hdim),
-        out_shape=jax.ShapeDtypeStruct((mt, hdim), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((mt, hdim), out_t),
         scratch_shapes=[pltpu.VMEM((n_heads * seq, seq), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * mt * hdim * (n3 + hdim)
@@ -1166,18 +1346,29 @@ def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
         compiler_params=(None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT)),
         interpret=interpret,
-    )(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so, gb, ln_scalars)
+    )(*args)
 
 
 def int8_attn_ln_ref(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so,
-                     gb, ln_scalars, *, n_heads, seq, eps,
+                     gb, ln_scalars, lnv=None, *, n_heads, seq, eps,
                      res_quant=True, skip_max=False, w4q=False, w4o=False,
-                     norm="layernorm"):
+                     norm="layernorm", ln_out="emit", ln_bits=8,
+                     out_dtype=jnp.bfloat16):
     """jnp oracle / XLA-composed backend for :func:`int8_attn_ln`."""
     qkv8 = int8_matmul_ref(x8, wq, vq, sq, activation=None,
                            out_mode="emit", w4=w4q)
     c8 = int8_attention_ref(qkv8, mask_bias, attn_scal, n_heads=n_heads,
                             seq=seq, skip_max=skip_max)
-    return int8_matmul_add_ln_ref(c8, wo, vo, so, x8, gb, ln_scalars,
-                                  eps=eps, res_quant=res_quant, w4=w4o,
-                                  norm=norm)
+    y = int8_matmul_ref(c8, wo, vo, so, activation=None, out_mode="fold",
+                        w4=w4o)
+    s = ln_scalars[0]
+    y = y + s[2] * (x8.astype(jnp.float32) + s[3])
+    sv = ((lnv[0:1, :], lnv[1:2, :], lnv[2:3, :], lnv[3:4, :])
+          if lnv is not None else (s[4], s[5], s[6], s[7]))
+    q = _ln_body_ref(y, gb, sv, eps=eps, res_quant=res_quant, norm=norm,
+                     ln_bits=ln_bits)
+    if ln_out == "emit":
+        return q.astype(jnp.int8)
+    ln_s = sv[2] if lnv is not None else s[6]
+    ln_sh = sv[3] if lnv is not None else s[7]
+    return (ln_s * (q + ln_sh)).astype(out_dtype)

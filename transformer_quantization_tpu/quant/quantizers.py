@@ -106,6 +106,22 @@ def floor_ste(x: Array) -> Array:
     return x + jax.lax.stop_gradient(jnp.floor(x) - x)
 
 
+def clamp(x: Array, lo, hi) -> Array:
+    """Clip with torch-style gradient semantics.
+
+    ``torch.clamp`` passes the gradient on the CLOSED interval [lo, hi] and
+    zeroes it outside; ``jnp.clip`` (min/max composition) splits the
+    gradient 50/50 at exact ties. Ties are the common case here — the
+    rounded integer grid lands exactly on ``int_min``/``int_max`` for every
+    saturated-boundary element — so using jnp.clip halves the learn-ranges
+    (LSQ) gradient at the grid edge relative to the reference
+    (quantizers.py:184-186). Values are identical; only gradients differ.
+    """
+    clipped = jnp.clip(x, lo, hi)
+    keep = (x >= lo) & (x <= hi)
+    return jnp.where(keep, x, jax.lax.stop_gradient(clipped))
+
+
 # ---------------------------------------------------------------------------
 # Integer grid
 # ---------------------------------------------------------------------------
@@ -144,7 +160,7 @@ def zero_point_of(spec: QuantizerSpec, qp: QuantParams) -> Array:
     if spec.symmetric:
         return jnp.zeros_like(qp.delta)
     int_min, int_max = int_min_max(spec)
-    return jnp.clip(round_ste(qp.zero_float), int_min, int_max)
+    return clamp(round_ste(qp.zero_float), int_min, int_max)
 
 
 # ---------------------------------------------------------------------------
@@ -246,7 +262,7 @@ def to_int(spec: QuantizerSpec, qp: QuantParams, x: Array) -> Array:
     zp = zero_point_of(spec, qp)
     int_min, int_max = int_min_max(spec, qp.signed)
     x_int = round_ste(x / scale) + zp
-    return jnp.clip(x_int, int_min, int_max)
+    return clamp(x_int, int_min, int_max)
 
 
 def from_int(spec: QuantizerSpec, qp: QuantParams, x_int: Array) -> Array:
@@ -382,5 +398,5 @@ def adaround_fake_quant(mode: AdaRoundMode, spec: QuantizerSpec, qp: QuantParams
     x_int = x_floor + offset
     if not spec.symmetric:
         x_int = x_int + zp
-    x_int = jnp.clip(x_int, int_min, int_max)
+    x_int = clamp(x_int, int_min, int_max)
     return scale * (x_int - zp)

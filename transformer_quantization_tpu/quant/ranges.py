@@ -383,10 +383,17 @@ class MSERangeEstimator:
 
     # -- 1-D grid (range_estimators.py:356-376) -----------------------------
     def _grid_1d(self, x: Array):
+        # Candidate thresholds are computed in float64 and only then rounded
+        # to f32 — exactly what the reference does (Python-float threshold
+        # arithmetic at range_estimators.py:362-364, cast to f32 inside
+        # ``set_quant_range``). Building the grid in f32 shifts borderline
+        # elements' rounding and flips argmin on near-tied candidates.
         step = self.step_size
-        cand = jnp.arange(1, self.cfg.num_candidates + 1, dtype=jnp.float32)
-        pos = step * cand
-        neg = jnp.zeros_like(pos) if self.one_sided else -pos
+        cand = np.arange(1, self.cfg.num_candidates + 1, dtype=np.float64)
+        pos64 = step * cand
+        neg64 = np.zeros_like(pos64) if self.one_sided else -pos64
+        pos = jnp.asarray(pos64, jnp.float32)
+        neg = jnp.asarray(neg64, jnp.float32)
 
         @jax.jit
         def all_losses(x):
@@ -405,22 +412,24 @@ class MSERangeEstimator:
 
     # -- 2-D grid (range_estimators.py:378-420) -----------------------------
     def _grid_2d(self, x: Array):
+        # Threshold grid in float64 -> f32, matching the reference's
+        # Python-float arithmetic (range_estimators.py:389-399); see _grid_1d.
         step = self.step_size
         n_bits = self.spec.n_bits
-        cand = jnp.arange(1, self.cfg.num_candidates + 1, dtype=jnp.float32)
-        shift = jnp.arange(self.max_int_skew, dtype=jnp.float32)
-        sign = jnp.asarray([1.0, -1.0])
+        cand = np.arange(1, self.cfg.num_candidates + 1, dtype=np.float64)
+        shift = np.arange(self.max_int_skew, dtype=np.float64)
+        sign = np.asarray([1.0, -1.0])
 
         finish = step * cand  # (N,)
         start = -finish
         delta = (finish - start) / (2.0 ** n_bits - 1)  # (N,)
         skew = (sign[None, None, :] * shift[None, :, None]
                 * delta[:, None, None])  # (N, S, 2)
-        neg = jnp.maximum(start[:, None, None] + skew, self.max_neg_thr)
-        pos = jnp.minimum(finish[:, None, None] + skew, self.max_pos_thr)
+        neg = np.maximum(start[:, None, None] + skew, self.max_neg_thr)
+        pos = np.minimum(finish[:, None, None] + skew, self.max_pos_thr)
 
-        flat_neg = neg.reshape(-1)
-        flat_pos = pos.reshape(-1)
+        flat_neg = jnp.asarray(neg.reshape(-1), jnp.float32)
+        flat_pos = jnp.asarray(pos.reshape(-1), jnp.float32)
 
         @jax.jit
         def all_losses(x):

@@ -51,6 +51,15 @@ class ServeConfig:
     # in-flight batches between the scheduler and the resolver; 2 = the
     # classic double-buffer, 3 tolerates host jitter on remote devices
     pipeline_depth: int = 2
+    # admission control: maximum queued (not yet scheduled) requests;
+    # 0 = unbounded. When full, submit_* raises QueueFullError and the
+    # HTTP front end answers 503 instead of letting latency grow without
+    # bound under overload.
+    max_queue: int = 0
+
+
+class QueueFullError(Exception):
+    """Admission queue is full (ServeConfig.max_queue); shed the request."""
 
 
 @dataclasses.dataclass
@@ -129,7 +138,8 @@ class ServingEngine:
                 b for b in self.cfg.batch_buckets if b % dp == 0) or (dp,)
         self.tokenizer = tokenizer
         self.metrics = Metrics()
-        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._q: "queue.Queue[_Request]" = queue.Queue(
+            maxsize=self.cfg.max_queue)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
@@ -175,15 +185,26 @@ class ServingEngine:
     def submit_ids(self, ids: Sequence[int],
                    type_ids: Optional[Sequence[int]] = None) -> Future:
         fut: Future = Future()
-        self._q.put(_Request(np.asarray(ids, np.int32),
-                             None if type_ids is None
-                             else np.asarray(type_ids, np.int32),
-                             fut, time.perf_counter()))
+        # overlong inputs truncate to the largest compiled seq bucket —
+        # _assemble would silently clip them there anyway; doing it at
+        # ingress keeps queue accounting and the token metric honest
+        s_max = max(self.cfg.seq_buckets)
+        ids = np.asarray(ids, np.int32)[:s_max]
+        if type_ids is not None:
+            type_ids = np.asarray(type_ids, np.int32)[:s_max]
+        try:
+            self._q.put_nowait(_Request(ids, type_ids, fut,
+                                        time.perf_counter()))
+        except queue.Full:
+            raise QueueFullError(
+                f"serving queue full ({self.cfg.max_queue} pending)")
         return fut
 
     def submit_text(self, a: str, b: Optional[str] = None,
-                    max_len: int = 128) -> Future:
+                    max_len: Optional[int] = None) -> Future:
         assert self.tokenizer is not None, "engine built without tokenizer"
+        if max_len is None:
+            max_len = max(self.cfg.seq_buckets)
         ids, types, mask = self.tokenizer.encode_pair(a, b, max_len)
         n = int(np.sum(mask))
         return self.submit_ids(ids[:n], types[:n])

@@ -139,15 +139,37 @@ def make_handler(engine: ServingEngine):
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
+            from concurrent.futures import TimeoutError as FutTimeout
+
+            from transformer_quantization_tpu.serving.engine import (
+                QueueFullError,
+            )
+
             if self.path != "/classify":
                 self._send(404, {"error": "unknown path"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                fut = engine.submit_text(req["text"], req.get("pair"))
+                text = req["text"]
+                pair = req.get("pair")
+                if not isinstance(text, str) or (
+                        pair is not None and not isinstance(pair, str)):
+                    raise TypeError("'text'/'pair' must be strings")
+            except (json.JSONDecodeError, KeyError, TypeError,
+                    UnicodeDecodeError, ValueError) as e:
+                self._send(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                fut = engine.submit_text(text, pair)
+            except QueueFullError as e:
+                self._send(503, {"error": str(e)})
+                return
+            try:
                 logits = fut.result(timeout=60)
                 self._send(200, {"logits": [float(v) for v in logits]})
+            except FutTimeout:
+                self._send(504, {"error": "inference timed out"})
             except Exception as e:  # pragma: no cover
                 self._send(500, {"error": str(e)})
 
