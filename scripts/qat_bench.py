@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--seq", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated variant names to run")
     args = ap.parse_args()
 
     from transformer_quantization_tpu.models import bert as B
@@ -89,6 +91,9 @@ def main():
         ("baseline_fp32", None),
         ("baseline_amp", "amp"),
     ]
+    if args.only:
+        keep = set(args.only.split(","))
+        variants = [v for v in variants if v[0] in keep]
     for name, qat_cfg in variants:
         t0 = time.perf_counter()
         if qat_cfg is None or qat_cfg == "amp":

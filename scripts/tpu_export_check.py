@@ -56,22 +56,46 @@ def main():
                               int_params=int_params)
         return out["logits"]
 
+    # engine-path export at a concrete (batch, seq) bucket: the Mosaic
+    # megakernel custom calls ride the artifact (symbolic batch can't)
+    static, plan, e_int = B.build_bert_engine(params, cfg, qcfg, qstate,
+                                              int_params=int_params)
+    on_cpu = jax.default_backend() == "cpu"
+
+    def engine_fwd(ids, mask, tt):
+        b = {"input_ids": ids, "attention_mask": mask,
+             "token_type_ids": tt}
+        return B.bert_engine_apply(
+            params, b, cfg, qcfg, qstate, static, plan, e_int,
+            backend="xla" if on_cpu else "pallas")["logits"]
+
     with tempfile.TemporaryDirectory() as td:
         EX.save_export(td, fwd, seq_buckets=[16],
+                       engine_fwd=engine_fwd, engine_batch_buckets=[8],
                        meta={"family": "bert", "num_labels": 2,
                              "vocab_size": 128})
         model = EX.ExportedModel(td)
+        assert model._engine_fns, "engine-bucket programs not loaded"
         batch = {"input_ids": rng.randint(0, 128, (8, 16)).astype(np.int32),
                  "attention_mask": np.ones((8, 16), np.float32),
                  "token_type_ids": np.zeros((8, 16), np.int32)}
-        got = np.asarray(model(batch))
+        got = np.asarray(model(batch))  # (8, 16) -> engine bucket b8seq16
+        eref = np.asarray(engine_fwd(jnp.asarray(batch["input_ids"]),
+                                     jnp.asarray(batch["attention_mask"]),
+                                     jnp.asarray(batch["token_type_ids"])))
+        err_e = float(np.max(np.abs(got - eref)))
+        print(f"engine-bucket artifact max_abs_err={err_e:.3e}")
         ref = np.asarray(fwd(jnp.asarray(batch["input_ids"]),
                              jnp.asarray(batch["attention_mask"]),
                              jnp.asarray(batch["token_type_ids"])))
-        err = float(np.max(np.abs(got - ref)))
+        # oversized batch -> generic symbolic-batch program
+        big = {k: np.concatenate([v, v]) for k, v in batch.items()}
+        got_big = np.asarray(model(big))
+        err = float(np.max(np.abs(got_big[:8] - ref)))
         print(f"platform={jax.devices()[0].platform} "
-              f"max_abs_err={err:.3e}")
-        ok = np.allclose(got, ref, rtol=1e-5, atol=1e-5)
+              f"generic max_abs_err={err:.3e}")
+        ok = (np.allclose(got, eref, rtol=1e-5, atol=1e-5)
+              and np.allclose(got_big[:8], ref, rtol=1e-5, atol=1e-5))
         print("EXPORT-ON-TPU:", "OK" if ok else "MISMATCH")
         return 0 if ok else 1
 

@@ -163,3 +163,48 @@ def test_cli_export_dynamic_and_int4(tmp_path):
                      "attention_mask": np.ones((3, 16), np.float32)})
         assert np.asarray(out).shape[0] == 3
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_export_engine_buckets_roundtrip(quantized, tmp_path):
+    """Concrete (batch, seq) engine-bucket programs export alongside the
+    generic artifact and are served preferentially (with batch padding up
+    to the bucket); numerics match the in-process engine forward."""
+    params, qcfg, qstate, mode, int_params, fwd = quantized
+    static, plan, e_int = B.build_bert_engine(params, CFG, qcfg, qstate,
+                                              int_params=int_params)
+
+    def engine_fwd(ids, mask, tt):
+        b = {"input_ids": ids, "attention_mask": mask,
+             "token_type_ids": tt}
+        return B.bert_engine_apply(params, b, CFG, qcfg, qstate, static,
+                                   plan, e_int, backend="xla")["logits"]
+
+    d = str(tmp_path / "expeng")
+    man = EX.save_export(d, fwd, seq_buckets=[16],
+                         engine_fwd=engine_fwd,
+                         engine_batch_buckets=[4, 8],
+                         meta={"family": "bert", "num_labels": 2,
+                               "vocab_size": 128})
+    assert man["engine_batch_buckets"] == [4, 8]
+    assert os.path.exists(os.path.join(d, "b4seq16.engine.stablehlo"))
+    model = EX.ExportedModel(d)
+    assert model._engine_fns  # platform matches (cpu export, cpu runtime)
+
+    rng = np.random.RandomState(7)
+    batch = {"input_ids": jnp.asarray(rng.randint(0, 128, (3, 12)),
+                                      jnp.int32),
+             "attention_mask": jnp.ones((3, 12), jnp.float32)}
+    out = np.asarray(model(batch))
+    assert out.shape == (3, 2)  # batch padded to 4, sliced back
+
+    ids = jnp.pad(batch["input_ids"], ((0, 1), (0, 4)))
+    mask = jnp.pad(batch["attention_mask"], ((0, 1), (0, 4)))
+    ref = np.asarray(engine_fwd(ids, mask, jnp.zeros((4, 16), jnp.int32)))
+    np.testing.assert_allclose(out, ref[:3], rtol=1e-5, atol=1e-5)
+
+    # oversized batches fall back to the generic symbolic-batch program
+    big = {"input_ids": jnp.asarray(rng.randint(0, 128, (16, 16)),
+                                    jnp.int32),
+           "attention_mask": jnp.ones((16, 16), jnp.float32)}
+    out_big = np.asarray(model(big))
+    assert out_big.shape == (16, 2)

@@ -192,6 +192,14 @@ def build_parser() -> argparse.ArgumentParser:
                        default=None,
                        help="sequence buckets to export (default: "
                             "--max-seq-length only)")
+        g.add_argument("--export-batch-buckets", nargs="+", type=int,
+                       default=None,
+                       help="ALSO export the megakernel engine at these "
+                            "concrete batch sizes x every seq bucket "
+                            "(engine programs are platform-tied; the "
+                            "symbolic-batch generic artifact remains the "
+                            "portable fallback). Requires an "
+                            "engine-compatible quant config.")
         g.add_argument("--tb", action="store_true",
                        help="enable the TensorBoard writer at "
                             "<output-dir>/tb when --tb-logging-dir is not "
@@ -819,18 +827,50 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
 
         buckets = (args.export_seq_buckets
                    if args.export_seq_buckets else [args.max_seq_length])
+        # engine-path programs at concrete (batch, seq) buckets: symbolic
+        # batch dims can't drive Pallas grids, so the megakernel engine
+        # exports per bucket; the server already buckets shapes
+        engine_fwd = None
+        bbuckets = getattr(args, "export_batch_buckets", None) or ()
+        if bbuckets and quantized and fam.build_engine is not None:
+            from transformer_quantization_tpu.ops.engine import (
+                EngineIncompatible,
+            )
+
+            try:
+                import jax.numpy as jnp
+
+                e_static, e_plan, e_int = fam.build_engine(
+                    params, cfg, qcfg, qstate)
+                e_backend = ("xla" if jax.default_backend() == "cpu"
+                             else "pallas")
+
+                def engine_fwd(ids, mask, tt):
+                    b = {"input_ids": ids, "attention_mask": mask,
+                         "token_type_ids": tt}
+                    return fam.engine_apply(
+                        params, b, cfg, qcfg, qstate, e_static, e_plan,
+                        e_int, backend=e_backend,
+                        engine_dtype=jnp.bfloat16)["logits"]
+            except EngineIncompatible as e:
+                logger.info("engine bucket export skipped: %s", e)
         man = EX.save_export(
             os.path.join(args.export_dir, task.name), export_fwd,
             seq_buckets=[int(s) for s in buckets],
+            engine_fwd=engine_fwd,
+            engine_batch_buckets=[int(b) for b in bbuckets],
             meta={"family": fam.name, "task": task.name,
                   "num_labels": cfg.num_labels,
                   "n_bits": args.n_bits if quantized else None,
                   "quantized": quantized,
                   "vocab_size": cfg.vocab_size,
                   "dynamic": bool(getattr(args, "dynamic", False))})
-        logger.info("exported AOT artifact: %s (platforms %s)",
+        logger.info("exported AOT artifact: %s (platforms %s%s)",
                     os.path.join(args.export_dir, task.name),
-                    man["platforms"])
+                    man["platforms"],
+                    (f"; engine buckets {man['engine_batch_buckets']} "
+                     f"on {man['engine_platforms']}")
+                    if engine_fwd is not None else "")
 
     if tb_writer is not None:
         if quantized and qstate:

@@ -796,7 +796,20 @@ def scan_layer_stack(ctx, n_layers: int, layer_params: list, h,
         new_qs = {n[len("L."):]: st for n, st in sub.export().items()}
         return y, new_qs
 
-    body_fn = jax.checkpoint(body) if remat else body
+    if remat:
+        body_fn = jax.checkpoint(body)
+    else:
+        # A fully-saved scan body (every intermediate a scan residual)
+        # blows up the TPU compiler on the learn-ranges backward — the
+        # remote compile died with an internal error (NOTES wave-6). A
+        # save-dots checkpoint policy keeps every matmul result as a
+        # residual (so ~no recompute FLOPs vs full save — elementwise
+        # chains are free to re-derive) while giving the compiler a
+        # tractable residual set. Gradients are bit-identical; this is a
+        # residual-selection choice, not a numerics change.
+        body_fn = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     h, ys = jax.lax.scan(body_fn, h,
                          (stacked_params, stacked_state, layer_rngs))
     for suf, st in ys.items():
