@@ -28,9 +28,12 @@ def main():
                     help="bf16 activation engine")
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--path", default="engine",
-                    choices=["engine", "generic"],
+                    choices=["engine", "generic", "export"],
                     help="engine = full-handoff int8 engine (ops/engine.py)"
-                         "; generic = round-1 XLA int path")
+                         "; generic = round-1 XLA int path; export = serve "
+                         "from an AOT engine-bucket artifact "
+                         "(serving/export.py) — measures the deployed-"
+                         "artifact overhead vs in-process")
     ap.add_argument("--no-fused-transfer", dest="fused",
                     action="store_false", default=True)
     ap.add_argument("--pipeline-depth", type=int, default=3)
@@ -71,16 +74,42 @@ def main():
                                   attention_dtype=jnp.bfloat16)
             return out["logits"]
 
-    if args.fused:
+    seq_buckets = (32, 64, 128)
+    batch_buckets = ((8, 32, args.max_batch) if args.max_batch > 32
+                     else (1, 2, 4, 8, 16, 32))
+    if args.path == "export":
+        # round-trip through the AOT artifact: the engine forward
+        # serializes at every concrete (batch, seq) bucket and serves
+        # from the deserialized programs (no fused transfer — the
+        # ExportedModel takes the batch dict)
+        import tempfile
+
+        from transformer_quantization_tpu.serving import export as EX
+
+        def engine_fwd(ids, mask, tt):
+            return model_fwd({"input_ids": ids, "attention_mask": mask,
+                              "token_type_ids": tt})
+
+        td = tempfile.mkdtemp(prefix="serve_export_")
+        EX.save_export(td, engine_fwd, seq_buckets=list(seq_buckets),
+                       engine_fwd=engine_fwd,
+                       engine_batch_buckets=[b for b in batch_buckets
+                                             if b <= args.max_batch],
+                       meta={"family": "bert",
+                             "num_labels": cfg.num_labels,
+                             "vocab_size": cfg.vocab_size})
+        forward = EX.ExportedModel(td)
+        args.fused = False
+    elif args.fused:
         forward = jax.jit(lambda packed: model_fwd(unpack_batch(packed)))
     else:
         forward = jax.jit(model_fwd)
 
     scfg = ServeConfig(max_batch=args.max_batch, max_wait_ms=2.0,
-                       seq_buckets=(32, 64, 128),
-                       batch_buckets=(8, 32, args.max_batch)
-                       if args.max_batch > 32 else (1, 2, 4, 8, 16, 32),
-                       precompile=True, fused_transfer=args.fused,
+                       seq_buckets=seq_buckets,
+                       batch_buckets=batch_buckets,
+                       precompile=args.path != "export",
+                       fused_transfer=args.fused,
                        pipeline_depth=args.pipeline_depth)
     eng = ServingEngine(forward, scfg)
 

@@ -164,3 +164,42 @@ def test_num_labels_from_config(tmp_path):
 
     cfg = load_bert_config(path)
     assert cfg.num_labels == 3
+
+
+def test_resolve_model_dir_local_and_guidance(tmp_path):
+    from transformer_quantization_tpu.models.hf_loader import (
+        resolve_model_dir,
+    )
+
+    d = str(tmp_path / "ck")
+    import os
+    os.makedirs(d)
+    assert resolve_model_dir(d) == d
+    with pytest.raises(FileNotFoundError, match="--from-hub"):
+        resolve_model_dir("org/some-model")
+
+
+def test_resolve_model_dir_hub(monkeypatch, tmp_path):
+    """--from-hub routes through huggingface_hub.snapshot_download (the
+    reference's by-name zoo, utils/hf_models.py:52-75); mocked here —
+    this environment has zero egress."""
+    import huggingface_hub
+
+    calls = {}
+
+    def fake_snapshot_download(repo_id, revision=None, allow_patterns=None):
+        calls["repo_id"] = repo_id
+        calls["allow_patterns"] = allow_patterns
+        return str(tmp_path / "hubcache")
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download",
+                        fake_snapshot_download)
+    from transformer_quantization_tpu.models.hf_loader import (
+        resolve_model_dir,
+    )
+
+    out = resolve_model_dir("textattack/bert-base-uncased-RTE",
+                            allow_hub=True)
+    assert out == str(tmp_path / "hubcache")
+    assert calls["repo_id"] == "textattack/bert-base-uncased-RTE"
+    assert "config.json" in calls["allow_patterns"]

@@ -72,7 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
                                 "distilbert_base_uncased", "albert_base_v2",
                                 "albert_large_v2", "squeezebert_uncased"])
         g.add_argument("--model-path", default=None,
-                       help="local HF checkpoint directory")
+                       help="local HF checkpoint directory, or (with "
+                            "--from-hub) a hub repo id")
+        g.add_argument("--from-hub", action="store_true",
+                       help="resolve a non-directory --model-path as a "
+                            "HuggingFace hub repo id (network fetch; the "
+                            "reference's by-name model zoo, "
+                            "utils/hf_models.py)")
         g.add_argument("--quant-model-path", default=None,
                        help="framework checkpoint dir (params + calibrated "
                             "quant state); the reference declares this flag "
@@ -366,10 +372,23 @@ def _load_model(args, num_labels: int = 2):
 
     from transformer_quantization_tpu.models.registry import build_model
 
+    model_path = args.model_path
+    if model_path and not os.path.isdir(model_path):
+        # by-name hub resolution (reference utils/hf_models.py:52-75),
+        # explicit opt-in — primary environments are zero-egress
+        from transformer_quantization_tpu.models.hf_loader import (
+            resolve_model_dir,
+        )
+
+        model_path = resolve_model_dir(
+            model_path, allow_hub=bool(getattr(args, "from_hub", False)))
+        logger.info("resolved hub checkpoint %s -> %s", args.model_path,
+                    model_path)
+        args.model_path = model_path
     fam, cfg, params = build_model(
         args.model_name, seed=args.seed,
         tiny=getattr(args, "tiny_model", False), num_labels=num_labels,
-        model_path=args.model_path)
+        model_path=model_path)
     if args.model_path and os.path.exists(
             os.path.join(args.model_path, "config.json")):
         logger.info("Loaded checkpoint from %s", args.model_path)

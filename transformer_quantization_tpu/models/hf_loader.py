@@ -21,6 +21,34 @@ import numpy as np
 from transformer_quantization_tpu.models.bert import BertConfig
 
 
+def resolve_model_dir(name_or_dir: str, *, allow_hub: bool = False,
+                      revision: Optional[str] = None) -> str:
+    """Resolve a model source to a local checkpoint directory.
+
+    A local directory passes through. With ``allow_hub``, a non-directory
+    string is treated as a HuggingFace hub repo id and fetched via
+    ``huggingface_hub.snapshot_download`` — the by-name model-zoo path of
+    the reference (utils/hf_models.py:52-75, main.py:216-225), which
+    downloads fine-tuned task checkpoints by name. Off by default: this
+    framework's primary environments are zero-egress, and an accidental
+    network fetch should be an explicit opt-in (--from-hub), not a
+    fallback.
+    """
+    if os.path.isdir(name_or_dir):
+        return name_or_dir
+    if not allow_hub:
+        raise FileNotFoundError(
+            f"{name_or_dir!r} is not a local checkpoint directory; pass "
+            "--from-hub to resolve it as a HuggingFace hub repo id")
+    from huggingface_hub import snapshot_download  # ships w/ transformers
+
+    return snapshot_download(
+        repo_id=name_or_dir, revision=revision,
+        allow_patterns=["config.json", "model.safetensors",
+                        "pytorch_model.bin", "vocab.txt",
+                        "tokenizer.json", "tokenizer_config.json"])
+
+
 def load_hf_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
     """Read a local HF checkpoint into {name: np.ndarray}."""
     st_path = os.path.join(model_dir, "model.safetensors")

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -286,13 +287,89 @@ def fake_quant(spec: QuantizerSpec, qp: QuantParams, x: Array,
     (8-bit grids need more mantissa than bf16 carries) and return in the
     input dtype; XLA fuses the casts into the surrounding elementwise chain
     so HBM traffic stays at the narrow width.
+
+    Implemented with a custom VJP: under learn-ranges QAT, autodiff of
+    the op chain emitted one separate full-tensor reduce fusion PER
+    GRADIENT TERM per site (TPU profile: 337 multiply_reduce fusions =
+    17 ms of the 63 ms step at B=32). The hand-written backward derives
+    g_x, g_delta, g_zero_float from shared subexpressions so XLA fuses
+    the reads; the gradient VALUES are the same STE/LSQ gradients
+    (oracle-tested vs torch autograd in tests/test_reference_parity.py
+    test_ste_gradient_parity).
     """
-    qp = expand_qparams(qp, x.ndim, axis)
+    return _fake_quant_vjp(spec, axis, qp, x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fake_quant_vjp(spec: QuantizerSpec, axis: Optional[int],
+                    qp: QuantParams, x: Array) -> Array:
+    qpe = expand_qparams(qp, x.ndim, axis)
     orig_dtype = x.dtype
     if orig_dtype in (jnp.bfloat16, jnp.float16):
         x = x.astype(jnp.float32)
-    y = from_int(spec, qp, to_int(spec, qp, x))
+    y = from_int(spec, qpe, to_int(spec, qpe, x))
     return y.astype(orig_dtype) if y.dtype != orig_dtype else y
+
+
+def _fq_fwd(spec, axis, qp, x):
+    return _fake_quant_vjp(spec, axis, qp, x), (qp, x)
+
+
+def _fq_bwd(spec, axis, res, g):
+    qp, x = res
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    qpe = expand_qparams(qp, x.ndim, axis)
+    s = scale_of(spec, qpe)
+    zp = zero_point_of(spec, qpe)  # symmetric: zeros
+    int_min, int_max = int_min_max(spec, qpe.signed)
+    u = jnp.round(x32 / s) + zp
+    keep = ((u >= int_min) & (u <= int_max)).astype(jnp.float32)
+    r = jnp.clip(u, int_min, int_max)
+
+    # d y / d x: STE through round, torch-clamp keep semantics
+    g_x = (g32 * keep).astype(orig_dtype)
+
+    # d y / d scale = (r - zp) - keep * x / s  (y = s*(r - zp), r carries
+    # the -x/s^2 STE term inside the kept region)
+    g_s = g32 * ((r - zp) - keep * (x32 / s))
+
+    if spec.symmetric:
+        g_z_full = None
+    else:
+        # zero_point enters +zp (inside the clamp; its own STE/clamp
+        # keep) and -zp in the dequant: d y / d zero_float =
+        # s * zkeep * (keep - 1)
+        zr = jnp.round(qpe.zero_float)
+        lo_z, hi_z = int_min_max(spec)
+        zkeep = ((zr >= lo_z) & (zr <= hi_z)).astype(jnp.float32)
+        g_z_full = g32 * s * zkeep * (keep - 1.0)
+
+    # reduce expanded grads to the stored qp shapes
+    if qp.delta.ndim == 0:
+        red = jnp.sum
+    else:
+        ax = 0 if axis is None else axis
+        axes = tuple(d for d in range(x.ndim) if d != ax)
+        red = lambda t: jnp.sum(t, axis=axes)  # noqa: E731
+    g_d = red(g_s)
+    # through the scale domain: linear s = max(delta, eps) (gradient 1 on
+    # delta >= eps, matching torch.clamp(min=eps)); log s = exp(delta)
+    dr = jnp.reshape(qp.delta, qp.delta.shape)
+    if spec.scale_domain == "linear":
+        g_d = g_d * (dr >= spec.eps).astype(jnp.float32)
+    else:
+        g_d = g_d * jnp.exp(dr)
+    g_z = (jnp.zeros_like(qp.zero_float) if g_z_full is None
+           else jnp.reshape(red(g_z_full), qp.zero_float.shape))
+    g_qp = QuantParams(delta=jnp.reshape(g_d, qp.delta.shape),
+                       zero_float=g_z,
+                       signed=jnp.zeros_like(qp.signed))
+    return g_qp, g_x
+
+
+_fake_quant_vjp.defvjp(_fq_fwd, _fq_bwd)
 
 
 def clamped_fraction(spec: QuantizerSpec, qp: QuantParams, x: Array,
