@@ -56,7 +56,7 @@ def main():
         lambda p, qs: B.build_bert_int_params(p, qcfg, qs))(params, qstate)
     cdt = jnp.bfloat16 if args.bf16 else None
 
-    if args.path == "engine":
+    if args.path in ("engine", "export"):
         static, plan, _ = B.build_bert_engine(params, cfg, qcfg, qstate,
                                               int_params=int_params)
 
@@ -90,8 +90,19 @@ def main():
             return model_fwd({"input_ids": ids, "attention_mask": mask,
                               "token_type_ids": tt})
 
+        def generic_fwd(ids, mask, tt):
+            # the symbolic-batch fallback artifact cannot carry Pallas
+            # kernels (symbolic dims can't drive grids/cost estimates) —
+            # it exports the generic XLA int path
+            b = {"input_ids": ids, "attention_mask": mask,
+                 "token_type_ids": tt}
+            out, _ = B.bert_apply(params, b, cfg, qcfg, qstate,
+                                  int_params=int_params, compute_dtype=cdt,
+                                  attention_dtype=jnp.bfloat16)
+            return out["logits"]
+
         td = tempfile.mkdtemp(prefix="serve_export_")
-        EX.save_export(td, engine_fwd, seq_buckets=list(seq_buckets),
+        EX.save_export(td, generic_fwd, seq_buckets=list(seq_buckets),
                        engine_fwd=engine_fwd,
                        engine_batch_buckets=[b for b in batch_buckets
                                              if b <= args.max_batch],
@@ -108,7 +119,8 @@ def main():
     scfg = ServeConfig(max_batch=args.max_batch, max_wait_ms=2.0,
                        seq_buckets=seq_buckets,
                        batch_buckets=batch_buckets,
-                       precompile=args.path != "export",
+                       precompile=True,  # incl. export: first .call of a
+                       # deserialized program compiles (~10s each on TPU)
                        fused_transfer=args.fused,
                        pipeline_depth=args.pipeline_depth)
     eng = ServingEngine(forward, scfg)

@@ -459,6 +459,15 @@ def test_engine_flex_recipes_match_generic(qd):
     np.testing.assert_allclose(np.asarray(pal["logits"]),
                                np.asarray(out["logits"]),
                                rtol=1e-4, atol=1e-4)
+    # bf16 activation storage must NOT degrade the flex value edges (they
+    # carry 16-bit grids and travel f32 regardless of engine_dtype) —
+    # only the entry/exit residual stream is bf16
+    bf = B.bert_engine_apply(params, batch, cfg, qcfg, qstate, static,
+                             plan, int_params, backend="xla",
+                             engine_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(bf["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=3e-2, atol=3e-2)
 
 
 def test_engine_flex_rejects_mixed_backend():

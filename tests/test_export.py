@@ -208,3 +208,17 @@ def test_export_engine_buckets_roundtrip(quantized, tmp_path):
            "attention_mask": jnp.ones((16, 16), jnp.float32)}
     out_big = np.asarray(model(big))
     assert out_big.shape == (16, 2)
+
+
+def test_export_manifest_honest_without_engine(quantized, tmp_path):
+    """No engine_fwd -> the manifest must not claim engine buckets."""
+    params, qcfg, qstate, mode, int_params, fwd = quantized
+    d = str(tmp_path / "noeng")
+    man = EX.save_export(d, fwd, seq_buckets=[16],
+                         engine_batch_buckets=[4],  # ignored: no engine_fwd
+                         meta={"family": "bert", "num_labels": 2,
+                               "vocab_size": 128})
+    assert man["engine_batch_buckets"] == []
+    assert not [f for f in os.listdir(d) if f.endswith(".engine.stablehlo")]
+    model = EX.ExportedModel(d)
+    assert not model._engine_fns

@@ -45,7 +45,13 @@ def resolve_model_dir(name_or_dir: str, *, allow_hub: bool = False,
     return snapshot_download(
         repo_id=name_or_dir, revision=revision,
         allow_patterns=["config.json", "model.safetensors",
-                        "pytorch_model.bin", "vocab.txt",
+                        "pytorch_model.bin",
+                        # every covered family's tokenizer artifacts:
+                        # BERT/MobileBERT/SqueezeBERT vocab.txt,
+                        # RoBERTa/DistilRoBERTa vocab.json+merges.txt,
+                        # ALBERT spiece.model, plus the fast-tokenizer pair
+                        "vocab.txt", "vocab.json", "merges.txt",
+                        "spiece.model", "special_tokens_map.json",
                         "tokenizer.json", "tokenizer_config.json"])
 
 

@@ -509,11 +509,15 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
         is_flex = flex != default_flex
 
         if is_flex and mega:
+            # value edges carry the 16-bit / PEG site VALUE and must not
+            # lose precision to the engine's bf16 activation storage: a
+            # 16-bit grid needs 16 mantissa bits, bf16 has 8 — the edge
+            # travels f32 (it exists for exactly one kernel hop)
             akw = dict(n_heads=static.n_heads, seq=t, eps=static.ln_eps,
                        res_quant=res1, skip_max=static.attn_skip_max,
                        w4q=qkv_w4, w4o=ao_w4,
                        ln_out="emit" if x_mode == "i8" else "f",
-                       ln_bits=x_bits, out_dtype=out_dtype)
+                       ln_bits=x_bits, out_dtype=jnp.float32)
             aargs = (h8, lp["qkv"]["w"], lp["qkv"]["vecs"],
                      lp["qkv"]["scal"], mask_bias, lp["attn_scal"],
                      lp["attn_out"]["w"], lp["attn_out"]["vecs"],

@@ -334,19 +334,17 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
 
 
 def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
-              head_dim, skip_max, group, corr_mode="f32p1"):
+              head_dim, skip_max, group):
     """Attention phases for ONE batch row's (seq, H) q/k/v payload tiles;
     returns the (seq, H) int8 context-site payload. Shared by the
     standalone attention kernel and the fused attention megakernel.
 
-    ``corr_mode`` selects where the rank-1 payload-shift corrections are
-    applied (A/B-measured on v5e, scripts/attn_corr_bench.py):
-      'f32p1'  — f32 scratch; per-group corrections in phase 1 (shipped:
-                 fastest — Mosaic handles 2-D f32 tile math best)
-      'i32p2'  — int32 scratch; exact-integer corrections folded into
-                 phase 2 on a (n_heads, seq, seq) reshape (measured 5%
-                 SLOWER model-level: 3-D int32 VPU adds cost more than
-                 the saved converts)
+    The rank-1 payload-shift corrections apply in phase 1 per group, on
+    the f32 scratch. A/B-measured alternatives that LOST (round 3, v5e
+    model-level): int32 scratch with exact-integer corrections folded
+    into phase 2 on a (n_heads, seq, seq) reshape was 5% slower (3-D
+    int32 VPU adds cost more than the saved converts); group/batch-block
+    retunes (scripts/attn_sweep.py) confirmed g=2, bb=4 optimal.
     """
     (q_s, q_sh, k_s, k_sh, v_s, v_sh,
      sc_s, sc_sh, p_s, p_sh, c_s, c_sh) = sv
@@ -361,10 +359,7 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
         lmask = [(lane >= h * head_dim) & (lane < (h + 1) * head_dim)
                  for h in range(g)]
 
-    i32 = corr_mode == "i32p2"
-
-    # phase 1: q@k^T dots -> scratch (n_heads*seq, seq); 'f32p1' applies
-    # the corrections here per group, 'i32p2' stores raw int32 acc
+    # phase 1: q@k^T dots with the corrections applied in-register
     if g > 1:
         for p in range(n_heads // g):
             cols = slice(p * gw, (p + 1) * gw)
@@ -373,11 +368,7 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
                 [jnp.where(lmask[h], qp, 0) for h in range(g)], axis=0)
             acc = jax.lax.dot_general(
                 qbd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            if i32:
-                scores_scr[p * g * seq:(p + 1) * g * seq, :] = acc
-                continue
-            acc = acc.astype(jnp.float32)
+                preferred_element_type=jnp.int32).astype(jnp.float32)
             ksum_rows = jnp.concatenate(
                 [jnp.broadcast_to(
                     jnp.sum(jnp.where(lmask[h], kp, 0)
@@ -397,11 +388,7 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
             q8, k8 = qj[:, cols], kj[:, cols]
             acc = jax.lax.dot_general(
                 q8, k8, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            if i32:
-                scores_scr[hh * seq:(hh + 1) * seq, :] = acc
-                continue
-            acc = acc.astype(jnp.float32)
+                preferred_element_type=jnp.int32).astype(jnp.float32)
             qsum = jnp.sum(q8.astype(jnp.float32), axis=1,
                            keepdims=True)
             ksum = jnp.sum(k8.astype(jnp.float32), axis=1,
@@ -423,25 +410,8 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
     qk_over_sc = q_s * k_s * (1.0 / sc_s)
     a = sc_s * rsqrt_d * log2e
     mask2 = mask_j * log2e + a * sc_sh
-    if i32:
-        # exact-integer corrections folded into this pass
-        q_sh_i = q_sh.astype(jnp.int32)
-        k_sh_i = k_sh.astype(jnp.int32)
-        qsum_i = jnp.stack(
-            [jnp.sum(qj[:, h * head_dim:(h + 1) * head_dim]
-                     .astype(jnp.int32), axis=1)
-             for h in range(n_heads)])  # (n, seq)
-        ksum_i = jnp.stack(
-            [jnp.sum(kj[:, h * head_dim:(h + 1) * head_dim]
-                     .astype(jnp.int32), axis=1)
-             for h in range(n_heads)])  # (n, seq)
-        corr = (q_sh_i * ksum_i[:, None, :] + k_sh_i * qsum_i[:, :, None]
-                + head_dim * q_sh_i * k_sh_i)  # (n, seq, seq)
-        scores = (scores_scr[:, :].reshape(n_heads, seq, seq) + corr
-                  ).astype(jnp.float32).reshape(n_heads * seq, seq)
-    else:
-        scores = scores_scr[:, :]
-    r = jnp.clip(jnp.round(scores * qk_over_sc) - sc_sh, -128.0, 127.0)
+    r = jnp.clip(jnp.round(scores_scr[:, :] * qk_over_sc) - sc_sh,
+                 -128.0, 127.0)
     s2 = a * r + mask2
     if skip_max:
         # quantized scores are grid-bounded (|s2| provably << 126,

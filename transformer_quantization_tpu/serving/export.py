@@ -92,6 +92,8 @@ def save_export(dir_path: str, fwd: Callable, *, seq_buckets: Sequence[int],
         with open(os.path.join(dir_path, f"seq{seq}.stablehlo"), "wb") as f:
             f.write(data)
     engine_platforms = None
+    if engine_fwd is None:
+        engine_batch_buckets = ()  # never claim buckets that don't exist
     if engine_fwd is not None and engine_batch_buckets:
         for seq in seq_buckets:
             for b in engine_batch_buckets:
@@ -157,9 +159,12 @@ class ExportedModel:
         raise ValueError(f"sequence length {seq_len} exceeds the largest "
                          f"exported bucket {self.seq_buckets[-1]}")
 
-    def _engine_batch_bucket(self, bsz: int):
+    def _engine_batch_bucket(self, bsz: int, seq: int):
+        """Smallest exported engine batch bucket that holds ``bsz`` AND
+        whose (bucket, seq) program actually exists (partial exports are
+        legal; skip missing programs rather than falling back)."""
         for b in self.engine_batch_buckets:
-            if bsz <= b:
+            if bsz <= b and (b, seq) in self._engine_fns:
                 return b
         return None
 
@@ -170,10 +175,9 @@ class ExportedModel:
         bsz = ids.shape[0]
         seq = self.bucket_for(ids.shape[1])
         pad = seq - ids.shape[1]
-        eb = self._engine_batch_bucket(bsz) if self._engine_fns else None
-        bpad = (eb - bsz) if eb is not None and (eb, seq) in self._engine_fns \
-            else 0
-        use_engine = eb is not None and (eb, seq) in self._engine_fns
+        eb = self._engine_batch_bucket(bsz, seq) if self._engine_fns else None
+        use_engine = eb is not None
+        bpad = (eb - bsz) if use_engine else 0
         if pad or bpad:
             ids = jnp.pad(ids, ((0, bpad), (0, pad)))
             mask = jnp.pad(mask, ((0, bpad), (0, pad)))

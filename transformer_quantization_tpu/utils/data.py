@@ -66,8 +66,16 @@ def load_tokenizer(model_path: Optional[str], vocab_size: int = 30522):
 
             return HFTokenizerAdapter(
                 AutoTokenizer.from_pretrained(model_path, local_files_only=True))
-        except Exception:
-            pass
+        except Exception as e:
+            # a REAL checkpoint without a loadable tokenizer must not
+            # silently hash-bucket real text: scores would be near-chance
+            # with no error anywhere
+            import logging
+
+            logging.getLogger("tq_tpu").warning(
+                "no tokenizer loadable from %s (%s: %s) — falling back to "
+                "the SYNTHETIC tokenizer; real-text evaluation scores will "
+                "be meaningless", model_path, type(e).__name__, e)
     return SyntheticTokenizer(vocab_size)
 
 
