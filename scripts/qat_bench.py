@@ -60,19 +60,28 @@ def main():
 
     def apply_fn(params, b, qcfg=None, qstate=None, mode=None, train=False,
                  dropout_rng=None, compute_dtype=None, remat=False,
-                 scan_layers=False):
+                 scan_layers=False, int8_qat_sites=None):
         out, qs = B.bert_apply(params, b, cfg, qcfg, qstate, mode,
                                train=train, dropout_rng=dropout_rng,
                                compute_dtype=compute_dtype, remat=remat,
-                               scan_layers=scan_layers)
+                               scan_layers=scan_layers,
+                               int8_qat_sites=int8_qat_sites)
         return out, qs
 
     tcfg = TrainConfig(batch_size=args.batch, num_epochs=1)
     tx = make_optimizer(tcfg, 1000)
 
     results = {}
+    int8_sites = QAT.int8_forward_sites(qcfg, qstate)
     variants = [
         ("qat_learn_ranges", QAT.QATConfig(learn_ranges=True)),
+        ("qat_learn_int8fwd",
+         QAT.QATConfig(learn_ranges=True, int8_sites=int8_sites)),
+        ("qat_fix_int8fwd",
+         QAT.QATConfig(fix_weight_ranges=True, fix_act_ranges=True,
+                       int8_sites=int8_sites)),
+        ("qat_fix_ranges",
+         QAT.QATConfig(fix_weight_ranges=True, fix_act_ranges=True)),
         ("qat_learn_ranges_scan",
          QAT.QATConfig(learn_ranges=True, scan_layers=True)),
         ("qat_estimate_fix", QAT.QATConfig(learn_ranges=False)),

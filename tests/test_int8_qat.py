@@ -105,3 +105,113 @@ def test_one_qat_step_trains_ranges():
     # the range params actually moved (LSQ gradients are live)
     assert abs(float(p["xd1"] - params["xd1"])) > 0
     assert abs(float(p["wd2"] - params["wd2"])) > 0
+
+
+# ---------------------------------------------------------------------------
+# Integration: the real QAT train step on the int8 MXU forward
+# ---------------------------------------------------------------------------
+
+
+def _bert_setup():
+    import functools
+
+    from transformer_quantization_tpu.models import bert as B
+    from transformer_quantization_tpu.training import qat as QAT
+    import __graft_entry__ as G
+
+    cfg = B.BertConfig(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                       num_attention_heads=4, intermediate_size=128,
+                       max_position_embeddings=64, num_labels=2)
+    params, qcfg, qstate = G._calibrated_bert(cfg, batch_size=2, seq=16)
+    rng = np.random.RandomState(4)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, 128, (4, 16)), jnp.int32),
+        "attention_mask": jnp.ones((4, 16), jnp.float32),
+        "token_type_ids": jnp.zeros((4, 16), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 2, (4,)), jnp.int32),
+    }
+    apply_fn = functools.partial(B.bert_apply, cfg=cfg)
+    return QAT, apply_fn, cfg, params, qcfg, qstate, batch
+
+
+def test_int8_forward_sites_eligibility():
+    QAT, apply_fn, cfg, params, qcfg, qstate, batch = _bert_setup()
+    sites = QAT.int8_forward_sites(qcfg, qstate)
+    # every encoder matmul is symmetric-signed int8 x per-tensor-asym act
+    assert "L0.attn.q" in sites and "L1.ffn.dense" in sites
+    assert "pooler.dense" in sites
+    # scan-generic names included (all layers eligible)
+    assert "L.attn.q" in sites
+
+
+@pytest.mark.parametrize("learn", [False, True],
+                         ids=["fixed-ranges", "learn-ranges"])
+def test_int8_qat_step_matches_float_step(learn, monkeypatch):
+    """One full QAT train step with the int8-MXU forward stays close to
+    the float fake-quant step, AND the int8 path is actually taken for
+    every eligible matmul.
+
+    Tolerances are boundary-flip bounds, not GEMM ulps: the int32
+    accumulation is exact where the f32 GEMM rounds, and any activation
+    whose exact value sits within an ulp of a fake-quant rounding
+    boundary lands on a different 8-bit level, shifting downstream
+    values by whole quantization steps — the same amplification the
+    pipeline/scan parity tests document."""
+    from transformer_quantization_tpu.training import int8_qat as IQ
+
+    QAT, apply_fn, cfg, params, qcfg, qstate, batch = _bert_setup()
+    tx = optax.adamw(1e-4)
+    calls = {"n": 0}
+    orig = IQ.int8_qat_linear
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(IQ, "int8_qat_linear", counting)
+
+    outs = {}
+    for use_int8 in (False, True):
+        calls["n"] = 0
+        sites = (QAT.int8_forward_sites(qcfg, qstate) if use_int8
+                 else None)
+        qat_cfg = QAT.QATConfig(learn_ranges=learn, fix_weight_ranges=True,
+                                fix_act_ranges=True, int8_sites=sites)
+        step = QAT.make_qat_train_step(apply_fn, qcfg, qat_cfg, tx,
+                                       donate=False)
+        p, learnable, rest, opt = QAT.init_qat_state(
+            qcfg, qat_cfg, jax.tree.map(jnp.copy, params),
+            jax.tree.map(jnp.copy, dict(qstate)), tx)
+        outs[use_int8] = step(p, learnable, rest, opt, batch,
+                              jax.random.PRNGKey(0))
+        if use_int8:
+            # 2 layers x (q,k,v,attn_out,inter,dense) + pooler + classifier
+            assert calls["n"] == 14, calls["n"]
+        else:
+            assert calls["n"] == 0
+    loss_f, loss_i = float(outs[False][-1]), float(outs[True][-1])
+    np.testing.assert_allclose(loss_i, loss_f, rtol=5e-4, atol=5e-4)
+    lr = 1e-4
+    for a, b in zip(jax.tree.leaves(outs[True][0]),
+                    jax.tree.leaves(outs[False][0])):
+        # one AdamW step: a boundary-flipped gradient moves a param by
+        # at most ~2*lr relative to the float step
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2.5 * lr)
+    for a, b in zip(jax.tree.leaves(outs[True][1]),
+                    jax.tree.leaves(outs[False][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2.5 * lr)
+
+
+def test_cli_int8_qat_forward_runs():
+    from transformer_quantization_tpu import cli
+
+    s = cli.main(["train-quantized", "--task", "rte", "--synthetic-data",
+                  "--num-train-samples", "16", "--num-val-samples", "16",
+                  "--batch-size", "8", "--eval-batch-size", "8",
+                  "--num-epochs", "1", "--tiny-model",
+                  "--learn-ranges", "--int8-qat-forward",
+                  "--weight-quant-method", "current_minmax",
+                  "--act-quant-method", "current_minmax"])
+    assert 0.0 <= s <= 1.0

@@ -289,6 +289,12 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--per-groups-permute-shared-h", action="store_true")
         g = sp.add_argument_group("qat")
         g.add_argument("--learn-ranges", action="store_true")
+        g.add_argument("--int8-qat-forward", action="store_true",
+                       help="run eligible fake-quant matmuls on the int8 "
+                            "MXU during QAT (training/int8_qat.py): values "
+                            "exactly the fake-quant composition's, STE/LSQ "
+                            "gradients unchanged; needs fixed or learned "
+                            "ranges and no --amp")
         g.add_argument("--range-learning-rate", type=float, default=None,
                        help="separate lr for learned ranges (default: the "
                             "weight lr, like the reference)")
@@ -619,6 +625,19 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                 scan_layers=args.scan_layers,
                 pp_mesh=pp_mesh,
                 pp_microbatches=args.pp_microbatches)
+            if getattr(args, "int8_qat_forward", False):
+                import inspect
+
+                if "int8_qat_sites" in inspect.signature(
+                        fam.apply).parameters:
+                    sites = QAT.int8_forward_sites(qcfg, qstate)
+                    qat_cfg = dc.replace(qat_cfg, int8_sites=sites)
+                    logger.info("int8-MXU QAT forward active for %d "
+                                "matmul sites", len(sites))
+                else:
+                    logger.info("--int8-qat-forward: family %s does not "
+                                "plumb int8_qat_sites yet; using the "
+                                "float fake-quant forward", fam.name)
 
         save_fn = None
         if args.output_dir and args.save_every:

@@ -895,6 +895,7 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                compute_dtype=None,
                attention_dtype=None,
                int8_attention: bool = False,
+               int8_qat_sites=None,
                remat: bool = False,
                scan_layers: bool = False,
                pp_mesh=None,
@@ -916,6 +917,7 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                    compute_dtype=compute_dtype)
     ctx.attention_dtype = attention_dtype
     ctx.int8_attention = int8_attention
+    ctx.int8_qat_sites = int8_qat_sites
     if int_params and use_pallas:
         # sites consumed ONLY by the next int8 matmul: the kernel emits
         # their int8 payload directly (ffn.inter.out -> ffn.dense)

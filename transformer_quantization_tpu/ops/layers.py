@@ -96,6 +96,53 @@ def _weight_from_int_or_fake(ctx, name: str, w: Array) -> Array:
     return ctx.weight(wname, w)
 
 
+def _int8_qat_matmul(ctx, name, x, w, b, input_site):
+    """int8-MXU QAT matmul when every condition holds, else None.
+
+    Conditions (all static at trace time): the layer is in the eagerly
+    pre-screened ``int8_qat_sites`` set; the input site is an enabled
+    per-tensor asymmetric 8-bit linear-domain act site with stored params
+    (so ``x`` arrives as its exact fake-quantized value and the levels
+    reconstruct exactly); both phases are fix/learn; no capture, no amp
+    (bf16 x would round off-grid, breaking exact level recovery).
+    """
+    from transformer_quantization_tpu.quant.qconfig import Phase
+    from transformer_quantization_tpu.training.int8_qat import (
+        int8_qat_linear,
+    )
+
+    if (name not in ctx.int8_qat_sites or input_site is None
+            or getattr(ctx, "capture_sites", None)
+            or getattr(ctx, "compute_dtype", None) is not None):
+        return None
+    m = ctx.mode
+    if not (m.weight_quant and m.act_quant):
+        return None
+    if m.weight_phase not in (Phase.fix, Phase.learn):
+        return None
+    if m.act_phase not in (Phase.fix, Phase.learn):
+        return None
+    wname = f"{name}.w"
+    if wname not in ctx.cfg or input_site not in ctx.cfg:
+        return None
+    ic = ctx.cfg[input_site]
+    if not (ic.kind == "act" and ic.enabled and ic.axis is None
+            and not ic.n_groups and ic.spec.n_bits == 8
+            and not ic.spec.symmetric and ic.spec.scale_domain == "linear"):
+        return None
+    wst = ctx.qstate.get(wname)
+    ist = ctx.qstate.get(input_site)
+    if wst is None or ist is None or wst.get("alpha") is not None:
+        return None
+    qp_w, qp_x = wst["qp"], ist["qp"]
+    if qp_x.delta.ndim != 0:
+        return None
+    wc = ctx.cfg[wname]
+    return int8_qat_linear(x, w, b, qp_x.delta, qp_x.zero_float,
+                           qp_w.delta, wc.spec.n_bits, wc.per_channel,
+                           False)
+
+
 def quant_linear(ctx, name: str, x: Array, w: Array, b: Optional[Array],
                  activation=None, input_site: Optional[str] = None) -> Array:
     """Quantized affine layer with optional fused activation.
@@ -182,6 +229,21 @@ def quant_linear(ctx, name: str, x: Array, w: Array, b: Optional[Array],
         y = y.astype(x.dtype)  # bf16 engine: epilogue math f32, storage bf16
         _maybe_capture(ctx, name, x, y)
         return ctx.act(f"{name}.out", y)
+
+    if getattr(ctx, "int8_qat_sites", None):
+        # QAT on the int8 MXU (training/int8_qat.py): the fake-quant
+        # matmul runs int8 x int8 -> int32 with values exactly the float
+        # composition's and a custom VJP carrying the same STE/LSQ
+        # gradients. Eligibility was pre-screened eagerly
+        # (qat.int8_forward_sites — weight signedness is data-inferred);
+        # the remaining static-config conditions gate here at trace time.
+        y = _int8_qat_matmul(ctx, name, x, w, b, input_site)
+        if y is not None:
+            y = y.astype(x.dtype)
+            if act is not None:
+                y = act(y)
+            _maybe_capture(ctx, name, x, y)
+            return ctx.act(f"{name}.out", y)
 
     w_q = _weight_from_int_or_fake(ctx, name, w)
     if getattr(ctx, "compute_dtype", None) is not None:

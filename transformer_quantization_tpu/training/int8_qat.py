@@ -48,10 +48,11 @@ def _w_levels(w, s, lo, hi):
     return jnp.clip(u, lo, hi), keep
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def int8_qat_linear(x: Array, w: Array, bias: Optional[Array],
                     x_delta: Array, x_zero: Array, w_delta: Array,
-                    w_bits: int = 8, w_per_channel: bool = False) -> Array:
+                    w_bits: int = 8, w_per_channel: bool = False,
+                    quantize_input: bool = True) -> Array:
     """``fake_quant(x) @ fake_quant(w)^T + bias`` with the matmul on the
     int8 MXU and STE/LSQ gradients.
 
@@ -60,8 +61,18 @@ def int8_qat_linear(x: Array, w: Array, bias: Optional[Array],
     (linear scale domain). ``w_delta``: the weight site's trainable scale
     (scalar, or (N,) when ``w_per_channel``). Weights use the signed
     symmetric grid of ``w_bits``.
+
+    ``quantize_input=False``: ``x`` is ALREADY the fake-quantized site
+    value (the producer applied fake_quant — the standard QuantCtx flow,
+    where the consumer matmul takes the quantized activation as-is).
+    The level reconstruction ``round(x/s)+zp`` is then exact, the
+    forward is unchanged, and the backward treats x_delta/x_zero as
+    constants with d y/d x = fq_w (no STE mask — this op applies no
+    quantization of its own to x; the producer's fake_quant owns those
+    gradients).
     """
-    y, _ = _fwd(x, w, bias, x_delta, x_zero, w_delta, w_bits, w_per_channel)
+    y, _ = _fwd(x, w, bias, x_delta, x_zero, w_delta, w_bits,
+                w_per_channel, quantize_input)
     return y
 
 
@@ -74,7 +85,8 @@ def _params(x_delta, x_zero, w_delta, w_per_channel, eps=1e-8):
     return s_x, zp, s_w
 
 
-def _fwd(x, w, bias, x_delta, x_zero, w_delta, w_bits, w_per_channel):
+def _fwd(x, w, bias, x_delta, x_zero, w_delta, w_bits, w_per_channel,
+         quantize_input=True):
     s_x, zp, s_w = _params(x_delta, x_zero, w_delta, w_per_channel)
     lo, hi = -(2.0 ** (w_bits - 1)), 2.0 ** (w_bits - 1) - 1.0
     r_x, _ = _act_levels(x, s_x, zp)
@@ -93,7 +105,7 @@ def _fwd(x, w, bias, x_delta, x_zero, w_delta, w_bits, w_per_channel):
     return y, (x, w, bias is not None, x_delta, x_zero, w_delta)
 
 
-def _bwd(w_bits, w_per_channel, res, g):
+def _bwd(w_bits, w_per_channel, quantize_input, res, g):
     x, w, has_bias, x_delta, x_zero, w_delta = res
     eps = 1e-8
     s_x, zp, s_w = _params(x_delta, x_zero, w_delta, w_per_channel)
@@ -112,13 +124,21 @@ def _bwd(w_bits, w_per_channel, res, g):
     g_fqw = jax.lax.dot_general(
         g, fq_x, dimension_numbers=((bdims, bdims), ((), ())))
 
-    # activation STE grads (quantizers.py:184-186 with torch clamp
-    # semantics — gradient on the closed interval, zero outside)
-    kx = keep_x.astype(g.dtype)
-    g_x = g_fqx * kx
-    dmask_x = (x_delta >= eps).astype(g.dtype)
-    g_xd = jnp.sum(g_fqx * ((r_x - zp) - kx * x / s_x)) * dmask_x
-    g_xz = jnp.sum(g_fqx * s_x * (kx - 1.0)) * zkeep.astype(g.dtype)
+    if quantize_input:
+        # activation STE grads (quantizers.py:184-186 with torch clamp
+        # semantics — gradient on the closed interval, zero outside)
+        kx = keep_x.astype(g.dtype)
+        g_x = g_fqx * kx
+        dmask_x = (x_delta >= eps).astype(g.dtype)
+        g_xd = jnp.sum(g_fqx * ((r_x - zp) - kx * x / s_x)) * dmask_x
+        g_xz = jnp.sum(g_fqx * s_x * (kx - 1.0)) * zkeep.astype(g.dtype)
+    else:
+        # x is the producer's fake-quantized value: this op adds no x
+        # quantization, so the matmul gradient passes through unmasked
+        # and the x-site range params are constants here
+        g_x = g_fqx
+        g_xd = jnp.zeros_like(x_delta)
+        g_xz = jnp.zeros_like(x_zero)
 
     # weight grads (symmetric: no zero point)
     kw = keep_w.astype(g.dtype)

@@ -109,6 +109,57 @@ class QATConfig:
     # Requires fix/learn range phases (pipeline state is read-only).
     pp_mesh: object = None
     pp_microbatches: int = 1
+    # run eligible fake-quant matmuls on the int8 MXU during QAT
+    # (training/int8_qat.py): forward values are exactly the fake-quant
+    # composition's, STE/LSQ gradients unchanged. Set to
+    # ``int8_forward_sites(qcfg, qstate)`` (eligibility needs concrete
+    # weight signedness, so it is computed eagerly from the calibrated
+    # state); None/empty = float fake-quant matmuls (reference behavior).
+    int8_sites: Optional[frozenset] = None
+
+
+def int8_forward_sites(qcfg: QuantModelConfig, qstate: Dict) -> frozenset:
+    """Layers whose QAT fake-quant matmul can run on the int8 MXU
+    (training/int8_qat.py): symmetric linear-domain <=8-bit weights with
+    SIGNED grids (the signedness flag is data-inferred, so eligibility is
+    decided eagerly here, from the calibrated qstate, and passed into the
+    jitted step as a static set) and no AdaRound alpha. The per-layer
+    input-site conditions (per-tensor asymmetric 8-bit) are static config
+    and re-checked inside ops/layers.quant_linear at trace time."""
+    import numpy as np
+
+    out = set()
+    for name, c in qcfg.items():
+        if c.kind != "weight" or not name.endswith(".w") or not c.enabled:
+            continue
+        if (not c.spec.symmetric or c.spec.scale_domain != "linear"
+                or c.spec.n_bits > 8):
+            continue
+        st = qstate.get(name)
+        if st is None or st.get("alpha") is not None:
+            continue
+        qp = st["qp"]
+        try:
+            signed = float(np.asarray(qp.signed))
+        except Exception:  # traced values: cannot decide eagerly
+            return frozenset()
+        if signed != 1.0:
+            continue
+        if c.per_channel != (qp.delta.ndim == 1):
+            continue
+        out.add(name[:-len(".w")])
+    # scan compatibility: --scan-layers runs layers under the generic
+    # "L." site prefix; include it per suffix when EVERY layer's
+    # instance is eligible (scan requires interchangeable layers anyway)
+    import re
+
+    layer_ids = {int(m.group(1)) for n, _ in qcfg.items()
+                 if (m := re.match(r"^L(\d+)\.", n))}
+    suffixes = {n[n.index(".") + 1:] for n in out if re.match(r"^L\d+\.", n)}
+    for suf in suffixes:
+        if all(f"L{i}.{suf}" in out for i in layer_ids):
+            out.add(f"L.{suf}")
+    return frozenset(out)
 
 
 def qat_mode(qat: QATConfig, weight_quant: bool = True,
@@ -174,6 +225,8 @@ def make_qat_train_step(apply_fn: Callable, qcfg: QuantModelConfig,
     if qat.pp_mesh is not None:
         extra["pp_mesh"] = qat.pp_mesh
         extra["pp_microbatches"] = qat.pp_microbatches
+    if qat.int8_sites:
+        extra["int8_qat_sites"] = qat.int8_sites
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3) if donate else ())
     def step(params, learnable, rest_qstate, opt_state, batch, rng):
