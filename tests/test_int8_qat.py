@@ -215,3 +215,19 @@ def test_cli_int8_qat_forward_runs():
                   "--weight-quant-method", "current_minmax",
                   "--act-quant-method", "current_minmax"])
     assert 0.0 <= s <= 1.0
+
+
+def test_cli_int8_qat_forward_roberta():
+    """The int8-QAT forward plumbs through every family's apply; RoBERTa
+    exercises the non-BERT path end-to-end from the CLI."""
+    from transformer_quantization_tpu import cli
+
+    s = cli.main(["train-quantized", "--task", "rte", "--synthetic-data",
+                  "--num-train-samples", "16", "--num-val-samples", "16",
+                  "--batch-size", "8", "--eval-batch-size", "8",
+                  "--num-epochs", "1", "--tiny-model",
+                  "--model-name", "roberta_base",
+                  "--learn-ranges", "--int8-qat-forward",
+                  "--weight-quant-method", "current_minmax",
+                  "--act-quant-method", "current_minmax"])
+    assert 0.0 <= s <= 1.0

@@ -602,7 +602,8 @@ def _layer(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train, rngs,
 
 def make_ctx(qcfg, qstate, mode, *, mse_session=None, int_params=None,
              use_pallas=False, capture_sites=None,
-             capture_pre_act=False, compute_dtype=None) -> QuantCtx:
+             capture_pre_act=False, compute_dtype=None,
+             int8_qat_sites=None) -> QuantCtx:
     """Build the per-forward quantization context (shared across families)."""
     qcfg = qcfg if qcfg is not None else QuantModelConfig(())
     mode = mode or QuantMode()
@@ -614,6 +615,7 @@ def make_ctx(qcfg, qstate, mode, *, mse_session=None, int_params=None,
         ctx.capture_sites = set(capture_sites)
         ctx.capture_pre_act = capture_pre_act
     ctx.compute_dtype = compute_dtype
+    ctx.int8_qat_sites = int8_qat_sites
     return ctx
 
 

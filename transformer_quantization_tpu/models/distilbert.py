@@ -133,6 +133,7 @@ def distilbert_apply(params: Dict, batch: Mapping[str, Array],
                      capture_sites=None,
                      capture_pre_act: bool = False,
                      compute_dtype=None,
+                     int8_qat_sites=None,
                      remat: bool = False,
                      scan_layers: bool = False,
                      pp_mesh=None,
@@ -142,7 +143,8 @@ def distilbert_apply(params: Dict, batch: Mapping[str, Array],
                      int_params=int_params, use_pallas=use_pallas,
                      capture_sites=capture_sites,
                      capture_pre_act=capture_pre_act,
-                     compute_dtype=compute_dtype)
+                     compute_dtype=compute_dtype,
+                     int8_qat_sites=int8_qat_sites)
     input_ids, _, position_ids, mask_bias = B.prepare_inputs(batch)
     token_type_ids = jnp.zeros_like(input_ids)
     if compute_dtype is not None and mask_bias is not None:

@@ -636,6 +636,7 @@ def mobilebert_apply(params: Dict, batch: Mapping[str, Array],
                      capture_sites=None,
                      capture_pre_act: bool = False,
                      compute_dtype=None,
+                     int8_qat_sites=None,
                      int8_attention: bool = False,
                      remat: bool = False,
                      scan_layers: bool = False,
@@ -646,7 +647,8 @@ def mobilebert_apply(params: Dict, batch: Mapping[str, Array],
                      int_params=int_params, use_pallas=use_pallas,
                      capture_sites=capture_sites,
                      capture_pre_act=capture_pre_act,
-                     compute_dtype=compute_dtype)
+                     compute_dtype=compute_dtype,
+                     int8_qat_sites=int8_qat_sites)
     ctx.int8_attention = int8_attention
     input_ids, token_type_ids, position_ids, mask_bias = B.prepare_inputs(
         batch)

@@ -163,6 +163,7 @@ def roberta_apply(params: Dict, batch: Mapping[str, Array],
                   capture_sites=None,
                   capture_pre_act: bool = False,
                   compute_dtype=None,
+                  int8_qat_sites=None,
                   remat: bool = False,
                   scan_layers: bool = False,
                   pp_mesh=None,
@@ -172,7 +173,8 @@ def roberta_apply(params: Dict, batch: Mapping[str, Array],
                      int_params=int_params, use_pallas=use_pallas,
                      capture_sites=capture_sites,
                      capture_pre_act=capture_pre_act,
-                     compute_dtype=compute_dtype)
+                     compute_dtype=compute_dtype,
+                     int8_qat_sites=int8_qat_sites)
     pos_ids = batch.get("position_ids")
     if pos_ids is None:
         pos_ids = create_position_ids_from_input_ids(batch["input_ids"],

@@ -237,6 +237,7 @@ def squeezebert_apply(params: Dict, batch: Mapping[str, Array],
                       capture_sites=None,
                       capture_pre_act: bool = False,
                       compute_dtype=None,
+                      int8_qat_sites=None,
                       remat: bool = False,
                       scan_layers: bool = False,
                       pp_mesh=None,
@@ -246,7 +247,8 @@ def squeezebert_apply(params: Dict, batch: Mapping[str, Array],
                      int_params=int_params, use_pallas=use_pallas,
                      capture_sites=capture_sites,
                      capture_pre_act=capture_pre_act,
-                     compute_dtype=compute_dtype)
+                     compute_dtype=compute_dtype,
+                     int8_qat_sites=int8_qat_sites)
     input_ids, token_type_ids, position_ids, mask_bias = B.prepare_inputs(
         batch)
     if compute_dtype is not None and mask_bias is not None:
