@@ -148,3 +148,25 @@ def test_qat_pipeline_parallel_finetune(tmp_path):
                       "--est-ranges-batch-size", "8",
                       "--pp-stages", "2", "--pp-microbatches", "2"])
     assert score >= fp32 - 0.1, (fp32, score)
+
+
+def test_qat_int8_forward_finetune(tmp_path):
+    """Learn-ranges QAT on the int8-MXU forward (--int8-qat-forward)
+    trains as well as the float fake-quant forward: same workflow as
+    test_qat_learn_ranges_finetune, scored against the fp32 start."""
+    out_dir = str(tmp_path / "run")
+    base = ["--task", "rte", "--synthetic-data", "--tiny-model",
+            "--max-seq-length", "32", "--seed", "1000"]
+    fp32 = cli.main(["train-baseline", *base, "--num-epochs", "6",
+                     "--batch-size", "16", "--learning-rate", "3e-4",
+                     "--output-dir", out_dir])
+    assert fp32 > 0.8, fp32
+    score = cli.main(["train-quantized", *base,
+                      "--model-path", f"{out_dir}/checkpoint_rte",
+                      "--num-epochs", "2", "--batch-size", "16",
+                      "--learning-rate", "5e-5", "--learn-ranges",
+                      "--int8-qat-forward",
+                      "--range-learning-rate", "1e-5",
+                      "--num-est-batches", "2",
+                      "--est-ranges-batch-size", "8"])
+    assert score >= fp32 - 0.1, (fp32, score)
