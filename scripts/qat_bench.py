@@ -80,6 +80,7 @@ def main():
         ("qat_fix_int8fwd",
          QAT.QATConfig(fix_weight_ranges=True, fix_act_ranges=True,
                        int8_sites=int8_sites)),
+        ("qat_est_int8fwd", QAT.QATConfig(int8_sites=int8_sites)),
         ("qat_fix_ranges",
          QAT.QATConfig(fix_weight_ranges=True, fix_act_ranges=True)),
         ("qat_learn_ranges_scan",

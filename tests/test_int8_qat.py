@@ -144,8 +144,9 @@ def test_int8_forward_sites_eligibility():
     assert "L.attn.q" in sites
 
 
-@pytest.mark.parametrize("learn", [False, True],
-                         ids=["fixed-ranges", "learn-ranges"])
+@pytest.mark.parametrize("learn", ["estimate", False, True],
+                         ids=["estimate-ranges", "fixed-ranges",
+                              "learn-ranges"])
 def test_int8_qat_step_matches_float_step(learn, monkeypatch):
     """One full QAT train step with the int8-MXU forward stays close to
     the float fake-quant step, AND the int8 path is actually taken for
@@ -175,8 +176,13 @@ def test_int8_qat_step_matches_float_step(learn, monkeypatch):
         calls["n"] = 0
         sites = (QAT.int8_forward_sites(qcfg, qstate) if use_int8
                  else None)
-        qat_cfg = QAT.QATConfig(learn_ranges=learn, fix_weight_ranges=True,
-                                fix_act_ranges=True, int8_sites=sites)
+        if learn == "estimate":
+            # estimate_ranges_train: both ranges re-derived per step
+            qat_cfg = QAT.QATConfig(int8_sites=sites)
+        else:
+            qat_cfg = QAT.QATConfig(learn_ranges=learn,
+                                    fix_weight_ranges=True,
+                                    fix_act_ranges=True, int8_sites=sites)
         step = QAT.make_qat_train_step(apply_fn, qcfg, qat_cfg, tx,
                                        donate=False)
         p, learnable, rest, opt = QAT.init_qat_state(

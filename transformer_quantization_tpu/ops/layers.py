@@ -103,9 +103,19 @@ def _int8_qat_matmul(ctx, name, x, w, b, input_site):
     pre-screened ``int8_qat_sites`` set; the input site is an enabled
     per-tensor asymmetric 8-bit linear-domain act site with stored params
     (so ``x`` arrives as its exact fake-quantized value and the levels
-    reconstruct exactly); both phases are fix/learn; no capture, no amp
-    (bf16 x would round off-grid, breaking exact level recovery).
+    reconstruct exactly); no capture, no amp (bf16 x would round
+    off-grid, breaking exact level recovery).
+
+    Phases: acts may be fix, learn, or ESTIMATE — in estimate mode the
+    producing site updated ``ctx.qstate[input_site]`` earlier in this
+    same traced forward (dict threading is trace-ordered), so the params
+    read here are the ones ``x`` was just quantized with. Weights may be
+    fix, learn, or estimate (range re-derived from the current weight
+    each step, mirroring QuantCtx.weight's estimate branch — min-max
+    methods only, like that branch).
     """
+    from transformer_quantization_tpu.quant import quantizers as Q
+    from transformer_quantization_tpu.quant import ranges as R
     from transformer_quantization_tpu.quant.qconfig import Phase
     from transformer_quantization_tpu.training.int8_qat import (
         int8_qat_linear,
@@ -118,9 +128,7 @@ def _int8_qat_matmul(ctx, name, x, w, b, input_site):
     m = ctx.mode
     if not (m.weight_quant and m.act_quant):
         return None
-    if m.weight_phase not in (Phase.fix, Phase.learn):
-        return None
-    if m.act_phase not in (Phase.fix, Phase.learn):
+    if m.act_phase == Phase.record_ranges:
         return None
     wname = f"{name}.w"
     if wname not in ctx.cfg or input_site not in ctx.cfg:
@@ -130,14 +138,44 @@ def _int8_qat_matmul(ctx, name, x, w, b, input_site):
             and not ic.n_groups and ic.spec.n_bits == 8
             and not ic.spec.symmetric and ic.spec.scale_domain == "linear"):
         return None
-    wst = ctx.qstate.get(wname)
+    wc = ctx.cfg[wname]
     ist = ctx.qstate.get(input_site)
-    if wst is None or ist is None or wst.get("alpha") is not None:
+    if ist is None:
         return None
-    qp_w, qp_x = wst["qp"], ist["qp"]
+    qp_x = ist["qp"]
     if qp_x.delta.ndim != 0:
         return None
-    wc = ctx.cfg[wname]
+    if m.weight_phase == Phase.estimate:
+        # estimate_ranges_train for weights: range re-derived from the
+        # live weight (same math as QuantCtx.weight's estimate branch,
+        # manager.py; MSE methods are rejected there already).
+        # Signedness note: eligibility pre-screening proved the
+        # CALIBRATED weight signed; int8_qat_linear always uses the
+        # signed grid. If a weight tensor became entirely positive
+        # mid-training the float path would flip to the unsigned grid —
+        # a whole-matrix sign flip that does not occur in practice; the
+        # estimate-phase parity test covers the real case.
+        rc = wc.range_cfg
+        if rc.method in (R.RangeMethod.MSE, R.RangeMethod.cross_entropy):
+            return None
+        rs = R.ReduceSpec(per_channel=wc.per_channel)
+        xmin, xmax = R.reduce_min_max(
+            w, rs, rc.percentile
+            if rc.method == R.RangeMethod.current_minmax else None)
+        qp_w = Q.set_quant_range(wc.spec, xmin, xmax)
+        self_state = dict(ctx.qstate.get(wname, {"alpha": None}), qp=qp_w)
+        if self_state.get("alpha") is not None:
+            return None
+        ctx.qstate[wname] = self_state
+        if wc.per_channel:
+            qp_w = Q.QuantParams(delta=qp_w.delta.reshape(-1),
+                                 zero_float=qp_w.zero_float.reshape(-1),
+                                 signed=qp_w.signed)
+    else:
+        wst = ctx.qstate.get(wname)
+        if wst is None or wst.get("alpha") is not None:
+            return None
+        qp_w = wst["qp"]
     return int8_qat_linear(x, w, b, qp_x.delta, qp_x.zero_float,
                            qp_w.delta, wc.spec.n_bits, wc.per_channel,
                            False)
