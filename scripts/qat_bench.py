@@ -41,7 +41,12 @@ def main():
         make_optimizer
     import __graft_entry__ as G
 
-    cfg = B.BertConfig()
+    # dropout 0 matches the reference QAT recipe flags
+    # (README.md:190 --attn-dropout 0.0 --hidden-dropout 0.0) and keeps
+    # the int8-forward variants on the int8 path (train-time hidden
+    # dropout disables it: models/bert.py int8_sites_for_mode)
+    cfg = B.BertConfig(hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0)
     t0 = time.perf_counter()
     params, qcfg, qstate = G._calibrated_bert(cfg, batch_size=2,
                                               seq=args.seq)

@@ -166,6 +166,7 @@ def test_qat_int8_forward_finetune(tmp_path):
                       "--num-epochs", "2", "--batch-size", "16",
                       "--learning-rate", "5e-5", "--learn-ranges",
                       "--int8-qat-forward",
+                      "--hidden-dropout", "0.0", "--attn-dropout", "0.0",
                       "--range-learning-rate", "1e-5",
                       "--num-est-batches", "2",
                       "--est-ranges-batch-size", "8"])

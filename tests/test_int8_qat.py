@@ -119,9 +119,13 @@ def _bert_setup():
     from transformer_quantization_tpu.training import qat as QAT
     import __graft_entry__ as G
 
+    # dropout 0 like the reference QAT recipe (README.md:190): hidden
+    # dropout between an act site and its consumer disables the int8 path
     cfg = B.BertConfig(vocab_size=128, hidden_size=64, num_hidden_layers=2,
                        num_attention_heads=4, intermediate_size=128,
-                       max_position_embeddings=64, num_labels=2)
+                       max_position_embeddings=64, num_labels=2,
+                       hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0)
     params, qcfg, qstate = G._calibrated_bert(cfg, batch_size=2, seq=16)
     rng = np.random.RandomState(4)
     batch = {
@@ -218,6 +222,7 @@ def test_cli_int8_qat_forward_runs():
                   "--batch-size", "8", "--eval-batch-size", "8",
                   "--num-epochs", "1", "--tiny-model",
                   "--learn-ranges", "--int8-qat-forward",
+                  "--hidden-dropout", "0.0", "--attn-dropout", "0.0",
                   "--weight-quant-method", "current_minmax",
                   "--act-quant-method", "current_minmax"])
     assert 0.0 <= s <= 1.0
@@ -234,6 +239,104 @@ def test_cli_int8_qat_forward_roberta():
                   "--num-epochs", "1", "--tiny-model",
                   "--model-name", "roberta_base",
                   "--learn-ranges", "--int8-qat-forward",
+                  "--hidden-dropout", "0.0", "--attn-dropout", "0.0",
                   "--weight-quant-method", "current_minmax",
                   "--act-quant-method", "current_minmax"])
     assert 0.0 <= s <= 1.0
+
+
+def test_dropout_disables_int8_forward(monkeypatch):
+    """Training with hidden dropout > 0 must NOT take the int8 path:
+    dropout rescales survivors off the producer's grid, which the exact
+    level reconstruction cannot represent (models/bert.py
+    int8_sites_for_mode). Eval (no dropout) keeps it."""
+    import dataclasses
+    import functools
+
+    from transformer_quantization_tpu.models import bert as B
+    from transformer_quantization_tpu.training import int8_qat as IQ
+    from transformer_quantization_tpu.training import qat as QAT
+    import __graft_entry__ as G
+
+    cfg = B.BertConfig(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                       num_attention_heads=4, intermediate_size=128,
+                       max_position_embeddings=64, num_labels=2,
+                       hidden_dropout_prob=0.1)
+    params, qcfg, qstate = G._calibrated_bert(cfg, batch_size=2, seq=16)
+    sites = QAT.int8_forward_sites(qcfg, qstate)
+    assert sites
+    calls = {"n": 0}
+    orig = IQ.int8_qat_linear
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(IQ, "int8_qat_linear", counting)
+    rng = np.random.RandomState(0)
+    batch = {"input_ids": jnp.asarray(rng.randint(0, 128, (2, 16)),
+                                      jnp.int32),
+             "attention_mask": jnp.ones((2, 16), jnp.float32)}
+    mode = QAT.qat_mode(QAT.QATConfig(fix_weight_ranges=True,
+                                      fix_act_ranges=True))
+    # train=True with dropout: float path only
+    B.bert_apply(params, batch, cfg, qcfg, qstate, mode, train=True,
+                 dropout_rng=jax.random.PRNGKey(0),
+                 int8_qat_sites=sites)
+    assert calls["n"] == 0
+    # eval (dropout inactive): int8 path active
+    B.bert_apply(params, batch, cfg, qcfg, qstate, mode, train=False,
+                 int8_qat_sites=sites)
+    assert calls["n"] == 14
+    # dropout 0 config trains on the int8 path
+    cfg0 = dataclasses.replace(cfg, hidden_dropout_prob=0.0)
+    calls["n"] = 0
+    B.bert_apply(params, batch, cfg0, qcfg, qstate, mode, train=True,
+                 dropout_rng=jax.random.PRNGKey(0),
+                 int8_qat_sites=sites)
+    assert calls["n"] == 14
+
+
+def test_scan_layers_int8_forward_matches_loop(monkeypatch):
+    """--scan-layers + int8_sites: the generic "L." site names resolve
+    inside the scanned body for the matmuls with a static input site
+    (attn_out/inter/dense + head), and the step matches the loop-form
+    int8 step."""
+    from transformer_quantization_tpu.training import int8_qat as IQ
+
+    QAT, apply_fn, cfg, params, qcfg, qstate, batch = _bert_setup()
+    tx = optax.adamw(1e-4)
+    sites = QAT.int8_forward_sites(qcfg, qstate)
+    calls = {"n": 0}
+    orig = IQ.int8_qat_linear
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(IQ, "int8_qat_linear", counting)
+    outs = {}
+    for scan in (False, True):
+        calls["n"] = 0
+        qat_cfg = QAT.QATConfig(learn_ranges=True, int8_sites=sites,
+                                scan_layers=scan)
+        step = QAT.make_qat_train_step(apply_fn, qcfg, qat_cfg, tx,
+                                       donate=False)
+        p, learnable, rest, opt = QAT.init_qat_state(
+            qcfg, qat_cfg, jax.tree.map(jnp.copy, params),
+            jax.tree.map(jnp.copy, dict(qstate)), tx)
+        outs[scan] = step(p, learnable, rest, opt, batch,
+                          jax.random.PRNGKey(0))
+        # loop: 12 encoder matmuls + pooler + classifier. scan: ONE
+        # traced layer body, where q/k/v stay float — their input site
+        # differs per iteration (emb.ln.out for layer 0, ffn.ln.out
+        # after) so no static site name exists inside the scan body —
+        # leaving attn_out/inter/dense (3) + pooler + classifier = 5.
+        assert calls["n"] == (5 if scan else 14), (scan, calls["n"])
+    np.testing.assert_allclose(float(outs[True][-1]),
+                               float(outs[False][-1]), rtol=1e-5,
+                               atol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[True][0]),
+                    jax.tree.leaves(outs[False][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -628,16 +628,36 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
             if getattr(args, "int8_qat_forward", False):
                 import inspect
 
-                if "int8_qat_sites" in inspect.signature(
+                if amp_dtype is not None:
+                    logger.warning(
+                        "--int8-qat-forward needs full-precision "
+                        "activations (bf16 rounds them off-grid); "
+                        "IGNORED with --amp")
+                elif "int8_qat_sites" not in inspect.signature(
                         fam.apply).parameters:
-                    sites = QAT.int8_forward_sites(qcfg, qstate)
-                    qat_cfg = dc.replace(qat_cfg, int8_sites=sites)
-                    logger.info("int8-MXU QAT forward active for %d "
-                                "matmul sites", len(sites))
-                else:
                     logger.info("--int8-qat-forward: family %s does not "
                                 "plumb int8_qat_sites yet; using the "
                                 "float fake-quant forward", fam.name)
+                else:
+                    sites = QAT.int8_forward_sites(qcfg, qstate)
+                    n_real = sum(1 for s in sites
+                                 if not s.startswith("L."))
+                    if not n_real:
+                        logger.warning("--int8-qat-forward: no eligible "
+                                       "matmul sites in this config; "
+                                       "using the float forward")
+                    else:
+                        qat_cfg = dc.replace(qat_cfg, int8_sites=sites)
+                        logger.info("int8-MXU QAT forward active for %d "
+                                    "matmul sites", n_real)
+                        if (cfg.hidden_dropout_prob or 0) > 0:
+                            logger.warning(
+                                "training hidden dropout %.2f > 0 "
+                                "disables the int8 forward at train time "
+                                "(off-grid inputs); pass "
+                                "--hidden-dropout 0.0 like the reference "
+                                "QAT recipe to keep it",
+                                cfg.hidden_dropout_prob)
 
         save_fn = None
         if args.output_dir and args.save_every:

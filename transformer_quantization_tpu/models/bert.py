@@ -600,6 +600,24 @@ def _layer(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train, rngs,
                            f["ln"]["bias"], cfg.layer_norm_eps)
 
 
+def int8_sites_for_mode(int8_qat_sites, train: bool, cfg):
+    """Disable the int8-QAT forward when training with hidden dropout.
+
+    Dropout between a producing act site and its consumer matmul
+    (embeddings -> L0 q/k/v; pooled -> classifier) rescales survivors by
+    1/(1-p), pushing them OFF the producer's 8-bit grid — the int8 path's
+    exact level reconstruction (training/int8_qat.py quantize_input=False)
+    would silently re-quantize and clip them where the float composition
+    matmuls them as-is. The reference QAT recipe trains with dropout 0
+    (README.md:190 passes --hidden-dropout 0.0), so the headline
+    configuration keeps the int8 forward.
+    """
+    if (int8_qat_sites and train
+            and getattr(cfg, "hidden_dropout_prob", 0.0) > 0.0):
+        return None
+    return int8_qat_sites
+
+
 def make_ctx(qcfg, qstate, mode, *, mse_session=None, int_params=None,
              use_pallas=False, capture_sites=None,
              capture_pre_act=False, compute_dtype=None,
@@ -919,7 +937,7 @@ def bert_apply(params: Dict, batch: Mapping[str, Array], cfg: BertConfig,
                    compute_dtype=compute_dtype)
     ctx.attention_dtype = attention_dtype
     ctx.int8_attention = int8_attention
-    ctx.int8_qat_sites = int8_qat_sites
+    ctx.int8_qat_sites = int8_sites_for_mode(int8_qat_sites, train, cfg)
     if int_params and use_pallas:
         # sites consumed ONLY by the next int8 matmul: the kernel emits
         # their int8 payload directly (ffn.inter.out -> ffn.dense)

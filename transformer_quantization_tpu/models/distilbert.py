@@ -144,7 +144,8 @@ def distilbert_apply(params: Dict, batch: Mapping[str, Array],
                      capture_sites=capture_sites,
                      capture_pre_act=capture_pre_act,
                      compute_dtype=compute_dtype,
-                     int8_qat_sites=int8_qat_sites)
+                     int8_qat_sites=B.int8_sites_for_mode(
+                         int8_qat_sites, train, cfg))
     input_ids, _, position_ids, mask_bias = B.prepare_inputs(batch)
     token_type_ids = jnp.zeros_like(input_ids)
     if compute_dtype is not None and mask_bias is not None:

@@ -174,7 +174,8 @@ def roberta_apply(params: Dict, batch: Mapping[str, Array],
                      capture_sites=capture_sites,
                      capture_pre_act=capture_pre_act,
                      compute_dtype=compute_dtype,
-                     int8_qat_sites=int8_qat_sites)
+                     int8_qat_sites=B.int8_sites_for_mode(
+                         int8_qat_sites, train, cfg))
     pos_ids = batch.get("position_ids")
     if pos_ids is None:
         pos_ids = create_position_ids_from_input_ids(batch["input_ids"],

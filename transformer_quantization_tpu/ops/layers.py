@@ -147,26 +147,33 @@ def _int8_qat_matmul(ctx, name, x, w, b, input_site):
         return None
     if m.weight_phase == Phase.estimate:
         # estimate_ranges_train for weights: range re-derived from the
-        # live weight (same math as QuantCtx.weight's estimate branch,
-        # manager.py; MSE methods are rejected there already).
-        # Signedness note: eligibility pre-screening proved the
-        # CALIBRATED weight signed; int8_qat_linear always uses the
-        # signed grid. If a weight tensor became entirely positive
-        # mid-training the float path would flip to the unsigned grid —
-        # a whole-matrix sign flip that does not occur in practice; the
-        # estimate-phase parity test covers the real case.
+        # live weight via the SAME helper QuantCtx.weight uses (the two
+        # forwards must never diverge in estimate mode).
+        from transformer_quantization_tpu.quant.manager import (
+            estimate_weight_qp,
+        )
+
         rc = wc.range_cfg
         if rc.method in (R.RangeMethod.MSE, R.RangeMethod.cross_entropy):
+            return None  # the helper raises for these; float path handles
+        if ctx.qstate.get(wname, {}).get("alpha") is not None:
             return None
-        rs = R.ReduceSpec(per_channel=wc.per_channel)
-        xmin, xmax = R.reduce_min_max(
-            w, rs, rc.percentile
-            if rc.method == R.RangeMethod.current_minmax else None)
-        qp_w = Q.set_quant_range(wc.spec, xmin, xmax)
-        self_state = dict(ctx.qstate.get(wname, {"alpha": None}), qp=qp_w)
-        if self_state.get("alpha") is not None:
-            return None
-        ctx.qstate[wname] = self_state
+        qp_w = estimate_weight_qp(wc, w)
+        # int8_qat_linear always uses the signed grid, but set_quant_range
+        # infers signedness from the live data — force the signed grid by
+        # rescaling delta (absmax/(2^b-1) -> absmax/(2^(b-1)-1)). For any
+        # weight with a negative entry (every real layer) this is a
+        # bit-exact no-op; an all-positive tensor gets a self-consistent
+        # signed grid where the float path would flip to unsigned.
+        b_ = wc.spec.n_bits
+        factor = (2.0 ** b_ - 1.0) / (2.0 ** (b_ - 1) - 1.0)
+        qp_w = Q.QuantParams(
+            delta=jnp.where(qp_w.signed > 0, qp_w.delta,
+                            qp_w.delta * factor),
+            zero_float=qp_w.zero_float,
+            signed=jnp.ones_like(qp_w.signed))
+        ctx.qstate[wname] = dict(ctx.qstate.get(wname, {"alpha": None}),
+                                 qp=qp_w)
         if wc.per_channel:
             qp_w = Q.QuantParams(delta=qp_w.delta.reshape(-1),
                                  zero_float=qp_w.zero_float.reshape(-1),
@@ -280,7 +287,9 @@ def quant_linear(ctx, name: str, x: Array, w: Array, b: Optional[Array],
             y = y.astype(x.dtype)
             if act is not None:
                 y = act(y)
-            _maybe_capture(ctx, name, x, y)
+            # no capture call: the gate forces the float path whenever
+            # ctx.capture_sites is set (AdaRound/telemetry never see this
+            # branch)
             return ctx.act(f"{name}.out", y)
 
     w_q = _weight_from_int_or_fake(ctx, name, w)

@@ -58,6 +58,24 @@ def init_act_site_state(cfg: QuantSiteConfig, x_shape) -> SiteState:
     return state
 
 
+def estimate_weight_qp(cfg: QuantSiteConfig, w: Array) -> Q.QuantParams:
+    """estimate_ranges_train for a weight: re-derive the range from the
+    current (training-updated) weight each step. Min-max only —
+    jit-compatible (quantization_manager.py:94-106). Shared by
+    QuantCtx.weight and the int8-QAT matmul path (ops/layers.py) so the
+    two forwards can never diverge in estimate mode."""
+    rc = cfg.range_cfg
+    if rc.method in _MSE_METHODS:
+        raise NotImplementedError(
+            "MSE weight range estimation inside a jitted step; "
+            "initialize weight ranges up front instead")
+    rs = R.ReduceSpec(per_channel=cfg.per_channel)
+    xmin, xmax = R.reduce_min_max(
+        w, rs, rc.percentile
+        if rc.method == R.RangeMethod.current_minmax else None)
+    return _reduced_qp(cfg, xmin, xmax)
+
+
 def init_weight_site_state(cfg: QuantSiteConfig, w: Array,
                            mse_estimator=None) -> SiteState:
     """Estimate a weight site's range directly from its (static) weight.
@@ -125,19 +143,7 @@ class QuantCtx:
             return w
         phase = self.mode.weight_phase
         if phase == Phase.estimate:
-            # estimate_ranges_train for weights: re-derive the range from the
-            # current (training-updated) weight each step. Min-max only —
-            # jit-compatible (quantization_manager.py:94-106).
-            rc = cfg.range_cfg
-            if rc.method in _MSE_METHODS:
-                raise NotImplementedError(
-                    "MSE weight range estimation inside a jitted step; "
-                    "initialize weight ranges up front instead")
-            rs = R.ReduceSpec(per_channel=cfg.per_channel)
-            xmin, xmax = R.reduce_min_max(
-                w, rs, rc.percentile
-                if rc.method == R.RangeMethod.current_minmax else None)
-            qp = _reduced_qp(cfg, xmin, xmax)
+            qp = estimate_weight_qp(cfg, w)
             self.qstate[name] = dict(self.qstate.get(name, {"alpha": None}),
                                      qp=qp)
         else:

@@ -150,7 +150,11 @@ def int8_forward_sites(qcfg: QuantModelConfig, qstate: Dict) -> frozenset:
         out.add(name[:-len(".w")])
     # scan compatibility: --scan-layers runs layers under the generic
     # "L." site prefix; include it per suffix when EVERY layer's
-    # instance is eligible (scan requires interchangeable layers anyway)
+    # instance is eligible (scan requires interchangeable layers anyway).
+    # Inside the scan body q/k/v still run float: their input site
+    # differs per iteration (emb.ln.out at layer 0, ffn.ln.out after),
+    # so no static site name exists — attn_out/inter/dense + the head
+    # take the int8 path.
     import re
 
     layer_ids = {int(m.group(1)) for n, _ in qcfg.items()
