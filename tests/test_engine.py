@@ -239,14 +239,38 @@ def test_attention_grouped_dots_bit_equal(tiny_setup):
     want = EK.int8_attention_ref(qkv8, bias, sc, n_heads=nh, seq=t)
     groups = [g for g in (1, 2, 4) if nh % g == 0]
     assert len(groups) >= 2
-    for g in groups:
-        got = EK.int8_attention(qkv8, bias, sc, n_heads=nh, seq=t,
-                                interpret=True, group=g)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-    # auto heuristic picks a group filling the MXU depth when possible
+    for dots in ("i8", "bf16"):
+        for g in groups:
+            got = EK.int8_attention(qkv8, bias, sc, n_heads=nh, seq=t,
+                                    interpret=True, group=g, dots=dots)
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(want))
+    # 'auto' (the default) resolves to the shifted-bf16 path when exact
     auto = EK.int8_attention(qkv8, bias, sc, n_heads=nh, seq=t,
                              interpret=True)
     np.testing.assert_array_equal(np.asarray(auto), np.asarray(want))
+
+
+def test_attention_bf16_dots_exactness_gate(tiny_setup):
+    """dots='bf16' raises (never silently rounds) when the f32
+    accumulator can't hold the phase-3 partial sums exactly; 'auto'
+    falls back to 'i8' on the same shapes."""
+    cfg, params, qcfg, qstate, static, plan, *_ = tiny_setup
+    assert EK._bf16_dots_ok(128, 64) and EK._bf16_dots_ok(256, 64)
+    assert not EK._bf16_dots_ok(384, 64)
+    sc = plan["layers"][0]["attn_scal"]
+    nh = cfg.num_attention_heads
+    b, t, h = 1, 384, cfg.hidden_size
+    rng = np.random.RandomState(3)
+    qkv8 = jnp.asarray(rng.randint(-128, 128, (b * t, 3 * h)), jnp.int8)
+    bias = jnp.zeros((b, t), jnp.float32)
+    with pytest.raises(ValueError, match="not exact"):
+        EK.int8_attention(qkv8, bias, sc, n_heads=nh, seq=t,
+                          interpret=True, dots="bf16")
+    want = EK.int8_attention_ref(qkv8, bias, sc, n_heads=nh, seq=t)
+    got = EK.int8_attention(qkv8, bias, sc, n_heads=nh, seq=t,
+                            interpret=True)  # auto -> i8 here
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_ffn_megakernel_bit_equals_separate_pair(tiny_setup):
@@ -309,12 +333,16 @@ def test_attn_megakernel_bit_equals_separate_chain(tiny_setup):
                                   res_quant=True,
                                   skip_max=static.attn_skip_max)
     np.testing.assert_array_equal(np.asarray(got_ref), np.asarray(want))
-    for g in (1, 2):
-        got_k = EK.int8_attn_ln(*args, n_heads=cfg.num_attention_heads,
-                                seq=t, eps=static.ln_eps, res_quant=True,
-                                skip_max=static.attn_skip_max,
-                                interpret=True, group=g)
-        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want))
+    for dots in ("i8", "bf16"):
+        for g in (1, 2):
+            got_k = EK.int8_attn_ln(*args,
+                                    n_heads=cfg.num_attention_heads,
+                                    seq=t, eps=static.ln_eps,
+                                    res_quant=True,
+                                    skip_max=static.attn_skip_max,
+                                    interpret=True, group=g, dots=dots)
+            np.testing.assert_array_equal(np.asarray(got_k),
+                                          np.asarray(want))
 
 
 def test_w4a8_engine_megakernels_interpret_matches_xla():

@@ -40,6 +40,7 @@ XLA-composed backend.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -290,9 +291,44 @@ def int8_matmul_ref(x8, w8, vecs, scalars, *, activation=None,
 # ---------------------------------------------------------------------------
 
 
+def _bf16_dots_ok(seq: int, head_dim: int) -> bool:
+    """Whether the bf16-operand dot path is exact for these shapes.
+
+    The bf16 path folds the payload shifts into the operands; its f32
+    accumulator must hold every partial sum as an exact integer. Worst
+    case per output element: phase 1 sums ``head_dim`` products <= 255^2,
+    phase 3 sums ``seq`` of them — both must stay < 2^24 (f32's exact
+    integer range). head_dim <= 128 always holds for the supported
+    families; seq is the binding constraint (<= 257, i.e. every bucket
+    up to 256).
+    """
+    return seq * 65025 < 2 ** 24 and head_dim * 65025 < 2 ** 24
+
+
+def _resolve_dots(dots: str, seq: int, head_dim: int) -> str:
+    """Resolve the attention ``dots`` mode.
+
+    ``'auto'`` picks the shifted-bf16-operand path whenever it is exact
+    for the shapes (A/B-measured 21% faster than the int8+corrections
+    path on v5e — scripts/attn_bf16_probe.py); the ``TQ_ATTN_DOTS`` env
+    var ('i8' | 'bf16', read at trace time) overrides for benchmarking.
+    An explicit 'bf16' on shapes where the f32 accumulator can't hold
+    the partial sums exactly is an error, never a silent approximation.
+    """
+    if dots == "auto":
+        env = os.environ.get("TQ_ATTN_DOTS", "")
+        dots = env if env in ("i8", "bf16") else (
+            "bf16" if _bf16_dots_ok(seq, head_dim) else "i8")
+    if dots == "bf16" and not _bf16_dots_ok(seq, head_dim):
+        raise ValueError(
+            f"dots='bf16' is not exact at seq={seq}, head_dim={head_dim} "
+            "(f32 accumulator would round; use dots='i8' or 'auto')")
+    return dots
+
+
 def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
                  scores_scr, *, n_batch, n_heads, seq, head_dim, skip_max,
-                 group=1):
+                 group=1, dots="i8"):
     """One batch-block cell: phased attention over all heads at once.
 
     The q/k/v refs are (n_batch*seq, H) int8 blocks — full hidden width,
@@ -327,24 +363,53 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
     for j in range(n_batch):
         rows = slice(j * seq, (j + 1) * seq)
         mask_j = mask_ref[pl.ds(base + j, 1), :]
+        if dots == "bf16":
+            # one shifted conversion per tile (p + shift, exact in bf16;
+            # see _attn_row) replaces ALL rank-1 correction work below
+            qj = (qkv_q[rows, :].astype(jnp.float32)
+                  + sv[1]).astype(jnp.bfloat16)
+            kj = (qkv_k[rows, :].astype(jnp.float32)
+                  + sv[3]).astype(jnp.bfloat16)
+            vj = (qkv_v[rows, :].astype(jnp.float32)
+                  + sv[5]).astype(jnp.bfloat16)
+        else:
+            qj, kj, vj = qkv_q[rows, :], qkv_k[rows, :], qkv_v[rows, :]
         out_ref[rows, :] = _attn_row(
-            qkv_q[rows, :], qkv_k[rows, :], qkv_v[rows, :], mask_j, sv,
+            qj, kj, vj, mask_j, sv,
             scores_scr, n_heads=n_heads, seq=seq, head_dim=head_dim,
-            skip_max=skip_max, group=group)
+            skip_max=skip_max, group=group, dots=dots)
 
 
 def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
-              head_dim, skip_max, group):
+              head_dim, skip_max, group, dots="i8"):
     """Attention phases for ONE batch row's (seq, H) q/k/v payload tiles;
     returns the (seq, H) int8 context-site payload. Shared by the
     standalone attention kernel and the fused attention megakernel.
 
-    The rank-1 payload-shift corrections apply in phase 1 per group, on
-    the f32 scratch. A/B-measured alternatives that LOST (round 3, v5e
-    model-level): int32 scratch with exact-integer corrections folded
-    into phase 2 on a (n_heads, seq, seq) reshape was 5% slower (3-D
-    int32 VPU adds cost more than the saved converts); group/batch-block
-    retunes (scripts/attn_sweep.py) confirmed g=2, bb=4 optimal.
+    ``dots="i8"``: int8-operand MXU dots plus rank-1 payload-shift
+    corrections applied in phase 1 per group, on the f32 scratch.
+    A/B-measured alternatives that LOST (round 3, v5e model-level):
+    int32 scratch with exact-integer corrections folded into phase 2 on
+    a (n_heads, seq, seq) reshape was 5% slower (3-D int32 VPU adds cost
+    more than the saved converts); group/batch-block retunes
+    (scripts/attn_sweep.py) confirmed g=2, bb=4 optimal.
+
+    ``dots="bf16"``: the q/k/v tiles arrive as SHIFTED bf16 levels
+    (payload + shift — exact: integers <= 256 are representable in
+    bf16's 8 mantissa bits), so each MXU dot computes the corrected
+    product directly:
+
+        (p_q + sh_q) . (p_k + sh_k) == p_q.p_k + sh_q*ksum + sh_k*qsum
+                                        + d*sh_q*sh_k
+
+    and ALL rank-1 correction work (sums, (seq, seq) broadcasts,
+    int32->f32 converts) vanishes. Bit-exact, not approximate: bf16 x
+    bf16 products are exact in f32 (16-bit product mantissa < 24) and
+    the f32 accumulation stays integer-exact for the shapes admitted by
+    :func:`_bf16_dots_ok`. Phase 2 emits the probs as shifted bf16
+    levels for the same reason (clip(round(x) - sh, -128, 127) + sh ==
+    clip(round(x), sh - 128, sh + 127), so the levels match the int8
+    payload's levels exactly).
     """
     (q_s, q_sh, k_s, k_sh, v_s, v_sh,
      sc_s, sc_sh, p_s, p_sh, c_s, c_sh) = sv
@@ -360,7 +425,25 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
                  for h in range(g)]
 
     # phase 1: q@k^T dots with the corrections applied in-register
-    if g > 1:
+    # (bf16 path: corrections are already folded into the operands)
+    if dots == "bf16" and g > 1:
+        for p in range(n_heads // g):
+            cols = slice(p * gw, (p + 1) * gw)
+            qp, kp = qj[:, cols], kj[:, cols]
+            qbd = jnp.concatenate(
+                [jnp.where(lmask[h], qp, 0) for h in range(g)], axis=0)
+            scores_scr[p * g * seq:(p + 1) * g * seq, :] = (
+                jax.lax.dot_general(
+                    qbd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+    elif dots == "bf16":
+        for hh in range(n_heads):
+            cols = slice(hh * head_dim, (hh + 1) * head_dim)
+            scores_scr[hh * seq:(hh + 1) * seq, :] = jax.lax.dot_general(
+                qj[:, cols], kj[:, cols],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    elif g > 1:
         for p in range(n_heads // g):
             cols = slice(p * gw, (p + 1) * gw)
             qp, kp = qj[:, cols], kj[:, cols]
@@ -421,16 +504,41 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
         m = jnp.max(s2, axis=1, keepdims=True)
         e = jnp.exp2(s2 - m)
     denom = jnp.sum(e, axis=1, keepdims=True)
-    p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)) - p_sh,
-                  -128.0, 127.0).astype(jnp.int8)
+    if dots == "bf16":
+        p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)),
+                      p_sh - 128.0, p_sh + 127.0).astype(jnp.bfloat16)
+    else:
+        p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)) - p_sh,
+                      -128.0, 127.0).astype(jnp.int8)
 
     # phase 3: p8 @ v8 dots; the (p_s v_s) dequant scale and the
     # context-site 1/c_s fold into one multiplier pv_over_c
     pv_over_c = p_s * v_s * (1.0 / c_s)
-    vsum = jnp.sum(vj.astype(jnp.float32), axis=0, keepdims=True)
-    psum = jnp.sum(p8.astype(jnp.float32), axis=1, keepdims=True)
+    if dots != "bf16":
+        vsum = jnp.sum(vj.astype(jnp.float32), axis=0, keepdims=True)
+        psum = jnp.sum(p8.astype(jnp.float32), axis=1, keepdims=True)
     ctx_heads = []
-    if g > 1:
+    if dots == "bf16" and g > 1:
+        for p in range(n_heads // g):
+            cols = slice(p * gw, (p + 1) * gw)
+            vp = vj[:, cols]
+            vbd = jnp.concatenate(
+                [jnp.where(lmask[h], vp, 0) for h in range(g)], axis=0)
+            ap = jnp.concatenate(
+                [p8[(p * g + h) * seq:(p * g + h + 1) * seq, :]
+                 for h in range(g)], axis=1)
+            ctx_heads.append(jax.lax.dot_general(
+                ap, vbd, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    elif dots == "bf16":
+        for hh in range(n_heads):
+            hrows = slice(hh * seq, (hh + 1) * seq)
+            cols = slice(hh * head_dim, (hh + 1) * head_dim)
+            ctx_heads.append(jax.lax.dot_general(
+                p8[hrows, :], vj[:, cols],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    elif g > 1:
         for p in range(n_heads // g):
             cols = slice(p * gw, (p + 1) * gw)
             vp = vj[:, cols]
@@ -470,7 +578,8 @@ def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
                     mask_bias: Array, scalars: Array, *, n_heads: int,
                     seq: int, hidden: int, batch_block: Optional[int],
                     skip_max: bool, interpret: bool,
-                    group: Optional[int] = None) -> Array:
+                    group: Optional[int] = None,
+                    dots: str = "auto") -> Array:
     """Shared pallas_call builder: each of q/k/v is an (M, n*hidden)
     array; ``cols`` picks the hidden-wide block column per input."""
     mt = q_arr.shape[0]
@@ -487,16 +596,24 @@ def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
         bb = batch_block
         while b % bb:
             bb = max(1, bb // 2)
+    dots = _resolve_dots(dots, seq, d)
     if group is None:
-        # smallest head-group whose contraction g*d fills the MXU's 128
-        # systolic depth (scripts/attn_group_probe.py: g=2 at d=64 is the
-        # sweet spot — larger g only inflates the zero-padding FLOPs)
-        group = 1
-        while d * group < 128 and n_heads % (group * 2) == 0:
-            group *= 2
+        if dots == "bf16":
+            # corrected products come straight off the MXU; the masking/
+            # concat work of grouping only costs (probe: g=1 1.25 ms vs
+            # g=2 1.37 at B=128/T=128 on v5e)
+            group = 1
+        else:
+            # smallest head-group whose contraction g*d fills the MXU's
+            # 128 systolic depth (scripts/attn_group_probe.py: g=2 at
+            # d=64 is the sweet spot — larger g only inflates the
+            # zero-padding FLOPs)
+            group = 1
+            while d * group < 128 and n_heads % (group * 2) == 0:
+                group *= 2
     kernel = functools.partial(_attn_kernel, n_batch=bb, n_heads=n_heads,
                                seq=seq, head_dim=d, skip_max=skip_max,
-                               group=group)
+                               group=group, dots=dots)
     grid = (b // bb,)
     spec = lambda col: pl.BlockSpec(  # noqa: E731
         (bb * seq, h), lambda i, col=col: (i, col),
@@ -528,13 +645,14 @@ def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "seq", "batch_block", "skip_max",
-                     "interpret", "group"))
+                     "interpret", "group", "dots"))
 def int8_attention(qkv8: Array, mask_bias: Array, scalars: Array, *,
                    n_heads: int, seq: int,
                    batch_block: Optional[int] = None,
                    skip_max: bool = False,
                    interpret: bool = False,
-                   group: Optional[int] = None) -> Array:
+                   group: Optional[int] = None,
+                   dots: str = "auto") -> Array:
     """Fused attention over the fused-QKV payload.
 
     ``qkv8``: (B*T, 3*H) int8 — columns [q | k | v], head-minor inside
@@ -547,13 +665,13 @@ def int8_attention(qkv8: Array, mask_bias: Array, scalars: Array, *,
     return _attention_call(qkv8, qkv8, qkv8, (0, 1, 2), mask_bias, scalars,
                            n_heads=n_heads, seq=seq, hidden=h,
                            batch_block=batch_block, skip_max=skip_max,
-                           interpret=interpret, group=group)
+                           interpret=interpret, group=group, dots=dots)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "seq", "hidden", "cols", "batch_block",
-                     "skip_max", "interpret", "group"))
+                     "skip_max", "interpret", "group", "dots"))
 def int8_attention_qkv(q_arr: Array, k_arr: Array, v_arr: Array,
                        mask_bias: Array, scalars: Array, *, n_heads: int,
                        seq: int, hidden: int,
@@ -561,7 +679,8 @@ def int8_attention_qkv(q_arr: Array, k_arr: Array, v_arr: Array,
                        batch_block: Optional[int] = None,
                        skip_max: bool = False,
                        interpret: bool = False,
-                       group: Optional[int] = None) -> Array:
+                       group: Optional[int] = None,
+                       dots: str = "auto") -> Array:
     """Attention over SEPARATE q/k/v payload arrays (MobileBERT: q and k
     come from a fused [q|k] matmul over the shared bottleneck while v is
     its own matmul). ``cols[i]`` selects the ``hidden``-wide block column
@@ -570,7 +689,7 @@ def int8_attention_qkv(q_arr: Array, k_arr: Array, v_arr: Array,
     return _attention_call(q_arr, k_arr, v_arr, cols, mask_bias, scalars,
                            n_heads=n_heads, seq=seq, hidden=hidden,
                            batch_block=batch_block, skip_max=skip_max,
-                           interpret=interpret, group=group)
+                           interpret=interpret, group=group, dots=dots)
 
 
 def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
@@ -1170,7 +1289,7 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
                       wo_ref, vo_ref, so_ref, gb_ref, ln_smem_ref, *rest,
                       n_batch, n_heads, seq, head_dim,
                       skip_max, group, w4q, w4o, eps, res_quant, norm,
-                      ln_out="emit", ln_bits=8, lnv=False):
+                      ln_out="emit", ln_bits=8, lnv=False, dots="i8"):
     """One (n_batch*seq, H) cell through the whole attention block.
 
     Stage 1 == :func:`_mm_kernel` (out_mode='emit') for the fused q|k|v
@@ -1204,10 +1323,21 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
     for j in range(n_batch):
         rows = slice(j * seq, (j + 1) * seq)
         mask_j = mask_ref[pl.ds(base + j, 1), :]
+        if dots == "bf16":
+            # shifted-bf16 levels (see _attn_row): the corrected products
+            # come straight off the MXU, no rank-1 correction work
+            qr = (qkv8[rows, 0:h].astype(jnp.float32)
+                  + sv[1]).astype(jnp.bfloat16)
+            kr = (qkv8[rows, h:2 * h].astype(jnp.float32)
+                  + sv[3]).astype(jnp.bfloat16)
+            vr = (qkv8[rows, 2 * h:3 * h].astype(jnp.float32)
+                  + sv[5]).astype(jnp.bfloat16)
+        else:
+            qr, kr, vr = (qkv8[rows, 0:h], qkv8[rows, h:2 * h],
+                          qkv8[rows, 2 * h:3 * h])
         c8_rows.append(_attn_row(
-            qkv8[rows, 0:h], qkv8[rows, h:2 * h], qkv8[rows, 2 * h:3 * h],
-            mask_j, sv, scores_scr, n_heads=n_heads, seq=seq,
-            head_dim=head_dim, skip_max=skip_max, group=group))
+            qr, kr, vr, mask_j, sv, scores_scr, n_heads=n_heads, seq=seq,
+            head_dim=head_dim, skip_max=skip_max, group=group, dots=dots))
     c8 = jnp.concatenate(c8_rows, axis=0)
 
     o_s, o_sh = so_ref[0, 0], so_ref[0, 1]
@@ -1232,7 +1362,7 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
     jax.jit,
     static_argnames=("n_heads", "seq", "eps", "res_quant", "batch_block",
                      "skip_max", "group", "interpret", "w4q", "w4o",
-                     "norm", "ln_out", "ln_bits", "out_dtype"))
+                     "norm", "ln_out", "ln_bits", "out_dtype", "dots"))
 def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
                  mask_bias: Array, attn_scal: Array, wo: Array, vo: Array,
                  so: Array, gb: Array, ln_scalars: Array,
@@ -1242,7 +1372,8 @@ def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
                  group: Optional[int] = None, interpret: bool = False,
                  w4q: bool = False, w4o: bool = False,
                  norm: str = "layernorm", ln_out: str = "emit",
-                 ln_bits: int = 8, out_dtype=jnp.bfloat16) -> Array:
+                 ln_bits: int = 8, out_dtype=jnp.bfloat16,
+                 dots: str = "auto") -> Array:
     """Fused attention block: (payload q|k|v matmul -> site payloads ->
     attention -> attn_out matmul -> fold-site fake-quant -> +layer-input
     residual -> res-site fake-quant -> LayerNorm -> ln-site payload).
@@ -1271,15 +1402,19 @@ def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
         bb = batch_block
         while b % bb:
             bb = max(1, bb // 2)
+    dots = _resolve_dots(dots, seq, d)
     if group is None:
-        group = 1
-        while d * group < 128 and n_heads % (group * 2) == 0:
-            group *= 2
+        if dots == "bf16":
+            group = 1
+        else:
+            group = 1
+            while d * group < 128 and n_heads % (group * 2) == 0:
+                group *= 2
     kernel = functools.partial(
         _attn_mega_kernel, n_batch=bb, n_heads=n_heads, seq=seq,
         head_dim=d, skip_max=skip_max, group=group, w4q=w4q, w4o=w4o,
         eps=eps, res_quant=res_quant, norm=norm, ln_out=ln_out,
-        ln_bits=ln_bits, lnv=lnv is not None)
+        ln_bits=ln_bits, lnv=lnv is not None, dots=dots)
     blk = lambda r, c: pl.BlockSpec(  # noqa: E731
         (r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
