@@ -45,12 +45,51 @@ def _sync(out):
 
 
 def timed(fn, *args, iters=20, warmup=3):
+    """Per-dispatch wall timing: one host->device dispatch per step."""
     for _ in range(warmup):
         out = fn(*args)
     _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def timed_loop(fn, *args, iters=20):
+    """Device-throughput timing: ``iters`` steps inside ONE jitted
+    lax.fori_loop program.
+
+    Each iteration rotates ``input_ids`` by one row and folds one logit
+    into a carried accumulator, so XLA can neither hoist the body out of
+    the loop nor dead-code it (the rotate costs a 64 KB copy —
+    negligible). This measures what the metric claims — per-chip
+    throughput: the axon tunnel used in this sandbox adds ~2 ms of
+    synchronous RPC per dispatch that a locally-attached TPU does not
+    pay (profiler device-program span 15.6 ms vs 17.4 ms wall at
+    B=128/S=128). The per-dispatch number is still measured and
+    published in the detail fields for cross-round comparability.
+
+    The last positional arg must be the batch dict (all step fns here
+    take it last).
+    """
+    *closure, batch = args
+
+    @jax.jit
+    def run(closure, batch):
+        def body(i, carry):
+            ids, acc = carry
+            out = fn(*closure, dict(batch, input_ids=ids))
+            return (jnp.roll(ids, 1, axis=0),
+                    acc + out.ravel()[0].astype(jnp.float32))
+
+        _, acc = jax.lax.fori_loop(
+            0, iters, body, (batch["input_ids"], jnp.float32(0.0)))
+        return acc
+
+    _sync(run(closure, batch))  # compile + warm
+    t0 = time.perf_counter()
+    out = run(closure, batch)
     _sync(out)
     return (time.perf_counter() - t0) / iters
 
@@ -170,10 +209,10 @@ def main():
         out, _ = B.bert_apply(params, batch, cfg, None, None, fp_mode)
         return out["logits"]
 
-    def measure(name, fn, *a):
+    def measure(name, fn, *a, how=timed_loop):
         t0 = time.perf_counter()
         try:
-            t = timed(fn, *a, iters=args.iters)
+            t = how(fn, *a, iters=args.iters)
         except Exception as e:  # keep the artifact even if one path breaks
             print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr, flush=True)
@@ -188,6 +227,10 @@ def main():
     # BOTH unquantized alternatives it must beat
     t_sim = measure("sim", sim_step, params, batch)
     t_eng = measure("engine", engine_step, params, plan, int_params, batch)
+    # per-dispatch wall time of the engine (r01-r03 methodology): the
+    # delta vs the loop measurement is the sandbox tunnel's RPC cost
+    t_eng_disp = measure("engine_dispatch", engine_step, params, plan,
+                         int_params, batch, how=timed)
     t_bf16 = measure("bf16_dense", bf16_step, params_bf16, batch)
 
     @jax.jit
@@ -283,6 +326,12 @@ def main():
             "baseline": "reference workload = W8A8 fake-quant simulation",
             "simulation_seq_per_sec": sps(t_sim),
             "engine_seq_per_sec": sps(t_eng),
+            "engine_dispatch_seq_per_sec": sps(t_eng_disp),
+            "dispatch_overhead_ms": (
+                round((t_eng_disp - t_eng) * 1e3, 2)
+                if t_eng and t_eng_disp else None),
+            "timing": "fori_loop device throughput (dispatch_* fields = "
+                      "r01-r03 per-dispatch wall methodology)",
             "engine_backend": backend,
             "bf16_dense_seq_per_sec": sps(t_bf16),
             "speedup_vs_bf16_dense": (round(t_bf16 / t_best, 3)

@@ -52,14 +52,15 @@ def main():
         "attention_mask": jnp.ones((batch, seq), jnp.float32),
         "token_type_ids": jnp.zeros((batch, seq), jnp.int32),
     }
-    orig = EK.int8_attn_ln
+    orig = EK.int8_layer_ln
 
-    for g, bb in [(2, 4), (2, 2), (2, 8), (4, 4), (4, 2), (1, 4),
-                  (2, 1), (4, 1)]:
+    # round 4: the engine's layer route is int8_layer_ln and the default
+    # dots mode is shifted-bf16 (group=1 auto); sweep its tiling knobs
+    for g, bb in [(1, 4), (1, 2), (1, 8), (2, 4), (2, 8), (1, 16)]:
         def patched(*a, group=None, batch_block=None, **k):
             return orig(*a, group=g, batch_block=bb, **k)
 
-        EK.int8_attn_ln = patched
+        EK.int8_layer_ln = patched
 
         @jax.jit
         def step(params, plan, int_params, b):
@@ -74,7 +75,7 @@ def main():
         except Exception as e:
             print(f"group={g} bb={bb}: FAILED {type(e).__name__}: "
                   f"{str(e)[:140]}", flush=True)
-    EK.int8_attn_ln = orig
+    EK.int8_layer_ln = orig
 
 
 if __name__ == "__main__":

@@ -345,6 +345,46 @@ def test_attn_megakernel_bit_equals_separate_chain(tiny_setup):
                                           np.asarray(want))
 
 
+def test_layer_megakernel_bit_equals_two_kernel_chain(tiny_setup):
+    """int8_layer_ln == int8_attn_ln -> int8_ffn_ln (with the FFN's
+    input as its own residual), bit-for-bit, for both dots modes and in
+    both the oracle and the pallas-interpret kernel."""
+    cfg, params, qcfg, qstate, static, plan, *_ = tiny_setup
+    lp = plan["layers"][0]
+    rng = np.random.RandomState(17)
+    b, t, h = 4, 16, cfg.hidden_size
+    x8 = jnp.asarray(rng.randint(-128, 128, (b * t, h)), jnp.int8)
+    mask = jnp.asarray((np.arange(t)[None, :] < [[5], [16], [9], [12]]),
+                       jnp.float32)
+    bias = (1.0 - mask) * -10000.0
+    act = {"gelu": "gelu_new"}.get(cfg.hidden_act, cfg.hidden_act)
+    hx = EK.int8_attn_ln_ref(
+        x8, lp["qkv"]["w"], lp["qkv"]["vecs"], lp["qkv"]["scal"], bias,
+        lp["attn_scal"], lp["attn_out"]["w"], lp["attn_out"]["vecs"],
+        lp["attn_out"]["scal"], lp["ln1"]["gb"], lp["ln1"]["scal"],
+        n_heads=cfg.num_attention_heads, seq=t, eps=static.ln_eps,
+        res_quant=True, skip_max=static.attn_skip_max)
+    want = EK.int8_ffn_ln_ref(
+        hx, lp["inter"]["w"], lp["inter"]["vecs"], lp["inter"]["scal"],
+        lp["dense"]["w"], lp["dense"]["vecs"], lp["dense"]["scal"], hx,
+        lp["ln2"]["gb"], lp["ln2"]["scal"], activation=act,
+        eps=static.ln_eps, res_quant=True)
+    args = (x8, lp["qkv"]["w"], lp["qkv"]["vecs"], lp["qkv"]["scal"],
+            bias, lp["attn_scal"], lp["attn_out"]["w"],
+            lp["attn_out"]["vecs"], lp["attn_out"]["scal"],
+            lp["ln1"]["gb"], lp["ln1"]["scal"],
+            lp["inter"]["w"], lp["inter"]["vecs"], lp["inter"]["scal"],
+            lp["dense"]["w"], lp["dense"]["vecs"], lp["dense"]["scal"],
+            lp["ln2"]["gb"], lp["ln2"]["scal"])
+    kw = dict(n_heads=cfg.num_attention_heads, seq=t, eps=static.ln_eps,
+              activation=act, skip_max=static.attn_skip_max)
+    got_ref = EK.int8_layer_ln_ref(*args, **kw)
+    np.testing.assert_array_equal(np.asarray(got_ref), np.asarray(want))
+    for dots in ("i8", "bf16"):
+        got_k = EK.int8_layer_ln(*args, interpret=True, dots=dots, **kw)
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want))
+
+
 def test_w4a8_engine_megakernels_interpret_matches_xla():
     """W4A8 (packed-int4 weights) through the full engine: the megakernel
     w4 branches (w4q/w4o/w4i/w4d) agree with the XLA-composed oracle."""

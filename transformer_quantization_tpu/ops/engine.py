@@ -543,16 +543,21 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
             continue
 
         if fuse_attn:
-            h8 = EK.int8_attn_ln(
+            # the WHOLE layer in one launch (attention block + FFN
+            # block): each Mosaic launch costs ~75 us of sequencer gap
+            # and the inter-block (M, H) payload HBM round-trip
+            h8 = EK.int8_layer_ln(
                 h8, lp["qkv"]["w"], lp["qkv"]["vecs"], lp["qkv"]["scal"],
                 mask_bias, lp["attn_scal"], lp["attn_out"]["w"],
                 lp["attn_out"]["vecs"], lp["attn_out"]["scal"],
                 lp["ln1"]["gb"], lp["ln1"]["scal"],
+                lp["inter"]["w"], lp["inter"]["vecs"], lp["inter"]["scal"],
+                lp["dense"]["w"], lp["dense"]["vecs"], lp["dense"]["scal"],
+                lp["ln2"]["gb"], lp["ln2"]["scal"],
                 n_heads=static.n_heads, seq=t, eps=static.ln_eps,
-                res_quant=res1, skip_max=static.attn_skip_max,
-                interpret=interpret, w4q=qkv_w4, w4o=ao_w4)
-            h8 = ffn_block(h8, lp["inter"], lp["dense"], h8, lp["ln2"],
-                           res2, inter_w4, dense_w4)
+                activation=hidden_act, res1=res1, res2=res2,
+                skip_max=static.attn_skip_max, interpret=interpret,
+                w4q=qkv_w4, w4o=ao_w4, w4i=inter_w4, w4d=dense_w4)
             continue
         qkv8 = _mm(mm_be, interpret, h8, lp["qkv"], activation=None,
                    out_mode="emit", out_dtype=out_dtype, w4=qkv_w4)

@@ -1313,8 +1313,19 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
     acc = _int_dot(x8, wq_ref, w4q)
     y = (in_s * vq_ref[0, :]) * (acc + in_shift * vq_ref[1, :])
     y = y + vq_ref[2, :]
-    qkv8 = jnp.clip(jnp.round(y * (1.0 / vq_ref[3, :])) - vq_ref[4, :],
-                    -128.0, 127.0).astype(jnp.int8)
+    if dots == "bf16":
+        # emit the SHIFTED bf16 levels directly: the per-column requant
+        # shift vq[4] on the q/k/v thirds IS the per-site scalar shift
+        # sv[1]/sv[3]/sv[5] (both come from the same act sites), and
+        # clip(round(x) - sh, -128, 127) + sh ==
+        # clip(round(x), sh - 128, sh + 127) — so this skips the int8
+        # payload round trip (subtract, cast, re-add) bit-exactly
+        qkv8 = jnp.clip(jnp.round(y * (1.0 / vq_ref[3, :])),
+                        vq_ref[4, :] - 128.0,
+                        vq_ref[4, :] + 127.0).astype(jnp.bfloat16)
+    else:
+        qkv8 = jnp.clip(jnp.round(y * (1.0 / vq_ref[3, :])) - vq_ref[4, :],
+                        -128.0, 127.0).astype(jnp.int8)
 
     sv = tuple(asm_ref[0, i] for i in range(12))
     base = pl.program_id(0) * n_batch
@@ -1323,20 +1334,9 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
     for j in range(n_batch):
         rows = slice(j * seq, (j + 1) * seq)
         mask_j = mask_ref[pl.ds(base + j, 1), :]
-        if dots == "bf16":
-            # shifted-bf16 levels (see _attn_row): the corrected products
-            # come straight off the MXU, no rank-1 correction work
-            qr = (qkv8[rows, 0:h].astype(jnp.float32)
-                  + sv[1]).astype(jnp.bfloat16)
-            kr = (qkv8[rows, h:2 * h].astype(jnp.float32)
-                  + sv[3]).astype(jnp.bfloat16)
-            vr = (qkv8[rows, 2 * h:3 * h].astype(jnp.float32)
-                  + sv[5]).astype(jnp.bfloat16)
-        else:
-            qr, kr, vr = (qkv8[rows, 0:h], qkv8[rows, h:2 * h],
-                          qkv8[rows, 2 * h:3 * h])
         c8_rows.append(_attn_row(
-            qr, kr, vr, mask_j, sv, scores_scr, n_heads=n_heads, seq=seq,
+            qkv8[rows, 0:h], qkv8[rows, h:2 * h], qkv8[rows, 2 * h:3 * h],
+            mask_j, sv, scores_scr, n_heads=n_heads, seq=seq,
             head_dim=head_dim, skip_max=skip_max, group=group, dots=dots))
     c8 = jnp.concatenate(c8_rows, axis=0)
 
@@ -1452,6 +1452,180 @@ def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
             vmem_limit_bytes=_VMEM_LIMIT)),
         interpret=interpret,
     )(*args)
+
+
+def _layer_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
+                  wo_ref, vo_ref, so_ref, gb1_ref, ln1_ref,
+                  wi_ref, vi_ref, si_ref, wd_ref, vd_ref, sd_ref,
+                  gb2_ref, ln2_ref, out_ref, scores_scr, *,
+                  n_batch, n_heads, seq, head_dim, skip_max, group,
+                  w4q, w4o, w4i, w4d, eps, res1, res2, norm, activation,
+                  dots):
+    """One (n_batch*seq, H) cell through a WHOLE encoder layer.
+
+    Stage A == :func:`_attn_mega_kernel` (all-int8 form) producing the
+    attention block's ln payload in-register; stage B == :func:`_ffn_kernel`
+    with BOTH its input and its residual being that payload (the engine
+    loop always feeds the FFN block its own input as the residual). One
+    launch per layer instead of two: each Mosaic launch costs ~75 us of
+    sequencer gap at B=128/S=128 (profiler per-op sum 15.6 ms vs 17.4 ms
+    wall over 24 launches), and the (M, H) inter-block payload round-trip
+    through HBM disappears too. Bit-identical to int8_attn_ln ->
+    int8_ffn_ln.
+    """
+    # ---- stage A: attention block ----
+    x8 = x_ref[:]
+    y = _mm_body(x8, wq_ref, vq_ref, sq_ref, w4=w4q, in_mode="i8")
+    if dots == "bf16":
+        # shifted bf16 levels, directly (see _attn_mega_kernel)
+        qkv8 = jnp.clip(jnp.round(y * (1.0 / vq_ref[3, :])),
+                        vq_ref[4, :] - 128.0,
+                        vq_ref[4, :] + 127.0).astype(jnp.bfloat16)
+    else:
+        qkv8 = jnp.clip(jnp.round(y * (1.0 / vq_ref[3, :])) - vq_ref[4, :],
+                        -128.0, 127.0).astype(jnp.int8)
+    sv = tuple(asm_ref[0, i] for i in range(12))
+    base = pl.program_id(0) * n_batch
+    h = n_heads * head_dim
+    c8_rows = []
+    for j in range(n_batch):
+        rows = slice(j * seq, (j + 1) * seq)
+        mask_j = mask_ref[pl.ds(base + j, 1), :]
+        c8_rows.append(_attn_row(
+            qkv8[rows, 0:h], qkv8[rows, h:2 * h], qkv8[rows, 2 * h:3 * h],
+            mask_j, sv, scores_scr, n_heads=n_heads, seq=seq,
+            head_dim=head_dim, skip_max=skip_max, group=group, dots=dots))
+    c8 = jnp.concatenate(c8_rows, axis=0)
+    y2 = _mm_body(c8, wo_ref, vo_ref, so_ref, w4=w4o, in_mode="i8")
+    r2 = jnp.clip(jnp.round(y2 * (1.0 / vo_ref[3, :])) - vo_ref[4, :],
+                  -128.0, 127.0)
+    y2 = vo_ref[3, :] * (r2 + vo_ref[4, :])
+    r_s, r_sh = ln1_ref[0, 2], ln1_ref[0, 3]
+    y2 = y2 + r_s * (x8.astype(jnp.float32) + r_sh)
+    q1, _, _ = _ln_body(y2, gb1_ref, _site_vals(ln1_ref, None),
+                        eps=eps, res_quant=res1, norm=norm)
+    hx8 = q1.astype(jnp.int8)
+
+    # ---- stage B: FFN block (input == residual == hx8) ----
+    y3 = _mm_body(hx8, wi_ref, vi_ref, si_ref, w4=w4i, in_mode="i8")
+    act = _ACTS[activation]
+    if act is not None:
+        y3 = act(y3)
+    i8 = jnp.clip(jnp.round(y3 * (1.0 / vi_ref[3, :])) - vi_ref[4, :],
+                  -128.0, 127.0).astype(jnp.int8)
+    y4 = _mm_body(i8, wd_ref, vd_ref, sd_ref, w4=w4d, in_mode="i8")
+    r4 = jnp.clip(jnp.round(y4 * (1.0 / vd_ref[3, :])) - vd_ref[4, :],
+                  -128.0, 127.0)
+    y4 = vd_ref[3, :] * (r4 + vd_ref[4, :])
+    r_s2, r_sh2 = ln2_ref[0, 2], ln2_ref[0, 3]
+    y4 = y4 + r_s2 * (hx8.astype(jnp.float32) + r_sh2)
+    q2, _, _ = _ln_body(y4, gb2_ref, _site_vals(ln2_ref, None),
+                        eps=eps, res_quant=res2, norm=norm)
+    out_ref[:] = q2.astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "seq", "eps", "activation", "res1", "res2",
+                     "batch_block", "skip_max", "group", "interpret",
+                     "w4q", "w4o", "w4i", "w4d", "norm", "dots"))
+def int8_layer_ln(x8: Array, wq: Array, vq: Array, sq: Array,
+                  mask_bias: Array, attn_scal: Array, wo: Array, vo: Array,
+                  so: Array, gb1: Array, ln1_scal: Array,
+                  wi: Array, vi: Array, si: Array, wd: Array, vd: Array,
+                  sd: Array, gb2: Array, ln2_scal: Array, *, n_heads: int,
+                  seq: int, eps: float, activation: str,
+                  res1: bool = True, res2: bool = True,
+                  batch_block: Optional[int] = None, skip_max: bool = False,
+                  group: Optional[int] = None, interpret: bool = False,
+                  w4q: bool = False, w4o: bool = False, w4i: bool = False,
+                  w4d: bool = False, norm: str = "layernorm",
+                  dots: str = "auto") -> Array:
+    """A WHOLE encoder layer in one kernel launch.
+
+    Argument layout = :func:`int8_attn_ln`'s (through ``ln1_scal``)
+    followed by :func:`int8_ffn_ln`'s matmul plans (``wi``..``ln2_scal``;
+    no residual arg — the FFN block's residual is its own input). All-int8
+    layers only (flex/PEG layers keep the two-kernel route). Bit-identical
+    to int8_attn_ln -> int8_ffn_ln.
+    """
+    mt, hdim = x8.shape
+    b = mt // seq
+    d = hdim // n_heads
+    n3 = vq.shape[1]
+    n1 = vi.shape[1]
+    if batch_block is None:
+        bb = 1
+        while b % (bb * 2) == 0 and (bb * 2) * seq <= 512:
+            bb *= 2
+    else:
+        bb = batch_block
+        while b % bb:
+            bb = max(1, bb // 2)
+    dots = _resolve_dots(dots, seq, d)
+    if group is None:
+        if dots == "bf16":
+            group = 1
+        else:
+            group = 1
+            while d * group < 128 and n_heads % (group * 2) == 0:
+                group *= 2
+    kernel = functools.partial(
+        _layer_kernel, n_batch=bb, n_heads=n_heads, seq=seq, head_dim=d,
+        skip_max=skip_max, group=group, w4q=w4q, w4o=w4o, w4i=w4i,
+        w4d=w4d, eps=eps, res1=res1, res2=res2, norm=norm,
+        activation=activation, dots=dots)
+    blk = lambda r, c: pl.BlockSpec(  # noqa: E731
+        (r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    in_specs = [
+        blk(bb * seq, hdim),                           # x8
+        full(wq.shape), full((5, n3)), smem((1, 2)),   # qkv matmul
+        full((b, seq)),                                # mask
+        smem((1, 12)),                                 # attention sites
+        full(wo.shape), full((5, hdim)), smem((1, 2)),  # attn_out matmul
+        full((2, hdim)), smem((1, 8)),                 # ln1
+        full(wi.shape), full((5, n1)), smem((1, 2)),   # inter matmul
+        full(wd.shape), full((5, hdim)), smem((1, 2)),  # dense matmul
+        full((2, hdim)), smem((1, 8)),                 # ln2
+    ]
+    args = [x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so, gb1,
+            ln1_scal, wi, vi, si, wd, vd, sd, gb2, ln2_scal]
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=in_specs,
+        out_specs=blk(bb * seq, hdim),
+        out_shape=jax.ShapeDtypeStruct((mt, hdim), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((n_heads * seq, seq), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mt * hdim * (n3 + hdim) + 2 * mt * n1 * 2 * hdim
+            + 4 * b * n_heads * seq * seq * d + 50 * mt * hdim,
+            bytes_accessed=2 * mt * hdim + n3 * hdim + hdim * hdim
+            + 2 * n1 * hdim + b * seq * 4,
+            transcendentals=b * n_heads * seq * seq + mt * n1 + 2 * mt),
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)),
+        interpret=interpret,
+    )(*args)
+
+
+def int8_layer_ln_ref(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so,
+                      gb1, ln1_scal, wi, vi, si, wd, vd, sd, gb2,
+                      ln2_scal, *, n_heads, seq, eps, activation,
+                      res1=True, res2=True, skip_max=False, w4q=False,
+                      w4o=False, w4i=False, w4d=False, norm="layernorm"):
+    """jnp oracle / XLA-composed backend for :func:`int8_layer_ln`."""
+    hx8 = int8_attn_ln_ref(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo,
+                           so, gb1, ln1_scal, n_heads=n_heads, seq=seq,
+                           eps=eps, res_quant=res1, skip_max=skip_max,
+                           w4q=w4q, w4o=w4o, norm=norm)
+    return int8_ffn_ln_ref(hx8, wi, vi, si, wd, vd, sd, hx8, gb2,
+                           ln2_scal, activation=activation, eps=eps,
+                           res_quant=res2, w4i=w4i, w4d=w4d, norm=norm)
 
 
 def int8_attn_ln_ref(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so,
