@@ -205,3 +205,14 @@ def test_engine_parity(attn_case, cfg_kw):
     np.testing.assert_allclose(np.asarray(out_pl["logits"]),
                                np.asarray(out["logits"]),
                                rtol=1e-4, atol=1e-4)
+    # the whole-layer megakernel (the default pallas route) is
+    # bit-identical to the per-op kernel chain
+    hin = jnp.asarray(np.random.RandomState(11).randn(
+        4, 16, cfg.hidden_size).astype(np.float32))
+    bias = (1.0 - batch["attention_mask"]) * -10000.0
+    fused = M.mobilebert_encoder_engine(hin, bias, static, plan,
+                                        backend="pallas", interpret=True)
+    chain = M.mobilebert_encoder_engine(hin, bias, static, plan,
+                                        backend="pallas", interpret=True,
+                                        fuse_layer=False)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(chain))

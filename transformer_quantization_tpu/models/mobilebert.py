@@ -941,8 +941,14 @@ def mobilebert_encoder_engine(h: Array, mask_bias: Array,
                               static: MobileBertEngineStatic, plan: Dict, *,
                               backend: str = "pallas",
                               out_dtype=jnp.float32,
-                              interpret: bool = False) -> Array:
-    """Run the MobileBERT encoder stack on int8 payloads."""
+                              interpret: bool = False,
+                              fuse_layer: Optional[bool] = None) -> Array:
+    """Run the MobileBERT encoder stack on int8 payloads.
+
+    ``fuse_layer``: run each layer as ONE kernel (int8_mb_layer_ln;
+    default on the all-pallas backend, bit-identical to the per-op
+    chain); ``False`` forces the chain (used by the equivalence test).
+    """
     from transformer_quantization_tpu.ops import engine as ENG
     from transformer_quantization_tpu.ops.pallas import engine_kernels as EK
 
@@ -1000,8 +1006,24 @@ def mobilebert_encoder_engine(h: Array, mask_bias: Array,
             dp["scal"], r8, np_["gb"], np_["scal"], activation=act,
             eps=0.0, res_quant=res_quant, norm="nonorm", w4i=w4i, w4d=w4d)
 
+    if fuse_layer is None:
+        fuse_layer = mm_be == attn_be == ln_be == "pallas"
     for i, lp in enumerate(plan["layers"]):
         res_ao, res_ffn, res_out, res_obn = static.res_quant[i]
+        if fuse_layer:
+            # the WHOLE inverted-bottleneck layer in one kernel launch:
+            # MobileBERT's ~10 small per-layer kernels each round-trip an
+            # (M, 128/512) payload through HBM; the fusion keeps every
+            # intermediate in VMEM (bit-identical to the chain below)
+            h8 = EK.int8_mb_layer_ln(
+                h8, mask_bias, lp["attn_scal"],
+                EK.mb_layer_flat(lp, static.attn_case),
+                n_heads=static.n_heads, seq=t, hidden=static.hidden,
+                attn_case=static.attn_case, activation=act,
+                res=static.res_quant[i], w4=static.w4[i],
+                n_ffn=static.n_ffn, skip_max=static.attn_skip_max,
+                interpret=interpret)
+            continue
         w4s = list(static.w4[i])
         w4 = lambda: w4s.pop(0)  # noqa: E731 — plan order
 

@@ -923,6 +923,42 @@ def fused_add_ln_payload(y8: Array, r8: Array, gb: Array, scalars: Array, *,
 # ---------------------------------------------------------------------------
 
 
+def _mm_norm_val(x8, w_ref, vec_ref, smem_ref, r8, gb_ref, ln_smem_ref, *,
+                 eps, res_quant, w4, norm):
+    """Value-level residual-feeding matmul + add + norm: ``x8``/``r8``
+    are in-register tiles (``r8`` None = no residual); returns the int8
+    norm-site payload tile. Shared by the standalone kernels and the
+    whole-layer megakernels."""
+    y = _mm_body(x8, w_ref, vec_ref, smem_ref, w4=w4, in_mode="i8")
+    # fold-site fake-quant (the producing matmul's .out site)
+    r = jnp.clip(jnp.round(y * (1.0 / vec_ref[3, :])) - vec_ref[4, :],
+                 -128.0, 127.0)
+    y = vec_ref[3, :] * (r + vec_ref[4, :])
+    if r8 is not None:
+        r_s, r_sh = ln_smem_ref[0, 2], ln_smem_ref[0, 3]
+        y = y + r_s * (r8.astype(jnp.float32) + r_sh)
+    q, _, _ = _ln_body(y, gb_ref, _site_vals(ln_smem_ref, None), eps=eps,
+                       res_quant=res_quant, norm=norm)
+    return q.astype(jnp.int8)
+
+
+def _mm_emit(x8, w_ref, vec_ref, smem_ref, *, w4, dots, activation=None):
+    """Value-level matmul emitting the out-site payload: int8 (the
+    payload protocol) or the SHIFTED bf16 levels the bf16-dots attention
+    consumes directly (see :func:`_attn_row`; bit-exact because the
+    per-column requant shift vec[4] IS the consuming site's shift)."""
+    y = _mm_body(x8, w_ref, vec_ref, smem_ref, w4=w4, in_mode="i8")
+    act = _ACTS[activation]
+    if act is not None:
+        y = act(y)
+    if dots == "bf16":
+        return jnp.clip(jnp.round(y * (1.0 / vec_ref[3, :])),
+                        vec_ref[4, :] - 128.0,
+                        vec_ref[4, :] + 127.0).astype(jnp.bfloat16)
+    return jnp.clip(jnp.round(y * (1.0 / vec_ref[3, :])) - vec_ref[4, :],
+                    -128.0, 127.0).astype(jnp.int8)
+
+
 def _mm_norm_core(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
                   ln_smem_ref, out_ref, *, eps, res_quant, w4, norm):
     """Residual-feeding matmul with the whole add+norm epilogue fused.
@@ -936,17 +972,10 @@ def _mm_norm_core(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
     HBM and the norm pass's read of it disappears (measured 4.17 ms/step
     across 24 separate add+LN launches at B=128, S=128).
     """
-    y = _mm_body(x_ref[:], w_ref, vec_ref, smem_ref, w4=w4, in_mode="i8")
-    # fold-site fake-quant (the producing matmul's .out site)
-    r = jnp.clip(jnp.round(y * (1.0 / vec_ref[3, :])) - vec_ref[4, :],
-                 -128.0, 127.0)
-    y = vec_ref[3, :] * (r + vec_ref[4, :])
-    if r_ref is not None:
-        r_s, r_sh = ln_smem_ref[0, 2], ln_smem_ref[0, 3]
-        y = y + r_s * (r_ref[:].astype(jnp.float32) + r_sh)
-    q, _, _ = _ln_body(y, gb_ref, _site_vals(ln_smem_ref, None), eps=eps,
-                       res_quant=res_quant, norm=norm)
-    out_ref[:] = q.astype(jnp.int8)
+    out_ref[:] = _mm_norm_val(
+        x_ref[:], w_ref, vec_ref, smem_ref,
+        r_ref[:] if r_ref is not None else None, gb_ref, ln_smem_ref,
+        eps=eps, res_quant=res_quant, w4=w4, norm=norm)
 
 
 def _mm_add_ln_kernel(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
@@ -1475,15 +1504,7 @@ def _layer_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
     """
     # ---- stage A: attention block ----
     x8 = x_ref[:]
-    y = _mm_body(x8, wq_ref, vq_ref, sq_ref, w4=w4q, in_mode="i8")
-    if dots == "bf16":
-        # shifted bf16 levels, directly (see _attn_mega_kernel)
-        qkv8 = jnp.clip(jnp.round(y * (1.0 / vq_ref[3, :])),
-                        vq_ref[4, :] - 128.0,
-                        vq_ref[4, :] + 127.0).astype(jnp.bfloat16)
-    else:
-        qkv8 = jnp.clip(jnp.round(y * (1.0 / vq_ref[3, :])) - vq_ref[4, :],
-                        -128.0, 127.0).astype(jnp.int8)
+    qkv8 = _mm_emit(x8, wq_ref, vq_ref, sq_ref, w4=w4q, dots=dots)
     sv = tuple(asm_ref[0, i] for i in range(12))
     base = pl.program_id(0) * n_batch
     h = n_heads * head_dim
@@ -1496,32 +1517,15 @@ def _layer_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
             mask_j, sv, scores_scr, n_heads=n_heads, seq=seq,
             head_dim=head_dim, skip_max=skip_max, group=group, dots=dots))
     c8 = jnp.concatenate(c8_rows, axis=0)
-    y2 = _mm_body(c8, wo_ref, vo_ref, so_ref, w4=w4o, in_mode="i8")
-    r2 = jnp.clip(jnp.round(y2 * (1.0 / vo_ref[3, :])) - vo_ref[4, :],
-                  -128.0, 127.0)
-    y2 = vo_ref[3, :] * (r2 + vo_ref[4, :])
-    r_s, r_sh = ln1_ref[0, 2], ln1_ref[0, 3]
-    y2 = y2 + r_s * (x8.astype(jnp.float32) + r_sh)
-    q1, _, _ = _ln_body(y2, gb1_ref, _site_vals(ln1_ref, None),
-                        eps=eps, res_quant=res1, norm=norm)
-    hx8 = q1.astype(jnp.int8)
+    hx8 = _mm_norm_val(c8, wo_ref, vo_ref, so_ref, x8, gb1_ref, ln1_ref,
+                       eps=eps, res_quant=res1, w4=w4o, norm=norm)
 
     # ---- stage B: FFN block (input == residual == hx8) ----
-    y3 = _mm_body(hx8, wi_ref, vi_ref, si_ref, w4=w4i, in_mode="i8")
-    act = _ACTS[activation]
-    if act is not None:
-        y3 = act(y3)
-    i8 = jnp.clip(jnp.round(y3 * (1.0 / vi_ref[3, :])) - vi_ref[4, :],
-                  -128.0, 127.0).astype(jnp.int8)
-    y4 = _mm_body(i8, wd_ref, vd_ref, sd_ref, w4=w4d, in_mode="i8")
-    r4 = jnp.clip(jnp.round(y4 * (1.0 / vd_ref[3, :])) - vd_ref[4, :],
-                  -128.0, 127.0)
-    y4 = vd_ref[3, :] * (r4 + vd_ref[4, :])
-    r_s2, r_sh2 = ln2_ref[0, 2], ln2_ref[0, 3]
-    y4 = y4 + r_s2 * (hx8.astype(jnp.float32) + r_sh2)
-    q2, _, _ = _ln_body(y4, gb2_ref, _site_vals(ln2_ref, None),
-                        eps=eps, res_quant=res2, norm=norm)
-    out_ref[:] = q2.astype(jnp.int8)
+    i8 = _mm_emit(hx8, wi_ref, vi_ref, si_ref, w4=w4i, dots="i8",
+                  activation=activation)
+    out_ref[:] = _mm_norm_val(i8, wd_ref, vd_ref, sd_ref, hx8, gb2_ref,
+                              ln2_ref, eps=eps, res_quant=res2, w4=w4d,
+                              norm=norm)
 
 
 @functools.partial(
@@ -1651,3 +1655,184 @@ def int8_attn_ln_ref(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so,
     ln_s = sv[2] if lnv is not None else s[6]
     ln_sh = sv[3] if lnv is not None else s[7]
     return (ln_s * (q + ln_sh)).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 8: whole MobileBERT inverted-bottleneck layer in ONE pass
+# ---------------------------------------------------------------------------
+
+
+def _mb_layer_kernel(x_ref, mask_ref, asm_ref, *refs, n_batch, n_heads,
+                     seq, head_dim, hidden, attn_case, activation, res,
+                     w4, skip_max, group, dots, n_ffn):
+    """One (n_batch*seq, H) cell through a WHOLE MobileBERT layer.
+
+    MobileBERT's per-layer op chain is ~10 separate kernels (bottleneck
+    in, optional shared-kq bottleneck, fused q|k matmul, v matmul,
+    attention, attn_out+NoNorm, 3 stacked FFNs, output FFN,
+    bottleneck-out+NoNorm); each hop round-trips an (M, 128/512) payload
+    through HBM. At the family's small shapes those hops cost as much as
+    the matmuls — this kernel keeps every intermediate in VMEM
+    registers. Bit-identical to the separate chain (same
+    _mm_emit/_mm_norm_val/_attn_row bodies, same order).
+
+    ``refs`` = flat (w, vecs, scal) triples per matmul and (gb, scal)
+    pairs per NoNorm, in plan order (see int8_mb_layer_ln), then
+    out_ref, scores scratch. ``res`` = (res_ao, res_ffn tuple, res_out,
+    res_obn); ``w4`` = per-matmul flags in plan order.
+    """
+    out_ref = refs[-2]
+    scores_scr = refs[-1]
+    it = iter(refs[:-2])
+    mm3 = lambda: (next(it), next(it), next(it))  # noqa: E731
+    nrm2 = lambda: (next(it), next(it))  # noqa: E731
+    w4s = list(w4)
+    w4n = lambda: w4s.pop(0)  # noqa: E731
+    res_ao, res_ffn, res_out, res_obn = res
+
+    def mm_norm(x8, r8, res_q):
+        w_r, v_r, s_r = mm3()
+        gb_r, ln_r = nrm2()
+        return _mm_norm_val(x8, w_r, v_r, s_r, r8, gb_r, ln_r, eps=0.0,
+                            res_quant=res_q, w4=w4n(), norm="nonorm")
+
+    h8 = x_ref[:]
+    # bottleneck in (no residual)
+    li8 = mm_norm(h8, None, False)
+    if attn_case == "bottleneck":
+        qk_in, v_in = li8, li8
+    elif attn_case == "shared_kq":
+        sh8 = mm_norm(h8, None, False)
+        qk_in, v_in = sh8, h8
+    else:
+        qk_in, v_in = h8, h8
+
+    wqk, vqk, sqk = mm3()
+    wv, vv, sv_ = mm3()
+    qk8 = _mm_emit(qk_in, wqk, vqk, sqk, w4=w4n(), dots=dots)
+    v8 = _mm_emit(v_in, wv, vv, sv_, w4=w4n(), dots=dots)
+
+    sv = tuple(asm_ref[0, i] for i in range(12))
+    base = pl.program_id(0) * n_batch
+    c8_rows = []
+    for j in range(n_batch):
+        rows = slice(j * seq, (j + 1) * seq)
+        mask_j = mask_ref[pl.ds(base + j, 1), :]
+        c8_rows.append(_attn_row(
+            qk8[rows, 0:hidden], qk8[rows, hidden:2 * hidden],
+            v8[rows, :], mask_j, sv, scores_scr, n_heads=n_heads,
+            seq=seq, head_dim=head_dim, skip_max=skip_max, group=group,
+            dots=dots))
+    c8 = jnp.concatenate(c8_rows, axis=0)
+
+    x8 = mm_norm(c8, li8, res_ao)            # attn_out + NoNorm
+    for j in range(n_ffn):                   # stacked FFNs
+        wi_r, vi_r, si_r = mm3()
+        i8 = _mm_emit(x8, wi_r, vi_r, si_r, w4=w4n(), dots="i8",
+                      activation=activation)
+        x8 = mm_norm(i8, x8, res_ffn[j])
+    wi_r, vi_r, si_r = mm3()                 # output FFN inter
+    i8 = _mm_emit(x8, wi_r, vi_r, si_r, w4=w4n(), dots="i8",
+                  activation=activation)
+    y8 = mm_norm(i8, x8, res_out)            # out.dense + NoNorm
+    out_ref[:] = mm_norm(y8, h8, res_obn)    # bottleneck out + NoNorm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "seq", "hidden", "attn_case", "activation",
+                     "res", "w4", "skip_max", "batch_block", "group",
+                     "interpret", "n_ffn", "dots"))
+def int8_mb_layer_ln(h8: Array, mask_bias: Array, attn_scal: Array,
+                     flat: Tuple[Array, ...], *, n_heads: int, seq: int,
+                     hidden: int, attn_case: str, activation: str,
+                     res: Tuple, w4: Tuple, n_ffn: int,
+                     skip_max: bool = False,
+                     batch_block: Optional[int] = None,
+                     group: Optional[int] = None,
+                     interpret: bool = False,
+                     dots: str = "auto") -> Array:
+    """A WHOLE MobileBERT layer in one kernel launch.
+
+    ``h8``: (B*T, H) int8 payload of the layer input. ``flat``: the
+    layer plan flattened in order — (w, vecs, scal) per matmul
+    [bn_in, (bn_attn if shared_kq), qk, v, attn_out, (inter, dense) per
+    stacked FFN, inter, out, out_bn] with each residual-feeding matmul
+    immediately followed by its NoNorm's (gb, scal). See
+    :func:`mb_layer_flat` for the canonical flattening.
+    """
+    mt, hdim = h8.shape
+    b = mt // seq
+    d = hidden // n_heads
+    if batch_block is None:
+        bb = 1
+        while b % (bb * 2) == 0 and (bb * 2) * seq <= 512:
+            bb *= 2
+    else:
+        bb = batch_block
+        while b % bb:
+            bb = max(1, bb // 2)
+    dots = _resolve_dots(dots, seq, d)
+    if group is None:
+        if dots == "bf16":
+            group = 1
+        else:
+            group = 1
+            while d * group < 128 and n_heads % (group * 2) == 0:
+                group *= 2
+    kernel = functools.partial(
+        _mb_layer_kernel, n_batch=bb, n_heads=n_heads, seq=seq,
+        head_dim=d, hidden=hidden, attn_case=attn_case,
+        activation=activation, res=res, w4=w4, skip_max=skip_max,
+        group=group, dots=dots, n_ffn=n_ffn)
+    blk = lambda r, c: pl.BlockSpec(  # noqa: E731
+        (r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    in_specs = [blk(bb * seq, hdim), full((b, seq)), smem((1, 12))]
+    for a in flat:
+        if a.ndim == 2 and a.shape[0] == 1:    # (1, k) scalars -> SMEM
+            in_specs.append(smem(a.shape))
+        else:
+            in_specs.append(full(a.shape))
+    flops = 0
+    for a in flat:
+        if a.ndim == 2 and a.shape[0] not in (1, 2, 5):
+            flops += 2 * mt * a.shape[0] * a.shape[1]
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=in_specs,
+        out_specs=blk(bb * seq, hdim),
+        out_shape=jax.ShapeDtypeStruct((mt, hdim), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((n_heads * seq, seq), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops + 4 * b * n_heads * seq * seq * d
+            + 40 * mt * hdim,
+            bytes_accessed=2 * mt * hdim + b * seq * 4
+            + sum(a.size for a in flat),
+            transcendentals=b * n_heads * seq * seq + 6 * mt),
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT)),
+        interpret=interpret,
+    )(h8, mask_bias, attn_scal, *flat)
+
+
+def mb_layer_flat(lp: dict, attn_case: str) -> Tuple[Array, ...]:
+    """Flatten one MobileBERT layer plan (as built by
+    build_mobilebert_engine) into the canonical ref order of
+    :func:`_mb_layer_kernel`."""
+    mm = lambda p: (p["w"], p["vecs"], p["scal"])  # noqa: E731
+    nrm = lambda p: (p["gb"], p["scal"])  # noqa: E731
+    out = [*mm(lp["bn_in"]), *nrm(lp["bn_in_norm"])]
+    if attn_case == "shared_kq":
+        out += [*mm(lp["bn_attn"]), *nrm(lp["bn_attn_norm"])]
+    out += [*mm(lp["qk"]), *mm(lp["v"])]
+    out += [*mm(lp["attn_out"]), *nrm(lp["attn_out_norm"])]
+    for f in lp["ffns"]:
+        out += [*mm(f["inter"]), *mm(f["dense"]), *nrm(f["norm"])]
+    out += [*mm(lp["inter"]), *mm(lp["out"]), *nrm(lp["out_norm"])]
+    out += [*mm(lp["out_bn"]), *nrm(lp["out_bn_norm"])]
+    return tuple(out)
