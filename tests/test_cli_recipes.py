@@ -289,6 +289,23 @@ def test_named_recipe_presets():
     apply_recipe(a)
     assert "ngp6" in a.quant_dict and a.per_groups_permute_shared_h is True
 
+    # the README's STS-B variant of the mixed recipe (README.md:165-166):
+    # pooler/classifier 16-bit + MSE estimation of the regression output
+    a = p.parse_args(["validate-quantized", "--recipe", "w8a8-mixed",
+                      "--task", "stsb"])
+    apply_recipe(a)
+    assert "'P': 16" in a.quant_dict and "'C': 16" in a.quant_dict
+    assert a.quant_setup == "MSE_logits"
+    # ... but not for other tasks, and explicit quant_dict wins
+    a = p.parse_args(["validate-quantized", "--recipe", "w8a8-mixed",
+                      "--task", "rte"])
+    apply_recipe(a)
+    assert "'P'" not in a.quant_dict and a.quant_setup == "all"
+    a = p.parse_args(["validate-quantized", "--recipe", "w8a8-mixed",
+                      "--task", "stsb", "--quant-dict", "{'y': 16}"])
+    apply_recipe(a)
+    assert a.quant_dict == "{'y': 16}" and a.quant_setup == "MSE_logits"
+
 
 def test_recipe_end_to_end_w8a8():
     score = _run("--recipe", "w8a8", "--seed", "1000")

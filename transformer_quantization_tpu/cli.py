@@ -1011,6 +1011,16 @@ def apply_recipe(args) -> None:
     """Overlay a named recipe onto options the user left at defaults."""
     recipe = RECIPES[args.recipe]
     defaults = vars(build_parser().parse_args([args.command]))
+    if args.recipe == "w8a8-mixed" and any(
+            t.lower().replace("-", "") == "stsb"
+            for t in (getattr(args, "task", None) or [])):
+        # the README's STS-B variant (README.md:165-166): pooler +
+        # classifier sites 16-bit and MSE estimation of the regression
+        # output; applied only to options the user left at defaults
+        recipe = dict(recipe,
+                      quant_dict="{'y': 16, 'h': 16, 'x': 16, "
+                                 "'P': 16, 'C': 16}",
+                      quant_setup="MSE_logits")
     for k, v in recipe.items():
         if k not in vars(args):
             continue  # e.g. adaround options on a train command
