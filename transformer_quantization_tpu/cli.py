@@ -220,11 +220,31 @@ def build_parser() -> argparse.ArgumentParser:
         # lines run unchanged; they change nothing.
         for flag in ("--overwrite-output", "--save-model",
                      "--logging-first-step", "--greater-is-better",
-                     "--save-attn"):
+                     "--save-attn",
+                     # --line-by-line/--overwrite-cache/--use-fast-
+                     # tokenizer: HF dataset/tokenizer cache knobs with no
+                     # equivalent here (files are read directly; the
+                     # native WordPiece tokenizer is always "fast");
+                     # --tb-graph: no torch-style graph object exists
+                     # under jit — use --profile-dir (PARITY.md C34)
+                     "--line-by-line", "--overwrite-cache",
+                     "--use-fast-tokenizer", "--tb-graph"):
             g.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
         for flag in ("--gamma", "--margin"):
             g.add_argument(flag, type=float, default=None,
                            help=argparse.SUPPRESS)
+        # --amp-opt-level: apex O-levels; --amp here is bf16 autocast
+        # (O1-ish). --cache-dir: HF hub cache, forwarded to --from-hub
+        # downloads. --num-workers: the input pipeline is a synchronous
+        # numpy feeder (tokenization is native C++); accepted for script
+        # compatibility.
+        g.add_argument("--amp-opt-level", default=None,
+                       help=argparse.SUPPRESS)
+        g.add_argument("--cache-dir", default=None,
+                       help="HF hub cache directory for --from-hub "
+                            "(reference --cache-dir)")
+        g.add_argument("--num-workers", type=int, default=0,
+                       help=argparse.SUPPRESS)
 
     def add_quant(sp):
         g = sp.add_argument_group("quantization")
@@ -387,7 +407,8 @@ def _load_model(args, num_labels: int = 2):
         )
 
         model_path = resolve_model_dir(
-            model_path, allow_hub=bool(getattr(args, "from_hub", False)))
+            model_path, allow_hub=bool(getattr(args, "from_hub", False)),
+            cache_dir=getattr(args, "cache_dir", None))
         logger.info("resolved hub checkpoint %s -> %s", args.model_path,
                     model_path)
         args.model_path = model_path

@@ -22,7 +22,8 @@ from transformer_quantization_tpu.models.bert import BertConfig
 
 
 def resolve_model_dir(name_or_dir: str, *, allow_hub: bool = False,
-                      revision: Optional[str] = None) -> str:
+                      revision: Optional[str] = None,
+                      cache_dir: Optional[str] = None) -> str:
     """Resolve a model source to a local checkpoint directory.
 
     A local directory passes through. With ``allow_hub``, a non-directory
@@ -43,7 +44,7 @@ def resolve_model_dir(name_or_dir: str, *, allow_hub: bool = False,
     from huggingface_hub import snapshot_download  # ships w/ transformers
 
     return snapshot_download(
-        repo_id=name_or_dir, revision=revision,
+        repo_id=name_or_dir, revision=revision, cache_dir=cache_dir,
         allow_patterns=["config.json", "model.safetensors",
                         "pytorch_model.bin",
                         # every covered family's tokenizer artifacts:
