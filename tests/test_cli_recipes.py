@@ -154,15 +154,36 @@ def test_engine_eval_roberta():
 
 
 def test_engine_falls_back_when_incompatible(caplog):
-    """16-bit on an attention-internal site breaks the payload protocol;
-    the CLI must fall back to the generic path."""
+    """16-bit on the context site breaks the payload protocol (it feeds
+    the attn_out int8 matmul); the CLI must fall back to the generic
+    path."""
     import logging
 
     with caplog.at_level(logging.INFO, logger="tq_tpu"):
-        s = _run("--quant-dict", "{'s': 16}", "--engine", "auto",
+        s = _run("--quant-dict", "{'c': 16}", "--engine", "auto",
                  "--weight-quant-method", "current_minmax")
     assert 0.0 <= s <= 1.0
     assert any("engine unavailable" in r.message for r in caplog.records)
+
+
+def test_engine_runs_16bit_scores_probs(caplog):
+    """The 's'/'p' 16-bit quant_dict overrides (main.py:461-462) ride
+    the engine: scores-16 only widens the phase-2 grid (bit-exact);
+    probs-16 runs f32-dot phase 3."""
+    import logging
+
+    qd = "{'s': 16, 'p': 16}"
+    with caplog.at_level(logging.INFO, logger="tq_tpu"):
+        s_eng = _run("--quant-dict", qd, "--engine", "auto",
+                     "--weight-quant-method", "current_minmax",
+                     "--seed", "1000")
+    assert not any("engine unavailable" in r.message
+                   for r in caplog.records)
+    assert any("engine active" in r.message for r in caplog.records)
+    s_gen = _run("--quant-dict", qd,
+                 "--weight-quant-method", "current_minmax",
+                 "--seed", "1000")
+    assert s_eng == pytest.approx(s_gen, abs=0.13), (s_eng, s_gen)
 
 
 @pytest.mark.parametrize("qd", ["{'y': 16, 'h': 16, 'x': 16}",

@@ -107,12 +107,17 @@ def test_incompatible_config_rejected(tiny_setup):
     bad = qcfg.replace_site("L0.attn.q.out", enabled=False)
     with pytest.raises(ENG.EngineIncompatible):
         B.build_bert_engine(params, cfg, bad, qstate, int_params=int_params)
-    # 16-bit on an attention-internal site can't ride the payload protocol
-    # (only the 'x'/'h'/'y' FFN-residual sites have flex edges)
-    bad16 = B.apply_bert_quant_dict(qcfg, {"s": 16}, cfg.num_hidden_layers)
+    # 16-bit scores/probs are supported (attn_bits) but the CONTEXT site
+    # feeds the attn_out int8 matmul and can't leave the payload protocol
+    bad16 = B.apply_bert_quant_dict(qcfg, {"c": 16}, cfg.num_hidden_layers)
     with pytest.raises(ENG.EngineIncompatible):
         B.build_bert_engine(params, cfg, bad16, qstate,
                             int_params=int_params)
+    ok16 = B.apply_bert_quant_dict(qcfg, {"s": 16, "p": 16},
+                                   cfg.num_hidden_layers)
+    static16, _, _ = B.build_bert_engine(params, cfg, ok16, qstate,
+                                         int_params=int_params)
+    assert static16.layer_attn_bits(0) == (16, 16)
 
 
 def test_disabled_residual_site_supported(tiny_setup):

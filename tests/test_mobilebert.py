@@ -216,3 +216,31 @@ def test_engine_parity(attn_case, cfg_kw):
                                         backend="pallas", interpret=True,
                                         fuse_layer=False)
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(chain))
+
+
+def test_engine_16bit_attn_probs():
+    """The reference's ``attn_probs_n_bits_act: 16`` quant_dict override
+    (quantized_mobilebert.py:189-190) rides the engine (f32-dot phase 3)
+    instead of falling off it."""
+    params = M.init_mobilebert_params(jax.random.PRNGKey(9), CFG)
+    rng = np.random.RandomState(9)
+    batch = make_batch(rng)
+    qcfg = M.declare_mobilebert_sites(
+        sym_defaults(), CFG, quant_dict={"attn_probs_n_bits_act": 16})
+    apply_fn = functools.partial(M.mobilebert_apply, cfg=CFG)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [batch],
+        weight_tensors=M.mobilebert_weight_site_tensors(params))
+    int_params = M.build_mobilebert_int_params(params, qcfg, qstate)
+    ref, _ = M.mobilebert_apply(params, batch, CFG, qcfg, qstate, mode,
+                                int_params=int_params)
+    static, plan, e_int = M.build_mobilebert_engine(params, CFG, qcfg,
+                                                    qstate)
+    assert static.layer_attn_bits(0) == (8, 16)
+    for be, kw in (("xla", {}), ("pallas", {"interpret": True})):
+        out = M.mobilebert_engine_apply(params, batch, CFG, qcfg, qstate,
+                                        static, plan, e_int, backend=be,
+                                        **kw)
+        np.testing.assert_allclose(np.asarray(out["logits"]),
+                                   np.asarray(ref["logits"]),
+                                   rtol=1e-3, atol=2e-3)

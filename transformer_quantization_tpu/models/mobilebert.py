@@ -755,6 +755,12 @@ class MobileBertEngineStatic:
     # per layer: w4 flag per matmul in plan order
     w4: Tuple[Tuple[bool, ...], ...]
     attn_skip_max: bool = False
+    # per layer: (scores_bits, probs_bits) — attn_probs_n_bits_act
+    # overrides (quantized_mobilebert.py:189-190). Empty = all-(8, 8).
+    attn_bits: Tuple[Tuple[int, int], ...] = ()
+
+    def layer_attn_bits(self, i: int) -> Tuple[int, int]:
+        return self.attn_bits[i] if self.attn_bits else (8, 8)
 
 
 def _nonorm_plan(qcfg, qstate, norm_params: Mapping, wsite: str,
@@ -823,6 +829,7 @@ def build_mobilebert_engine(params: Dict, cfg: MobileBertConfig,
     layers = []
     res_flags = []
     w4_flags = []
+    attn_bits_flags = []
     for i, lp in enumerate(params["layers"]):
         p = f"L{i}."
         in_site = "emb.norm.out" if i == 0 else f"L{i - 1}.out.bn.norm.out"
@@ -863,10 +870,16 @@ def build_mobilebert_engine(params: Dict, cfg: MobileBertConfig,
                 [site(p + "attn.q.out"), site(p + "attn.k.out")])
         v = mm([p + "attn.v"], [a["v"]["bias"]], v_scal,
                [site(p + "attn.v.out")])
+        sc_s, sc_sh, sc_bits = ENG.attn_edge_scalars(qcfg, qstate,
+                                                     p + "attn.scores")
+        p_s, p_sh, p_bits = ENG.attn_edge_scalars(qcfg, qstate,
+                                                  p + "attn.probs")
         attn_scal = jnp.concatenate(
             [jnp.stack(site(p + s)) for s in
-             ("attn.q.out", "attn.k.out", "attn.v.out",
-              "attn.scores", "attn.probs", "attn.context")]).reshape(1, 12)
+             ("attn.q.out", "attn.k.out", "attn.v.out")]
+            + [jnp.stack((sc_s, sc_sh)), jnp.stack((p_s, p_sh)),
+               jnp.stack(site(p + "attn.context"))]).reshape(1, 12)
+        attn_bits_flags.append((sc_bits, p_bits))
 
         so = lp["attn_out"]
         attn_out = mm([p + "attn_out.dense"], [so["dense"]["bias"]],
@@ -922,8 +935,10 @@ def build_mobilebert_engine(params: Dict, cfg: MobileBertConfig,
     entry_scal = jnp.stack(site("emb.norm.out")).reshape(1, 2)
     skip_max = False
     try:
-        worst = max(float(lp_["attn_scal"][0, 6]) for lp_ in layers)
-        bound = (256.0 * worst / float(np.sqrt(cfg.head_dim))
+        worst = max(
+            (2.0 ** attn_bits_flags[li][0]) * float(lp_["attn_scal"][0, 6])
+            for li, lp_ in enumerate(layers))
+        bound = (worst / float(np.sqrt(cfg.head_dim))
                  * float(np.log2(np.e)))
         skip_max = bound < 100.0
     except Exception:
@@ -933,7 +948,7 @@ def build_mobilebert_engine(params: Dict, cfg: MobileBertConfig,
         hidden=cfg.true_hidden_size, n_ffn=cfg.num_stacked_ffn,
         attn_case=attn_case, hidden_act=cfg.hidden_act,
         res_quant=tuple(res_flags), w4=tuple(w4_flags),
-        attn_skip_max=skip_max)
+        attn_skip_max=skip_max, attn_bits=tuple(attn_bits_flags))
     return static, {"layers": layers, "entry_scal": entry_scal}, int_params
 
 
@@ -1022,7 +1037,8 @@ def mobilebert_encoder_engine(h: Array, mask_bias: Array,
                 attn_case=static.attn_case, activation=act,
                 res=static.res_quant[i], w4=static.w4[i],
                 n_ffn=static.n_ffn, skip_max=static.attn_skip_max,
-                interpret=interpret)
+                interpret=interpret,
+                attn_bits=static.layer_attn_bits(i))
             continue
         w4s = list(static.w4[i])
         w4 = lambda: w4s.pop(0)  # noqa: E731 — plan order
@@ -1043,12 +1059,14 @@ def mobilebert_encoder_engine(h: Array, mask_bias: Array,
                 qk8, qk8, v8, mask_bias, lp["attn_scal"],
                 n_heads=static.n_heads, seq=t, hidden=static.hidden,
                 cols=(0, 1, 0), skip_max=static.attn_skip_max,
-                interpret=interpret)
+                interpret=interpret,
+                attn_bits=static.layer_attn_bits(i))
         else:
             c8 = EK.int8_attention_qkv_ref(
                 qk8, qk8, v8, mask_bias, lp["attn_scal"],
                 n_heads=static.n_heads, seq=t, hidden=static.hidden,
-                cols=(0, 1, 0), skip_max=static.attn_skip_max)
+                cols=(0, 1, 0), skip_max=static.attn_skip_max,
+                attn_bits=static.layer_attn_bits(i))
 
         x8 = mm_add_norm(c8, lp["attn_out"], li8, lp["attn_out_norm"],
                          res_ao, w4())

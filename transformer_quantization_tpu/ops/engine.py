@@ -72,10 +72,16 @@ class EngineStatic:
     # y = ffn.res; lnv1/lnv2 mark per-column (PEG) site params for the
     # attention / FFN megakernels. Empty tuple entries mean all-int8.
     flex: Tuple[Tuple[str, int, int, int, bool, bool], ...] = ()
+    # per layer: (scores_bits, probs_bits), 8 or 16 — the quant_dict
+    # 's'/'p' overrides (main.py:461-462). Empty tuple means all-(8, 8).
+    attn_bits: Tuple[Tuple[int, int], ...] = ()
 
     @property
     def any_flex(self) -> bool:
         return any(f != ("i8", 8, 8, 8, False, False) for f in self.flex)
+
+    def layer_attn_bits(self, i: int) -> Tuple[int, int]:
+        return self.attn_bits[i] if self.attn_bits else (8, 8)
 
 
 # ---------------------------------------------------------------------------
@@ -110,6 +116,31 @@ def act_site_scalars(qcfg, qstate: Mapping, name: str) -> Tuple[Array, Array]:
     shift = (128.0 - Q.zero_point_of(c.spec, qp).reshape(())).astype(
         jnp.float32)
     return s, shift
+
+
+def attn_edge_scalars(qcfg, qstate: Mapping,
+                      name: str) -> Tuple[Array, Array, int]:
+    """(scale, shift, bits) of an attention-interior act site
+    (scores / probs), which the kernels support at 8 OR 16 bits
+    (quant_dict 's'/'p' overrides, main.py:461-462; MobileBERT
+    ``attn_probs_n_bits_act``, quantized_mobilebert.py:189-190).
+    shift = 2^(bits-1) - zero_point."""
+    _require(name in qcfg, f"no act site {name!r}")
+    c = qcfg[name]
+    _require(c.enabled, f"act site {name!r} disabled")
+    _require(c.axis is None and not c.n_groups,
+             f"act site {name!r} is per-axis/grouped")
+    _require(c.spec.n_bits in (8, 16),
+             f"act site {name!r} is {c.spec.n_bits}-bit (engine "
+             "attention supports 8/16)")
+    _require(not c.spec.symmetric, f"act site {name!r} is symmetric")
+    _require(name in qstate, f"act site {name!r} not calibrated")
+    qp = qstate[name]["qp"]
+    _require(qp.delta.ndim == 0, f"act site {name!r} has non-scalar params")
+    s = Q.scale_of(c.spec, qp).reshape(()).astype(jnp.float32)
+    shift = (2.0 ** (c.spec.n_bits - 1)
+             - Q.zero_point_of(c.spec, qp).reshape(())).astype(jnp.float32)
+    return s, shift, c.spec.n_bits
 
 
 def act_edge_params(qcfg, qstate: Mapping, name: str):
@@ -262,6 +293,7 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
     fold_flags = []
     res_flags = []
     flex_flags = []
+    attn_bits_flags = []
     for i, lp in enumerate(layer_params):
         p = prefixes[i] if prefixes is not None else f"L{i}."
         if i == 0:
@@ -277,10 +309,15 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
             int_params, [p + f"attn.{x}" for x in "qkv"],
             [lp["attn"][x]["bias"] for x in "qkv"], in_scal, qkv_out)
 
+        sc_s, sc_sh, sc_bits = attn_edge_scalars(qcfg, qstate,
+                                                 p + "attn.scores")
+        p_s, p_sh, p_bits = attn_edge_scalars(qcfg, qstate,
+                                              p + "attn.probs")
         attn_scal = jnp.concatenate(
             [jnp.stack(s) for s in qkv_out]
-            + [jnp.stack(act_site_scalars(qcfg, qstate, p + site))
-               for site in ("attn.scores", "attn.probs", "attn.context")]
+            + [jnp.stack((sc_s, sc_sh)), jnp.stack((p_s, p_sh)),
+               jnp.stack(act_site_scalars(qcfg, qstate,
+                                          p + "attn.context"))]
         ).reshape(1, 12)
 
         ctx_scal = act_site_scalars(qcfg, qstate, p + "attn.context")
@@ -350,6 +387,7 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
         fold_flags.append((ao_fold, d_fold))
         res_flags.append((res1, res2))
         flex_flags.append(flex)
+        attn_bits_flags.append((sc_bits, p_bits))
 
     entry_scal = jnp.stack(
         act_site_scalars(qcfg, qstate, entry_site)).reshape(1, 2)
@@ -361,8 +399,10 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
     try:
         hidden = int(layer_params[0]["attn"]["q"]["bias"].shape[0])
         head_dim = hidden // n_heads
-        worst = max(float(lp_["attn_scal"][0, 6]) for lp_ in layers)
-        bound = 256.0 * worst / float(np.sqrt(head_dim)) * float(np.log2(np.e))
+        worst = max(
+            (2.0 ** attn_bits_flags[li][0]) * float(lp_["attn_scal"][0, 6])
+            for li, lp_ in enumerate(layers))
+        bound = worst / float(np.sqrt(head_dim)) * float(np.log2(np.e))
         skip_max = bound < 100.0
     except Exception:
         skip_max = False
@@ -370,7 +410,7 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
         n_layers=len(layer_params), n_heads=n_heads, ln_eps=ln_eps,
         hidden_act=hidden_act, w4=tuple(w4_flags), fold=tuple(fold_flags),
         res_quant=tuple(res_flags), attn_skip_max=skip_max,
-        flex=tuple(flex_flags))
+        flex=tuple(flex_flags), attn_bits=tuple(attn_bits_flags))
     return static, {"layers": layers, "entry_scal": entry_scal}
 
 
@@ -517,7 +557,8 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
                        res_quant=res1, skip_max=static.attn_skip_max,
                        w4q=qkv_w4, w4o=ao_w4,
                        ln_out="emit" if x_mode == "i8" else "f",
-                       ln_bits=x_bits, out_dtype=jnp.float32)
+                       ln_bits=x_bits, out_dtype=jnp.float32,
+                       attn_bits=static.layer_attn_bits(i))
             aargs = (h8, lp["qkv"]["w"], lp["qkv"]["vecs"],
                      lp["qkv"]["scal"], mask_bias, lp["attn_scal"],
                      lp["attn_out"]["w"], lp["attn_out"]["vecs"],
@@ -557,7 +598,8 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
                 n_heads=static.n_heads, seq=t, eps=static.ln_eps,
                 activation=hidden_act, res1=res1, res2=res2,
                 skip_max=static.attn_skip_max, interpret=interpret,
-                w4q=qkv_w4, w4o=ao_w4, w4i=inter_w4, w4d=dense_w4)
+                w4q=qkv_w4, w4o=ao_w4, w4i=inter_w4, w4d=dense_w4,
+                attn_bits=static.layer_attn_bits(i))
             continue
         qkv8 = _mm(mm_be, interpret, h8, lp["qkv"], activation=None,
                    out_mode="emit", out_dtype=out_dtype, w4=qkv_w4)
@@ -565,11 +607,13 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
             c8 = EK.int8_attention(qkv8, mask_bias, lp["attn_scal"],
                                    n_heads=static.n_heads, seq=t,
                                    skip_max=static.attn_skip_max,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   attn_bits=static.layer_attn_bits(i))
         else:
             c8 = EK.int8_attention_ref(qkv8, mask_bias, lp["attn_scal"],
                                        n_heads=static.n_heads, seq=t,
-                                       skip_max=static.attn_skip_max)
+                                       skip_max=static.attn_skip_max,
+                                       attn_bits=static.layer_attn_bits(i))
         if fuse_ln:
             h8 = mm_add_ln(c8, lp["attn_out"], h8, lp["ln1"], res1, ao_w4)
         else:

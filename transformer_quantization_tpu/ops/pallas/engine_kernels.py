@@ -328,7 +328,7 @@ def _resolve_dots(dots: str, seq: int, head_dim: int) -> str:
 
 def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
                  scores_scr, *, n_batch, n_heads, seq, head_dim, skip_max,
-                 group=1, dots="i8"):
+                 group=1, dots="i8", sc_bits=8, p_bits=8):
     """One batch-block cell: phased attention over all heads at once.
 
     The q/k/v refs are (n_batch*seq, H) int8 blocks — full hidden width,
@@ -377,11 +377,12 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
         out_ref[rows, :] = _attn_row(
             qj, kj, vj, mask_j, sv,
             scores_scr, n_heads=n_heads, seq=seq, head_dim=head_dim,
-            skip_max=skip_max, group=group, dots=dots)
+            skip_max=skip_max, group=group, dots=dots, sc_bits=sc_bits,
+            p_bits=p_bits)
 
 
 def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
-              head_dim, skip_max, group, dots="i8"):
+              head_dim, skip_max, group, dots="i8", sc_bits=8, p_bits=8):
     """Attention phases for ONE batch row's (seq, H) q/k/v payload tiles;
     returns the (seq, H) int8 context-site payload. Shared by the
     standalone attention kernel and the fused attention megakernel.
@@ -493,8 +494,9 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
     qk_over_sc = q_s * k_s * (1.0 / sc_s)
     a = sc_s * rsqrt_d * log2e
     mask2 = mask_j * log2e + a * sc_sh
+    lo_sc, hi_sc = _clip_bounds(sc_bits)
     r = jnp.clip(jnp.round(scores_scr[:, :] * qk_over_sc) - sc_sh,
-                 -128.0, 127.0)
+                 lo_sc, hi_sc)
     s2 = a * r + mask2
     if skip_max:
         # quantized scores are grid-bounded (|s2| provably << 126,
@@ -504,7 +506,17 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
         m = jnp.max(s2, axis=1, keepdims=True)
         e = jnp.exp2(s2 - m)
     denom = jnp.sum(e, axis=1, keepdims=True)
-    if dots == "bf16":
+    if p_bits != 8:
+        # 16-bit probs site ('p': 16 / attn_probs_n_bits_act): levels
+        # don't fit int8 payloads or bf16 operands — phase 3 runs f32
+        # MXU dots on SHIFTED f32 levels (exact representation; the f32
+        # accumulation rounds exactly like the reference's own float
+        # probs @ v matmul, so this edge is tolerance-tested vs the
+        # oracle on hardware, like the other flex value edges)
+        half = float(2 ** (p_bits - 1))
+        p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)),
+                      p_sh - half, p_sh + half - 1.0)
+    elif dots == "bf16":
         p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)),
                       p_sh - 128.0, p_sh + 127.0).astype(jnp.bfloat16)
     else:
@@ -514,11 +526,21 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
     # phase 3: p8 @ v8 dots; the (p_s v_s) dequant scale and the
     # context-site 1/c_s fold into one multiplier pv_over_c
     pv_over_c = p_s * v_s * (1.0 / c_s)
-    if dots != "bf16":
+    if dots != "bf16" and p_bits == 8:
         vsum = jnp.sum(vj.astype(jnp.float32), axis=0, keepdims=True)
         psum = jnp.sum(p8.astype(jnp.float32), axis=1, keepdims=True)
     ctx_heads = []
-    if dots == "bf16" and g > 1:
+    if p_bits != 8:
+        vf = (vj.astype(jnp.float32) if dots == "bf16"
+              else vj.astype(jnp.float32) + v_sh)
+        for hh in range(n_heads):
+            hrows = slice(hh * seq, (hh + 1) * seq)
+            cols = slice(hh * head_dim, (hh + 1) * head_dim)
+            ctx_heads.append(jax.lax.dot_general(
+                p8[hrows, :], vf[:, cols],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    elif dots == "bf16" and g > 1:
         for p in range(n_heads // g):
             cols = slice(p * gw, (p + 1) * gw)
             vp = vj[:, cols]
@@ -579,7 +601,8 @@ def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
                     seq: int, hidden: int, batch_block: Optional[int],
                     skip_max: bool, interpret: bool,
                     group: Optional[int] = None,
-                    dots: str = "auto") -> Array:
+                    dots: str = "auto",
+                    attn_bits: Tuple[int, int] = (8, 8)) -> Array:
     """Shared pallas_call builder: each of q/k/v is an (M, n*hidden)
     array; ``cols`` picks the hidden-wide block column per input."""
     mt = q_arr.shape[0]
@@ -613,7 +636,8 @@ def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
                 group *= 2
     kernel = functools.partial(_attn_kernel, n_batch=bb, n_heads=n_heads,
                                seq=seq, head_dim=d, skip_max=skip_max,
-                               group=group, dots=dots)
+                               group=group, dots=dots,
+                               sc_bits=attn_bits[0], p_bits=attn_bits[1])
     grid = (b // bb,)
     spec = lambda col: pl.BlockSpec(  # noqa: E731
         (bb * seq, h), lambda i, col=col: (i, col),
@@ -645,14 +669,15 @@ def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "seq", "batch_block", "skip_max",
-                     "interpret", "group", "dots"))
+                     "interpret", "group", "dots", "attn_bits"))
 def int8_attention(qkv8: Array, mask_bias: Array, scalars: Array, *,
                    n_heads: int, seq: int,
                    batch_block: Optional[int] = None,
                    skip_max: bool = False,
                    interpret: bool = False,
                    group: Optional[int] = None,
-                   dots: str = "auto") -> Array:
+                   dots: str = "auto",
+                   attn_bits: Tuple[int, int] = (8, 8)) -> Array:
     """Fused attention over the fused-QKV payload.
 
     ``qkv8``: (B*T, 3*H) int8 — columns [q | k | v], head-minor inside
@@ -665,13 +690,15 @@ def int8_attention(qkv8: Array, mask_bias: Array, scalars: Array, *,
     return _attention_call(qkv8, qkv8, qkv8, (0, 1, 2), mask_bias, scalars,
                            n_heads=n_heads, seq=seq, hidden=h,
                            batch_block=batch_block, skip_max=skip_max,
-                           interpret=interpret, group=group, dots=dots)
+                           interpret=interpret, group=group, dots=dots,
+                           attn_bits=attn_bits)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "seq", "hidden", "cols", "batch_block",
-                     "skip_max", "interpret", "group", "dots"))
+                     "skip_max", "interpret", "group", "dots",
+                     "attn_bits"))
 def int8_attention_qkv(q_arr: Array, k_arr: Array, v_arr: Array,
                        mask_bias: Array, scalars: Array, *, n_heads: int,
                        seq: int, hidden: int,
@@ -680,7 +707,8 @@ def int8_attention_qkv(q_arr: Array, k_arr: Array, v_arr: Array,
                        skip_max: bool = False,
                        interpret: bool = False,
                        group: Optional[int] = None,
-                       dots: str = "auto") -> Array:
+                       dots: str = "auto",
+                       attn_bits: Tuple[int, int] = (8, 8)) -> Array:
     """Attention over SEPARATE q/k/v payload arrays (MobileBERT: q and k
     come from a fused [q|k] matmul over the shared bottleneck while v is
     its own matmul). ``cols[i]`` selects the ``hidden``-wide block column
@@ -689,11 +717,12 @@ def int8_attention_qkv(q_arr: Array, k_arr: Array, v_arr: Array,
     return _attention_call(q_arr, k_arr, v_arr, cols, mask_bias, scalars,
                            n_heads=n_heads, seq=seq, hidden=hidden,
                            batch_block=batch_block, skip_max=skip_max,
-                           interpret=interpret, group=group, dots=dots)
+                           interpret=interpret, group=group, dots=dots,
+                           attn_bits=attn_bits)
 
 
 def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
-                       skip_max=False):
+                       skip_max=False, attn_bits=(8, 8)):
     """jnp oracle / XLA backend for :func:`int8_attention`."""
     mt, h3 = qkv8.shape
     h = h3 // 3
@@ -715,7 +744,8 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
     qk_over_sc = s[0] * s[2] * (1.0 / s[6])
     a = s[6] * rsqrt_d * log2e
     mask2 = mask_bias[:, None, None, :] * log2e + a * s[7]
-    r = jnp.clip(jnp.round(scr * qk_over_sc) - s[7], -128.0, 127.0)
+    lo_sc, hi_sc = _clip_bounds(attn_bits[0])
+    r = jnp.clip(jnp.round(scr * qk_over_sc) - s[7], lo_sc, hi_sc)
     s2 = a * r + mask2
     if skip_max:
         e = jnp.exp2(s2)
@@ -723,13 +753,23 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
         m = jnp.max(s2, axis=-1, keepdims=True)
         e = jnp.exp2(s2 - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
+    pv_over_c = s[8] * s[4] * (1.0 / s[10])
+    if attn_bits[1] != 8:
+        # 16-bit probs: shifted f32 levels, f32 einsum (see _attn_row)
+        half = float(2 ** (attn_bits[1] - 1))
+        pf = jnp.clip(jnp.round(e * ((1.0 / s[8]) / denom)),
+                      s[9] - half, s[9] + half - 1.0)
+        vf = v8.astype(jnp.float32) + s[5]
+        ctx = jnp.einsum("bnqk,bknd->bqnd", pf, vf,
+                         preferred_element_type=jnp.float32)
+        return jnp.clip(jnp.round(ctx * pv_over_c) - s[11],
+                        -128.0, 127.0).astype(jnp.int8).reshape(mt, h)
     p8 = jnp.clip(jnp.round(e * ((1.0 / s[8]) / denom)) - s[9],
                   -128.0, 127.0).astype(jnp.int8)
     acc2 = jnp.einsum("bnqk,bknd->bqnd", p8, v8,
                       preferred_element_type=jnp.int32).astype(jnp.float32)
     vsum = jnp.sum(v8.astype(jnp.float32), axis=1)   # (b, n, d)
     psum = jnp.sum(p8.astype(jnp.float32), axis=-1)  # (b, n, T)
-    pv_over_c = s[8] * s[4] * (1.0 / s[10])
     ctx = (acc2 + s[9] * vsum[:, None, :, :]
            + s[5] * psum.transpose(0, 2, 1)[:, :, :, None]
            + seq * s[9] * s[5])
@@ -739,7 +779,7 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
 
 def int8_attention_qkv_ref(q_arr, k_arr, v_arr, mask_bias, scalars, *,
                            n_heads, seq, hidden, cols=(0, 0, 0),
-                           skip_max=False):
+                           skip_max=False, attn_bits=(8, 8)):
     """jnp oracle / XLA backend for :func:`int8_attention_qkv`."""
     h = hidden
     q = q_arr[:, cols[0] * h:(cols[0] + 1) * h]
@@ -747,7 +787,7 @@ def int8_attention_qkv_ref(q_arr, k_arr, v_arr, mask_bias, scalars, *,
     v = v_arr[:, cols[2] * h:(cols[2] + 1) * h]
     return int8_attention_ref(jnp.concatenate([q, k, v], axis=1),
                               mask_bias, scalars, n_heads=n_heads, seq=seq,
-                              skip_max=skip_max)
+                              skip_max=skip_max, attn_bits=attn_bits)
 
 
 # ---------------------------------------------------------------------------
@@ -1318,7 +1358,8 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
                       wo_ref, vo_ref, so_ref, gb_ref, ln_smem_ref, *rest,
                       n_batch, n_heads, seq, head_dim,
                       skip_max, group, w4q, w4o, eps, res_quant, norm,
-                      ln_out="emit", ln_bits=8, lnv=False, dots="i8"):
+                      ln_out="emit", ln_bits=8, lnv=False, dots="i8",
+                      sc_bits=8, p_bits=8):
     """One (n_batch*seq, H) cell through the whole attention block.
 
     Stage 1 == :func:`_mm_kernel` (out_mode='emit') for the fused q|k|v
@@ -1391,7 +1432,8 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
     jax.jit,
     static_argnames=("n_heads", "seq", "eps", "res_quant", "batch_block",
                      "skip_max", "group", "interpret", "w4q", "w4o",
-                     "norm", "ln_out", "ln_bits", "out_dtype", "dots"))
+                     "norm", "ln_out", "ln_bits", "out_dtype", "dots",
+                     "attn_bits"))
 def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
                  mask_bias: Array, attn_scal: Array, wo: Array, vo: Array,
                  so: Array, gb: Array, ln_scalars: Array,
@@ -1402,7 +1444,8 @@ def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
                  w4q: bool = False, w4o: bool = False,
                  norm: str = "layernorm", ln_out: str = "emit",
                  ln_bits: int = 8, out_dtype=jnp.bfloat16,
-                 dots: str = "auto") -> Array:
+                 dots: str = "auto",
+                 attn_bits: Tuple[int, int] = (8, 8)) -> Array:
     """Fused attention block: (payload q|k|v matmul -> site payloads ->
     attention -> attn_out matmul -> fold-site fake-quant -> +layer-input
     residual -> res-site fake-quant -> LayerNorm -> ln-site payload).
@@ -1443,7 +1486,8 @@ def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
         _attn_mega_kernel, n_batch=bb, n_heads=n_heads, seq=seq,
         head_dim=d, skip_max=skip_max, group=group, w4q=w4q, w4o=w4o,
         eps=eps, res_quant=res_quant, norm=norm, ln_out=ln_out,
-        ln_bits=ln_bits, lnv=lnv is not None, dots=dots)
+        ln_bits=ln_bits, lnv=lnv is not None, dots=dots,
+        sc_bits=attn_bits[0], p_bits=attn_bits[1])
     blk = lambda r, c: pl.BlockSpec(  # noqa: E731
         (r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
@@ -1489,7 +1533,7 @@ def _layer_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
                   gb2_ref, ln2_ref, out_ref, scores_scr, *,
                   n_batch, n_heads, seq, head_dim, skip_max, group,
                   w4q, w4o, w4i, w4d, eps, res1, res2, norm, activation,
-                  dots):
+                  dots, sc_bits=8, p_bits=8):
     """One (n_batch*seq, H) cell through a WHOLE encoder layer.
 
     Stage A == :func:`_attn_mega_kernel` (all-int8 form) producing the
@@ -1515,7 +1559,8 @@ def _layer_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
         c8_rows.append(_attn_row(
             qkv8[rows, 0:h], qkv8[rows, h:2 * h], qkv8[rows, 2 * h:3 * h],
             mask_j, sv, scores_scr, n_heads=n_heads, seq=seq,
-            head_dim=head_dim, skip_max=skip_max, group=group, dots=dots))
+            head_dim=head_dim, skip_max=skip_max, group=group, dots=dots,
+            sc_bits=sc_bits, p_bits=p_bits))
     c8 = jnp.concatenate(c8_rows, axis=0)
     hx8 = _mm_norm_val(c8, wo_ref, vo_ref, so_ref, x8, gb1_ref, ln1_ref,
                        eps=eps, res_quant=res1, w4=w4o, norm=norm)
@@ -1532,7 +1577,8 @@ def _layer_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
     jax.jit,
     static_argnames=("n_heads", "seq", "eps", "activation", "res1", "res2",
                      "batch_block", "skip_max", "group", "interpret",
-                     "w4q", "w4o", "w4i", "w4d", "norm", "dots"))
+                     "w4q", "w4o", "w4i", "w4d", "norm", "dots",
+                     "attn_bits"))
 def int8_layer_ln(x8: Array, wq: Array, vq: Array, sq: Array,
                   mask_bias: Array, attn_scal: Array, wo: Array, vo: Array,
                   so: Array, gb1: Array, ln1_scal: Array,
@@ -1544,7 +1590,8 @@ def int8_layer_ln(x8: Array, wq: Array, vq: Array, sq: Array,
                   group: Optional[int] = None, interpret: bool = False,
                   w4q: bool = False, w4o: bool = False, w4i: bool = False,
                   w4d: bool = False, norm: str = "layernorm",
-                  dots: str = "auto") -> Array:
+                  dots: str = "auto",
+                  attn_bits: Tuple[int, int] = (8, 8)) -> Array:
     """A WHOLE encoder layer in one kernel launch.
 
     Argument layout = :func:`int8_attn_ln`'s (through ``ln1_scal``)
@@ -1578,7 +1625,8 @@ def int8_layer_ln(x8: Array, wq: Array, vq: Array, sq: Array,
         _layer_kernel, n_batch=bb, n_heads=n_heads, seq=seq, head_dim=d,
         skip_max=skip_max, group=group, w4q=w4q, w4o=w4o, w4i=w4i,
         w4d=w4d, eps=eps, res1=res1, res2=res2, norm=norm,
-        activation=activation, dots=dots)
+        activation=activation, dots=dots, sc_bits=attn_bits[0],
+        p_bits=attn_bits[1])
     blk = lambda r, c: pl.BlockSpec(  # noqa: E731
         (r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
@@ -1621,12 +1669,14 @@ def int8_layer_ln_ref(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so,
                       gb1, ln1_scal, wi, vi, si, wd, vd, sd, gb2,
                       ln2_scal, *, n_heads, seq, eps, activation,
                       res1=True, res2=True, skip_max=False, w4q=False,
-                      w4o=False, w4i=False, w4d=False, norm="layernorm"):
+                      w4o=False, w4i=False, w4d=False, norm="layernorm",
+                      attn_bits=(8, 8)):
     """jnp oracle / XLA-composed backend for :func:`int8_layer_ln`."""
     hx8 = int8_attn_ln_ref(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo,
                            so, gb1, ln1_scal, n_heads=n_heads, seq=seq,
                            eps=eps, res_quant=res1, skip_max=skip_max,
-                           w4q=w4q, w4o=w4o, norm=norm)
+                           w4q=w4q, w4o=w4o, norm=norm,
+                           attn_bits=attn_bits)
     return int8_ffn_ln_ref(hx8, wi, vi, si, wd, vd, sd, hx8, gb2,
                            ln2_scal, activation=activation, eps=eps,
                            res_quant=res2, w4i=w4i, w4d=w4d, norm=norm)
@@ -1636,12 +1686,13 @@ def int8_attn_ln_ref(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so,
                      gb, ln_scalars, lnv=None, *, n_heads, seq, eps,
                      res_quant=True, skip_max=False, w4q=False, w4o=False,
                      norm="layernorm", ln_out="emit", ln_bits=8,
-                     out_dtype=jnp.bfloat16):
+                     out_dtype=jnp.bfloat16, attn_bits=(8, 8)):
     """jnp oracle / XLA-composed backend for :func:`int8_attn_ln`."""
     qkv8 = int8_matmul_ref(x8, wq, vq, sq, activation=None,
                            out_mode="emit", w4=w4q)
     c8 = int8_attention_ref(qkv8, mask_bias, attn_scal, n_heads=n_heads,
-                            seq=seq, skip_max=skip_max)
+                            seq=seq, skip_max=skip_max,
+                            attn_bits=attn_bits)
     y = int8_matmul_ref(c8, wo, vo, so, activation=None, out_mode="fold",
                         w4=w4o)
     s = ln_scalars[0]
@@ -1664,7 +1715,8 @@ def int8_attn_ln_ref(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so,
 
 def _mb_layer_kernel(x_ref, mask_ref, asm_ref, *refs, n_batch, n_heads,
                      seq, head_dim, hidden, attn_case, activation, res,
-                     w4, skip_max, group, dots, n_ffn):
+                     w4, skip_max, group, dots, n_ffn, sc_bits=8,
+                     p_bits=8):
     """One (n_batch*seq, H) cell through a WHOLE MobileBERT layer.
 
     MobileBERT's per-layer op chain is ~10 separate kernels (bottleneck
@@ -1722,7 +1774,7 @@ def _mb_layer_kernel(x_ref, mask_ref, asm_ref, *refs, n_batch, n_heads,
             qk8[rows, 0:hidden], qk8[rows, hidden:2 * hidden],
             v8[rows, :], mask_j, sv, scores_scr, n_heads=n_heads,
             seq=seq, head_dim=head_dim, skip_max=skip_max, group=group,
-            dots=dots))
+            dots=dots, sc_bits=sc_bits, p_bits=p_bits))
     c8 = jnp.concatenate(c8_rows, axis=0)
 
     x8 = mm_norm(c8, li8, res_ao)            # attn_out + NoNorm
@@ -1742,7 +1794,7 @@ def _mb_layer_kernel(x_ref, mask_ref, asm_ref, *refs, n_batch, n_heads,
     jax.jit,
     static_argnames=("n_heads", "seq", "hidden", "attn_case", "activation",
                      "res", "w4", "skip_max", "batch_block", "group",
-                     "interpret", "n_ffn", "dots"))
+                     "interpret", "n_ffn", "dots", "attn_bits"))
 def int8_mb_layer_ln(h8: Array, mask_bias: Array, attn_scal: Array,
                      flat: Tuple[Array, ...], *, n_heads: int, seq: int,
                      hidden: int, attn_case: str, activation: str,
@@ -1751,7 +1803,8 @@ def int8_mb_layer_ln(h8: Array, mask_bias: Array, attn_scal: Array,
                      batch_block: Optional[int] = None,
                      group: Optional[int] = None,
                      interpret: bool = False,
-                     dots: str = "auto") -> Array:
+                     dots: str = "auto",
+                     attn_bits: Tuple[int, int] = (8, 8)) -> Array:
     """A WHOLE MobileBERT layer in one kernel launch.
 
     ``h8``: (B*T, H) int8 payload of the layer input. ``flat``: the
@@ -1784,7 +1837,8 @@ def int8_mb_layer_ln(h8: Array, mask_bias: Array, attn_scal: Array,
         _mb_layer_kernel, n_batch=bb, n_heads=n_heads, seq=seq,
         head_dim=d, hidden=hidden, attn_case=attn_case,
         activation=activation, res=res, w4=w4, skip_max=skip_max,
-        group=group, dots=dots, n_ffn=n_ffn)
+        group=group, dots=dots, n_ffn=n_ffn, sc_bits=attn_bits[0],
+        p_bits=attn_bits[1])
     blk = lambda r, c: pl.BlockSpec(  # noqa: E731
         (r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
