@@ -256,6 +256,25 @@ def test_attention_grouped_dots_bit_equal(tiny_setup):
     np.testing.assert_array_equal(np.asarray(auto), np.asarray(want))
 
 
+def test_attention_bf16_dots_at_seq256_boundary(tiny_setup):
+    """seq=256 is the LAST shape where the bf16 phase-3 accumulation is
+    integer-exact (256 * 255^2 < 2^24); assert bit-equality right at the
+    boundary, with saturated payloads."""
+    cfg, params, qcfg, qstate, static, plan, *_ = tiny_setup
+    sc = plan["layers"][0]["attn_scal"]
+    nh = cfg.num_attention_heads
+    b, t, h = 1, 256, cfg.hidden_size
+    rng = np.random.RandomState(21)
+    # worst-case magnitudes: many saturated (+/-127 payload) entries
+    qkv8 = jnp.asarray(
+        rng.choice([-128, -127, 0, 127], (b * t, 3 * h)), jnp.int8)
+    bias = jnp.zeros((b, t), jnp.float32)
+    want = EK.int8_attention_ref(qkv8, bias, sc, n_heads=nh, seq=t)
+    got = EK.int8_attention(qkv8, bias, sc, n_heads=nh, seq=t,
+                            interpret=True, dots="bf16")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_attention_bf16_dots_exactness_gate(tiny_setup):
     """dots='bf16' raises (never silently rounds) when the f32
     accumulator can't hold the phase-3 partial sums exactly; 'auto'
