@@ -166,13 +166,15 @@ def test_engine_falls_back_when_incompatible(caplog):
     assert any("engine unavailable" in r.message for r in caplog.records)
 
 
-def test_engine_runs_16bit_scores_probs(caplog):
-    """The 's'/'p' 16-bit quant_dict overrides (main.py:461-462) ride
-    the engine: scores-16 only widens the phase-2 grid (bit-exact);
-    probs-16 runs f32-dot phase 3."""
+@pytest.mark.parametrize("qd", ["{'s': 16, 'p': 16}",
+                                "{'s': 'fp32', 'p': 'fp32'}"],
+                         ids=["sp16", "sp_off"])
+def test_engine_runs_16bit_scores_probs(caplog, qd):
+    """The 's'/'p' 16-bit and 'fp32' quant_dict overrides
+    (main.py:461-462) ride the engine: scores-16 only widens the phase-2
+    grid (bit-exact); probs-16/off runs f32-dot phase 3."""
     import logging
 
-    qd = "{'s': 16, 'p': 16}"
     with caplog.at_level(logging.INFO, logger="tq_tpu"):
         s_eng = _run("--quant-dict", qd, "--engine", "auto",
                      "--weight-quant-method", "current_minmax",

@@ -218,15 +218,19 @@ def test_engine_parity(attn_case, cfg_kw):
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(chain))
 
 
-def test_engine_16bit_attn_probs():
-    """The reference's ``attn_probs_n_bits_act: 16`` quant_dict override
-    (quantized_mobilebert.py:189-190) rides the engine (f32-dot phase 3)
-    instead of falling off it."""
+@pytest.mark.parametrize("qd,want_bits", [
+    ({"attn_probs_n_bits_act": 16}, (8, 16)),
+    ({"attn_scores": False}, (0, 8)),
+    ({"attn_probs": False}, (8, 0)),
+], ids=["probs16", "scores_off", "probs_off"])
+def test_engine_attn_site_overrides(qd, want_bits):
+    """The reference's MobileBERT quant_dict attention toggles/overrides
+    (quantized_mobilebert.py:31-55, 189-190) ride the engine instead of
+    falling off it."""
     params = M.init_mobilebert_params(jax.random.PRNGKey(9), CFG)
     rng = np.random.RandomState(9)
     batch = make_batch(rng)
-    qcfg = M.declare_mobilebert_sites(
-        sym_defaults(), CFG, quant_dict={"attn_probs_n_bits_act": 16})
+    qcfg = M.declare_mobilebert_sites(sym_defaults(), CFG, quant_dict=qd)
     apply_fn = functools.partial(M.mobilebert_apply, cfg=CFG)
     qstate, mode = prepare_quantized_model(
         apply_fn, params, qcfg, [batch],
@@ -236,7 +240,7 @@ def test_engine_16bit_attn_probs():
                                 int_params=int_params)
     static, plan, e_int = M.build_mobilebert_engine(params, CFG, qcfg,
                                                     qstate)
-    assert static.layer_attn_bits(0) == (8, 16)
+    assert static.layer_attn_bits(0) == want_bits
     for be, kw in (("xla", {}), ("pallas", {"interpret": True})):
         out = M.mobilebert_engine_apply(params, batch, CFG, qcfg, qstate,
                                         static, plan, e_int, backend=be,

@@ -935,6 +935,10 @@ def build_mobilebert_engine(params: Dict, cfg: MobileBertConfig,
     entry_scal = jnp.stack(site("emb.norm.out")).reshape(1, 2)
     skip_max = False
     try:
+        # an unquantized scores site (bits 0) has no grid bound -> the
+        # max-subtraction cannot be proven dead
+        if any(b[0] == 0 for b in attn_bits_flags):
+            raise ValueError("unbounded scores")
         worst = max(
             (2.0 ** attn_bits_flags[li][0]) * float(lp_["attn_scal"][0, 6])
             for li, lp_ in enumerate(layers))

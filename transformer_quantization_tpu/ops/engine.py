@@ -123,11 +123,15 @@ def attn_edge_scalars(qcfg, qstate: Mapping,
     """(scale, shift, bits) of an attention-interior act site
     (scores / probs), which the kernels support at 8 OR 16 bits
     (quant_dict 's'/'p' overrides, main.py:461-462; MobileBERT
-    ``attn_probs_n_bits_act``, quantized_mobilebert.py:189-190).
-    shift = 2^(bits-1) - zero_point."""
+    ``attn_probs_n_bits_act``, quantized_mobilebert.py:189-190) — or
+    DISABLED (MobileBERT ``attn_scores``/``attn_probs`` toggles,
+    's'/'p': 'fp32'), reported as ``bits=0`` with identity params: the
+    kernels then skip the site's fake-quant (probs-off runs the f32-dot
+    phase 3). shift = 2^(bits-1) - zero_point."""
     _require(name in qcfg, f"no act site {name!r}")
     c = qcfg[name]
-    _require(c.enabled, f"act site {name!r} disabled")
+    if not c.enabled:
+        return (jnp.ones((), jnp.float32), jnp.zeros((), jnp.float32), 0)
     _require(c.axis is None and not c.n_groups,
              f"act site {name!r} is per-axis/grouped")
     _require(c.spec.n_bits in (8, 16),
@@ -397,6 +401,10 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
     # work. Needs concrete scale values — under a tracer, stay safe.
     skip_max = False
     try:
+        # an unquantized scores site (bits 0) has no grid bound -> the
+        # max-subtraction cannot be proven dead
+        if any(b[0] == 0 for b in attn_bits_flags):
+            raise ValueError("unbounded scores")
         hidden = int(layer_params[0]["attn"]["q"]["bias"].shape[0])
         head_dim = hidden // n_heads
         worst = max(

@@ -491,13 +491,19 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
     #   - softmax denominator and probs-site scale folded into one
     #     multiplier before the probs round.
     log2e = np.float32(np.log2(np.e))
-    qk_over_sc = q_s * k_s * (1.0 / sc_s)
-    a = sc_s * rsqrt_d * log2e
-    mask2 = mask_j * log2e + a * sc_sh
-    lo_sc, hi_sc = _clip_bounds(sc_bits)
-    r = jnp.clip(jnp.round(scores_scr[:, :] * qk_over_sc) - sc_sh,
-                 lo_sc, hi_sc)
-    s2 = a * r + mask2
+    if sc_bits == 0:
+        # scores site disabled ('s': 'fp32' / attn_scores: False):
+        # no fake-quant — dequantized raw scores straight into softmax
+        s2 = ((q_s * k_s * rsqrt_d * log2e) * scores_scr[:, :]
+              + mask_j * log2e)
+    else:
+        qk_over_sc = q_s * k_s * (1.0 / sc_s)
+        a = sc_s * rsqrt_d * log2e
+        mask2 = mask_j * log2e + a * sc_sh
+        lo_sc, hi_sc = _clip_bounds(sc_bits)
+        r = jnp.clip(jnp.round(scores_scr[:, :] * qk_over_sc) - sc_sh,
+                     lo_sc, hi_sc)
+        s2 = a * r + mask2
     if skip_max:
         # quantized scores are grid-bounded (|s2| provably << 126,
         # checked at plan time); masked lanes underflow to exactly 0
@@ -506,7 +512,10 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
         m = jnp.max(s2, axis=1, keepdims=True)
         e = jnp.exp2(s2 - m)
     denom = jnp.sum(e, axis=1, keepdims=True)
-    if p_bits != 8:
+    if p_bits == 0:
+        # probs site disabled: raw softmax probabilities, f32-dot phase 3
+        p8 = e * (1.0 / denom)
+    elif p_bits != 8:
         # 16-bit probs site ('p': 16 / attn_probs_n_bits_act): levels
         # don't fit int8 payloads or bf16 operands — phase 3 runs f32
         # MXU dots on SHIFTED f32 levels (exact representation; the f32
@@ -741,12 +750,16 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
     # exp2 softmax) so interpret-mode kernel and oracle stay bit-equal
     log2e = np.float32(np.log2(np.e))
     rsqrt_d = np.float32(1.0 / np.sqrt(d))
-    qk_over_sc = s[0] * s[2] * (1.0 / s[6])
-    a = s[6] * rsqrt_d * log2e
-    mask2 = mask_bias[:, None, None, :] * log2e + a * s[7]
-    lo_sc, hi_sc = _clip_bounds(attn_bits[0])
-    r = jnp.clip(jnp.round(scr * qk_over_sc) - s[7], lo_sc, hi_sc)
-    s2 = a * r + mask2
+    if attn_bits[0] == 0:
+        s2 = ((s[0] * s[2] * rsqrt_d * log2e) * scr
+              + mask_bias[:, None, None, :] * log2e)
+    else:
+        qk_over_sc = s[0] * s[2] * (1.0 / s[6])
+        a = s[6] * rsqrt_d * log2e
+        mask2 = mask_bias[:, None, None, :] * log2e + a * s[7]
+        lo_sc, hi_sc = _clip_bounds(attn_bits[0])
+        r = jnp.clip(jnp.round(scr * qk_over_sc) - s[7], lo_sc, hi_sc)
+        s2 = a * r + mask2
     if skip_max:
         e = jnp.exp2(s2)
     else:
@@ -755,10 +768,14 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
     denom = jnp.sum(e, axis=-1, keepdims=True)
     pv_over_c = s[8] * s[4] * (1.0 / s[10])
     if attn_bits[1] != 8:
-        # 16-bit probs: shifted f32 levels, f32 einsum (see _attn_row)
-        half = float(2 ** (attn_bits[1] - 1))
-        pf = jnp.clip(jnp.round(e * ((1.0 / s[8]) / denom)),
-                      s[9] - half, s[9] + half - 1.0)
+        # 16-bit probs: shifted f32 levels, f32 einsum (see _attn_row);
+        # bits 0 = probs site disabled, raw softmax probabilities
+        if attn_bits[1] == 0:
+            pf = e * (1.0 / denom)
+        else:
+            half = float(2 ** (attn_bits[1] - 1))
+            pf = jnp.clip(jnp.round(e * ((1.0 / s[8]) / denom)),
+                          s[9] - half, s[9] + half - 1.0)
         vf = v8.astype(jnp.float32) + s[5]
         ctx = jnp.einsum("bnqk,bknd->bqnd", pf, vf,
                          preferred_element_type=jnp.float32)
