@@ -187,9 +187,11 @@ def test_resolve_model_dir_hub(monkeypatch, tmp_path):
 
     calls = {}
 
-    def fake_snapshot_download(repo_id, revision=None, allow_patterns=None):
+    def fake_snapshot_download(repo_id, revision=None, allow_patterns=None,
+                               cache_dir=None):
         calls["repo_id"] = repo_id
         calls["allow_patterns"] = allow_patterns
+        calls["cache_dir"] = cache_dir
         return str(tmp_path / "hubcache")
 
     monkeypatch.setattr(huggingface_hub, "snapshot_download",
@@ -199,7 +201,8 @@ def test_resolve_model_dir_hub(monkeypatch, tmp_path):
     )
 
     out = resolve_model_dir("textattack/bert-base-uncased-RTE",
-                            allow_hub=True)
+                            allow_hub=True, cache_dir="/tmp/hfc")
     assert out == str(tmp_path / "hubcache")
     assert calls["repo_id"] == "textattack/bert-base-uncased-RTE"
     assert "config.json" in calls["allow_patterns"]
+    assert calls["cache_dir"] == "/tmp/hfc"
