@@ -256,6 +256,39 @@ def test_attention_grouped_dots_bit_equal(tiny_setup):
     np.testing.assert_array_equal(np.asarray(auto), np.asarray(want))
 
 
+def test_attention_bits_matrix_bit_equal(tiny_setup):
+    """Every supported (scores_bits, probs_bits) combination — low-bit,
+    8, 16, and disabled (0) — is bit-identical to the oracle under both
+    dots modes (quant_dict 's'/'p' values incl. 'fp32';
+    attn_probs_n_bits_act)."""
+    cfg, *_ = tiny_setup
+    nh, d = 4, 16
+    h = nh * d
+    b, t = 2, 32
+    rng = np.random.RandomState(5)
+    qkv8 = jnp.asarray(rng.randint(-128, 128, (b * t, 3 * h)), jnp.int8)
+    bias = jnp.concatenate(
+        [jnp.zeros((b, t - 8), jnp.float32),
+         jnp.full((b, 8), -10000.0, jnp.float32)], axis=1)
+    for bits in [(4, 4), (2, 2), (16, 4), (8, 16), (16, 16), (0, 8),
+                 (8, 0), (0, 0)]:
+        sc_s, sc_sh = (1.0, 0.0) if bits[0] == 0 else (0.11, 2.0)
+        p_s = 1.0 if bits[1] == 0 else 1 / (2.0 ** bits[1] - 1)
+        p_sh = 0.0 if bits[1] == 0 else 2.0 ** (bits[1] - 1)
+        sc = jnp.asarray([[0.02, 3.0, 0.02, -2.0, 0.015, 1.0,
+                           sc_s, sc_sh, p_s, p_sh, 0.01, 2.0]],
+                         jnp.float32)
+        want = EK.int8_attention_ref(qkv8, bias, sc, n_heads=nh, seq=t,
+                                     attn_bits=bits)
+        for dots in ("i8", "bf16"):
+            got = EK.int8_attention(qkv8, bias, sc, n_heads=nh, seq=t,
+                                    interpret=True, dots=dots,
+                                    attn_bits=bits)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want),
+                err_msg=f"bits={bits} dots={dots}")
+
+
 def test_attention_bf16_dots_at_seq256_boundary(tiny_setup):
     """seq=256 is the LAST shape where the bf16 phase-3 accumulation is
     integer-exact (256 * 255^2 < 2^24); assert bit-equality right at the

@@ -134,9 +134,9 @@ def attn_edge_scalars(qcfg, qstate: Mapping,
         return (jnp.ones((), jnp.float32), jnp.zeros((), jnp.float32), 0)
     _require(c.axis is None and not c.n_groups,
              f"act site {name!r} is per-axis/grouped")
-    _require(c.spec.n_bits in (8, 16),
+    _require(2 <= c.spec.n_bits <= 16,
              f"act site {name!r} is {c.spec.n_bits}-bit (engine "
-             "attention supports 8/16)")
+             "attention supports 2..16)")
     _require(not c.spec.symmetric, f"act site {name!r} is symmetric")
     _require(name in qstate, f"act site {name!r} not calibrated")
     qp = qstate[name]["qp"]

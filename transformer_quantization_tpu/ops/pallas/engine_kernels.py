@@ -515,7 +515,7 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
     if p_bits == 0:
         # probs site disabled: raw softmax probabilities, f32-dot phase 3
         p8 = e * (1.0 / denom)
-    elif p_bits != 8:
+    elif p_bits > 8:
         # 16-bit probs site ('p': 16 / attn_probs_n_bits_act): levels
         # don't fit int8 payloads or bf16 operands — phase 3 runs f32
         # MXU dots on SHIFTED f32 levels (exact representation; the f32
@@ -526,20 +526,22 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
         p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)),
                       p_sh - half, p_sh + half - 1.0)
     elif dots == "bf16":
+        lo_p, hi_p = _clip_bounds(p_bits)   # <=8-bit grids fit payloads
         p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)),
-                      p_sh - 128.0, p_sh + 127.0).astype(jnp.bfloat16)
+                      p_sh + lo_p, p_sh + hi_p).astype(jnp.bfloat16)
     else:
+        lo_p, hi_p = _clip_bounds(p_bits)
         p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)) - p_sh,
-                      -128.0, 127.0).astype(jnp.int8)
+                      lo_p, hi_p).astype(jnp.int8)
 
     # phase 3: p8 @ v8 dots; the (p_s v_s) dequant scale and the
     # context-site 1/c_s fold into one multiplier pv_over_c
     pv_over_c = p_s * v_s * (1.0 / c_s)
-    if dots != "bf16" and p_bits == 8:
+    if dots != "bf16" and p_bits in range(1, 9):
         vsum = jnp.sum(vj.astype(jnp.float32), axis=0, keepdims=True)
         psum = jnp.sum(p8.astype(jnp.float32), axis=1, keepdims=True)
     ctx_heads = []
-    if p_bits != 8:
+    if p_bits == 0 or p_bits > 8:
         vf = (vj.astype(jnp.float32) if dots == "bf16"
               else vj.astype(jnp.float32) + v_sh)
         for hh in range(n_heads):
@@ -767,7 +769,7 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
         e = jnp.exp2(s2 - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     pv_over_c = s[8] * s[4] * (1.0 / s[10])
-    if attn_bits[1] != 8:
+    if attn_bits[1] == 0 or attn_bits[1] > 8:
         # 16-bit probs: shifted f32 levels, f32 einsum (see _attn_row);
         # bits 0 = probs site disabled, raw softmax probabilities
         if attn_bits[1] == 0:
@@ -781,8 +783,9 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
                          preferred_element_type=jnp.float32)
         return jnp.clip(jnp.round(ctx * pv_over_c) - s[11],
                         -128.0, 127.0).astype(jnp.int8).reshape(mt, h)
+    lo_p, hi_p = _clip_bounds(attn_bits[1])
     p8 = jnp.clip(jnp.round(e * ((1.0 / s[8]) / denom)) - s[9],
-                  -128.0, 127.0).astype(jnp.int8)
+                  lo_p, hi_p).astype(jnp.int8)
     acc2 = jnp.einsum("bnqk,bknd->bqnd", p8, v8,
                       preferred_element_type=jnp.int32).astype(jnp.float32)
     vsum = jnp.sum(v8.astype(jnp.float32), axis=1)   # (b, n, d)
