@@ -120,6 +120,21 @@ def test_incompatible_config_rejected(tiny_setup):
     assert static16.layer_attn_bits(0) == (16, 16)
 
 
+def test_per_layer_attn_bits_override(tiny_setup):
+    """'p0': 16 (layer-0-only probs override) produces per-layer
+    attn_bits and still runs the engine end to end."""
+    cfg, params, qcfg, qstate, _, _, int_params, batch = tiny_setup
+    qcfg2 = B.apply_bert_quant_dict(qcfg, {"p0": 16},
+                                    cfg.num_hidden_layers)
+    static, plan, _ = B.build_bert_engine(params, cfg, qcfg2, qstate,
+                                          int_params=int_params)
+    assert static.layer_attn_bits(0) == (8, 16)
+    assert static.layer_attn_bits(1) == (8, 8)
+    out = B.bert_engine_apply(params, batch, cfg, qcfg2, qstate, static,
+                              plan, int_params, backend="xla")
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+
 def test_disabled_residual_site_supported(tiny_setup):
     """'u': 'fp32' (disable attn_out.res) still rides the engine."""
     cfg, params, qcfg, qstate, _, _, int_params, batch = tiny_setup
