@@ -295,13 +295,21 @@ def test_attention_bits_matrix_bit_equal(tiny_setup):
                          jnp.float32)
         want = EK.int8_attention_ref(qkv8, bias, sc, n_heads=nh, seq=t,
                                      attn_bits=bits)
-        for dots in ("i8", "bf16"):
+        for dots in ("i8", "bf16", "bf16ph"):
             got = EK.int8_attention(qkv8, bias, sc, n_heads=nh, seq=t,
                                     interpret=True, dots=dots,
                                     attn_bits=bits)
-            np.testing.assert_array_equal(
-                np.asarray(got), np.asarray(want),
-                err_msg=f"bits={bits} dots={dots}")
+            if bits[1] > 8:
+                # probs > 8 bits runs f32-dot phase 3: accumulation
+                # order may differ from the oracle einsum, so a context
+                # value on a rounding tie can move one level
+                diff = np.abs(np.asarray(got, np.int32)
+                              - np.asarray(want, np.int32))
+                assert diff.max() <= 1, (bits, dots, diff.max())
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(got), np.asarray(want),
+                    err_msg=f"bits={bits} dots={dots}")
 
 
 def test_attention_bf16_dots_at_seq256_boundary(tiny_setup):

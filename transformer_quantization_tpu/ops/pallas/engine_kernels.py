@@ -317,9 +317,9 @@ def _resolve_dots(dots: str, seq: int, head_dim: int) -> str:
     """
     if dots == "auto":
         env = os.environ.get("TQ_ATTN_DOTS", "")
-        dots = env if env in ("i8", "bf16") else (
+        dots = env if env in ("i8", "bf16", "bf16ph") else (
             "bf16" if _bf16_dots_ok(seq, head_dim) else "i8")
-    if dots == "bf16" and not _bf16_dots_ok(seq, head_dim):
+    if dots.startswith("bf16") and not _bf16_dots_ok(seq, head_dim):
         raise ValueError(
             f"dots='bf16' is not exact at seq={seq}, head_dim={head_dim} "
             "(f32 accumulator would round; use dots='i8' or 'auto')")
@@ -363,7 +363,7 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
     for j in range(n_batch):
         rows = slice(j * seq, (j + 1) * seq)
         mask_j = mask_ref[pl.ds(base + j, 1), :]
-        if dots == "bf16":
+        if dots.startswith("bf16"):
             # one shifted conversion per tile (p + shift, exact in bf16;
             # see _attn_row) replaces ALL rank-1 correction work below
             qj = (qkv_q[rows, :].astype(jnp.float32)
@@ -379,6 +379,64 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
             scores_scr, n_heads=n_heads, seq=seq, head_dim=head_dim,
             skip_max=skip_max, group=group, dots=dots, sc_bits=sc_bits,
             p_bits=p_bits)
+
+
+def _attn_row_perhead(qj, kj, vj, mask_j, sv, *, n_heads, seq, head_dim,
+                      skip_max, sc_bits=8, p_bits=8):
+    """Per-head fused-phase form of :func:`_attn_row` (``dots='bf16ph'``,
+    shifted-bf16 operands): each head goes dot -> softmax chain -> dot
+    on its own (seq, seq) tile in-register — NO scores scratch, trading
+    the phased form's large-tile VPU batching for zero scratch traffic
+    and MXU/VPU interleaving freedom. Same ops on the same values in the
+    same reduction axis as the phased form, so bit-identical to it and
+    to the oracle."""
+    (q_s, q_sh, k_s, k_sh, v_s, v_sh,
+     sc_s, sc_sh, p_s, p_sh, c_s, c_sh) = sv
+    rsqrt_d = np.float32(1.0 / np.sqrt(head_dim))
+    log2e = np.float32(np.log2(np.e))
+    pv_over_c = p_s * v_s * (1.0 / c_s)
+    ctx_heads = []
+    for hh in range(n_heads):
+        cols = slice(hh * head_dim, (hh + 1) * head_dim)
+        s_raw = jax.lax.dot_general(
+            qj[:, cols], kj[:, cols],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if sc_bits == 0:
+            s2 = (q_s * k_s * rsqrt_d * log2e) * s_raw + mask_j * log2e
+        else:
+            qk_over_sc = q_s * k_s * (1.0 / sc_s)
+            a = sc_s * rsqrt_d * log2e
+            mask2 = mask_j * log2e + a * sc_sh
+            lo_sc, hi_sc = _clip_bounds(sc_bits)
+            r = jnp.clip(jnp.round(s_raw * qk_over_sc) - sc_sh,
+                         lo_sc, hi_sc)
+            s2 = a * r + mask2
+        if skip_max:
+            e = jnp.exp2(s2)
+        else:
+            m = jnp.max(s2, axis=1, keepdims=True)
+            e = jnp.exp2(s2 - m)
+        denom = jnp.sum(e, axis=1, keepdims=True)
+        if p_bits == 0:
+            pb = e * (1.0 / denom)
+            vv = vj[:, cols].astype(jnp.float32)
+        elif p_bits > 8:
+            half = float(2 ** (p_bits - 1))
+            pb = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)),
+                          p_sh - half, p_sh + half - 1.0)
+            vv = vj[:, cols].astype(jnp.float32)
+        else:
+            lo_p, hi_p = _clip_bounds(p_bits)
+            pb = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)),
+                          p_sh + lo_p, p_sh + hi_p).astype(jnp.bfloat16)
+            vv = vj[:, cols]
+        ctx_heads.append(jax.lax.dot_general(
+            pb, vv, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    ctx = jnp.concatenate(ctx_heads, axis=1)
+    return jnp.clip(jnp.round(ctx * pv_over_c) - c_sh, -128.0, 127.0
+                    ).astype(jnp.int8)
 
 
 def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
@@ -412,6 +470,11 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
     clip(round(x), sh - 128, sh + 127), so the levels match the int8
     payload's levels exactly).
     """
+    if dots == "bf16ph":
+        return _attn_row_perhead(qj, kj, vj, mask_j, sv, n_heads=n_heads,
+                                 seq=seq, head_dim=head_dim,
+                                 skip_max=skip_max, sc_bits=sc_bits,
+                                 p_bits=p_bits)
     (q_s, q_sh, k_s, k_sh, v_s, v_sh,
      sc_s, sc_sh, p_s, p_sh, c_s, c_sh) = sv
     rsqrt_d = np.float32(1.0 / np.sqrt(head_dim))
@@ -1011,7 +1074,7 @@ def _mm_emit(x8, w_ref, vec_ref, smem_ref, *, w4, dots, activation=None):
     act = _ACTS[activation]
     if act is not None:
         y = act(y)
-    if dots == "bf16":
+    if dots.startswith("bf16"):
         return jnp.clip(jnp.round(y * (1.0 / vec_ref[3, :])),
                         vec_ref[4, :] - 128.0,
                         vec_ref[4, :] + 127.0).astype(jnp.bfloat16)
