@@ -131,10 +131,10 @@ def variant_fn(variant, bb=4):
     return one
 
 
-def shipped(bb=4):
+def shipped(bb=4, dots="bf16"):
     def one(qkv8, mask, scal):
         return EK.int8_attention(qkv8, mask, scal, n_heads=NH, seq=T,
-                                 batch_block=bb, skip_max=True, dots="bf16")
+                                 batch_block=bb, skip_max=True, dots=dots)
     return one
 
 
@@ -168,6 +168,13 @@ def main():
     ref = np.asarray(shipped()(qkv8, mask, scal))
     t = timed(shipped())(qkv8, mask, scal)
     print(f"# shipped  : {t:7.3f} ms", flush=True)
+    for bb in (2, 4, 8):
+        one = shipped(bb, dots="bf16ph")   # integrated per-head form
+        out = np.asarray(one(qkv8, mask, scal))
+        neq = int((out != ref).sum())
+        t = timed(one)(qkv8, mask, scal)
+        print(f"# bf16ph bb={bb}: {t:7.3f} ms (mismatches={neq})",
+              flush=True)
 
     for name in ("full", "fused", "noq", "dotsonly"):
         one = variant_fn(name)
