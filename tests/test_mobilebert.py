@@ -218,6 +218,36 @@ def test_engine_parity(attn_case, cfg_kw):
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(chain))
 
 
+def test_engine_w4a8_parity():
+    """The W4A8 packed-int4 weights ride the MobileBERT whole-layer
+    kernel (w4 unpack inside _mm_emit/_mm_norm_val)."""
+    params = M.init_mobilebert_params(jax.random.PRNGKey(3), CFG)
+    rng = np.random.RandomState(3)
+    batch = make_batch(rng)
+    import dataclasses as _dc
+
+    defaults = _dc.replace(sym_defaults(4), n_bits_act=8)
+    qcfg = M.declare_mobilebert_sites(defaults, CFG)
+    apply_fn = functools.partial(M.mobilebert_apply, cfg=CFG)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [batch],
+        weight_tensors=M.mobilebert_weight_site_tensors(params))
+    int_params = M.build_mobilebert_int_params(params, qcfg, qstate,
+                                               use_int4=True)
+    ref, _ = M.mobilebert_apply(params, batch, CFG, qcfg, qstate, mode,
+                                int_params=int_params)
+    static, plan, e_int = M.build_mobilebert_engine(
+        params, CFG, qcfg, qstate, int_params=int_params, use_int4=True)
+    assert any(any(f) for f in static.w4)
+    for be, kw in (("xla", {}), ("pallas", {"interpret": True})):
+        out = M.mobilebert_engine_apply(params, batch, CFG, qcfg, qstate,
+                                        static, plan, e_int, backend=be,
+                                        **kw)
+        np.testing.assert_allclose(np.asarray(out["logits"]),
+                                   np.asarray(ref["logits"]),
+                                   rtol=1e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("qd,want_bits", [
     ({"attn_probs_n_bits_act": 16}, (8, 16)),
     ({"attn_scores": False}, (0, 8)),
