@@ -80,3 +80,39 @@ def test_tp_int8_report(setup):
     assert rep["max_err_psum_vs_replicated"] < 1e-3
     assert rep["max_err_int8_vs_replicated"] < 1.0
     assert rep["int8_bytes"] < rep["f32_bytes"] / 3.5
+
+
+def test_serving_engine_over_tp_int8(setup):
+    """The serving engine is forward-agnostic: a manual-TP forward whose
+    row-parallel closings ride int8-compressed collectives serves
+    requests end to end (continuous batching + TP on one mesh)."""
+    from transformer_quantization_tpu.serving.engine import (
+        ServeConfig,
+        ServingEngine,
+    )
+
+    params, batch, ref = setup
+    mesh = make_mesh(tp=4)
+
+    def forward(b):
+        return T.tp_bert_logits(params, b, CFG, mesh, comm="int8")
+
+    scfg = ServeConfig(max_batch=4, batch_buckets=(1, 4),
+                       seq_buckets=(16,), precompile=False)
+    eng = ServingEngine(forward, scfg)
+    rng = np.random.RandomState(3)
+    ids = rng.randint(4, 128, 10).astype(np.int32)
+    with eng:
+        logits = eng.submit_ids(ids).result(timeout=300)
+    # same request through the exact-TP forward at the bucketed shape
+    pad = np.zeros(16, np.int32)
+    pad[:10] = ids
+    mask = np.zeros(16, np.float32)
+    mask[:10] = 1.0
+    b1 = {"input_ids": jnp.asarray(pad)[None],
+          "attention_mask": jnp.asarray(mask)[None],
+          "token_type_ids": jnp.zeros((1, 16), jnp.int32)}
+    exact = np.asarray(T.tp_bert_logits(params, b1, CFG, mesh,
+                                        comm="psum"))[0]
+    scale = max(np.max(np.abs(exact)), 1e-3)
+    assert np.max(np.abs(logits - exact)) < 0.05 * scale + 0.05
