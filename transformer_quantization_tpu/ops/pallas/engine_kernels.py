@@ -61,6 +61,19 @@ _VMEM_LIMIT = 64 * 1024 * 1024
 _VMEM_BUDGET = 24 * 1024 * 1024
 
 
+def _grid_params(n_dims: int = 1):
+    """CompilerParams for the M-gridded kernels. The grid dimension is
+    semantically parallel (each step owns a disjoint row block; the
+    scores scratch carries no cross-step state), but declaring it
+    ``parallel`` measured neutral on v5e (scripts/engine_ab.py) — the
+    ``TQ_DIMSEM`` env var (read at trace time) keeps the A/B available
+    without forking kernels."""
+    dimsem = os.environ.get("TQ_DIMSEM") or None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT,
+        dimension_semantics=(dimsem,) * n_dims if dimsem else None)
+
+
 # ---------------------------------------------------------------------------
 # Payload helpers (shared by kernels and jnp reference paths)
 #
@@ -248,8 +261,7 @@ def int8_matmul(x8: Array, w8: Array, vecs: Array, scalars: Array, *,
             flops=2 * m * n * k,
             bytes_accessed=m * k + n * k + m * n * (1 if out_is_int8 else 4),
             transcendentals=m * n if activation else 0),
-        compiler_params=(None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT)),
+        compiler_params=None if interpret else _grid_params(),
         interpret=interpret,
     )(x8, w8, vecs, scalars)
 
@@ -734,8 +746,7 @@ def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
             flops=4 * b * n_heads * seq * seq * d,
             bytes_accessed=4 * mt * h + b * seq * 4,
             transcendentals=b * n_heads * seq * seq),
-        compiler_params=(None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT)),
+        compiler_params=None if interpret else _grid_params(),
         interpret=interpret,
     )(q_arr, k_arr, v_arr, mask_bias, scalars)
 
@@ -991,8 +1002,7 @@ def fused_add_ln(y: Array, r: Array, gb: Array, scalars: Array, *,
             flops=10 * m * hdim,
             bytes_accessed=m * hdim * (4 + 4 + 1 + fbytes),
             transcendentals=m),
-        compiler_params=(None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT)),
+        compiler_params=None if interpret else _grid_params(),
         interpret=interpret,
     )(y, r, gb, scalars)
 
@@ -1035,8 +1045,7 @@ def fused_add_ln_payload(y8: Array, r8: Array, gb: Array, scalars: Array, *,
             flops=12 * m * hdim,
             bytes_accessed=m * hdim * 3,
             transcendentals=m),
-        compiler_params=(None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT)),
+        compiler_params=None if interpret else _grid_params(),
         interpret=interpret,
     )(y8, r8, gb, scalars)
 
@@ -1164,8 +1173,7 @@ def int8_matmul_add_ln(x8: Array, w8: Array, vecs: Array, scalars: Array,
             flops=2 * m * n * k + 20 * m * n,
             bytes_accessed=m * k + n * k + 2 * m * n,
             transcendentals=m),
-        compiler_params=(None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT)),
+        compiler_params=None if interpret else _grid_params(),
         interpret=interpret,
     )(x8, w8, vecs, scalars, r8, gb, ln_scalars)
 
@@ -1222,8 +1230,7 @@ def int8_matmul_norm(x8: Array, w8: Array, vecs: Array, scalars: Array,
             flops=2 * m * n * k + 12 * m * n,
             bytes_accessed=m * k + n * k + m * n,
             transcendentals=m if norm == "layernorm" else 0),
-        compiler_params=(None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT)),
+        compiler_params=None if interpret else _grid_params(),
         interpret=interpret,
     )(x8, w8, vecs, scalars, gb, ln_scalars)
 
@@ -1402,8 +1409,7 @@ def int8_ffn_ln(x8: Array, wi: Array, vi: Array, si: Array, wd: Array,
             bytes_accessed=m * k1 * in_b + n1 * k1 + n2 * n1
             + (1 + res_b) * m * n2,
             transcendentals=m * n1 + m),
-        compiler_params=(None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT)),
+        compiler_params=None if interpret else _grid_params(),
         interpret=interpret,
     )(*args)
 
@@ -1604,8 +1610,7 @@ def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
             bytes_accessed=2 * mt * hdim + n3 * hdim + hdim * hdim
             + b * seq * 4,
             transcendentals=b * n_heads * seq * seq + mt),
-        compiler_params=(None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT)),
+        compiler_params=None if interpret else _grid_params(),
         interpret=interpret,
     )(*args)
 
@@ -1742,8 +1747,7 @@ def int8_layer_ln(x8: Array, wq: Array, vq: Array, sq: Array,
             bytes_accessed=2 * mt * hdim + n3 * hdim + hdim * hdim
             + 2 * n1 * hdim + b * seq * 4,
             transcendentals=b * n_heads * seq * seq + mt * n1 + 2 * mt),
-        compiler_params=(None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT)),
+        compiler_params=None if interpret else _grid_params(),
         interpret=interpret,
     )(*args)
 
@@ -1951,8 +1955,7 @@ def int8_mb_layer_ln(h8: Array, mask_bias: Array, attn_scal: Array,
             bytes_accessed=2 * mt * hdim + b * seq * 4
             + sum(a.size for a in flat),
             transcendentals=b * n_heads * seq * seq + 6 * mt),
-        compiler_params=(None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT)),
+        compiler_params=None if interpret else _grid_params(),
         interpret=interpret,
     )(h8, mask_bias, attn_scal, *flat)
 
