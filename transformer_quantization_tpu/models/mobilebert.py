@@ -755,12 +755,15 @@ class MobileBertEngineStatic:
     # per layer: w4 flag per matmul in plan order
     w4: Tuple[Tuple[bool, ...], ...]
     attn_skip_max: bool = False
-    # per layer: (scores_bits, probs_bits) — attn_probs_n_bits_act
-    # overrides (quantized_mobilebert.py:189-190). Empty = all-(8, 8).
-    attn_bits: Tuple[Tuple[int, int], ...] = ()
+    # per layer: (scores_bits, probs_bits, context_bits) — the
+    # attn_probs_n_bits_act override (quantized_mobilebert.py:189-190)
+    # and the attn_scores/attn_probs/attn_output toggles (bits 0 =
+    # disabled; context outside 1..8 = float value edge into attn_out).
+    # Empty = all-(8, 8, 8); 2-tuples stay accepted.
+    attn_bits: Tuple[Tuple[int, ...], ...] = ()
 
-    def layer_attn_bits(self, i: int) -> Tuple[int, int]:
-        return self.attn_bits[i] if self.attn_bits else (8, 8)
+    def layer_attn_bits(self, i: int) -> Tuple[int, ...]:
+        return self.attn_bits[i] if self.attn_bits else (8, 8, 8)
 
 
 def _nonorm_plan(qcfg, qstate, norm_params: Mapping, wsite: str,
@@ -874,16 +877,22 @@ def build_mobilebert_engine(params: Dict, cfg: MobileBertConfig,
                                                      p + "attn.scores")
         p_s, p_sh, p_bits = ENG.attn_edge_scalars(qcfg, qstate,
                                                   p + "attn.probs")
+        c_s, c_sh, c_bits = ENG.attn_edge_scalars(qcfg, qstate,
+                                                  p + "attn.context")
         attn_scal = jnp.concatenate(
             [jnp.stack(site(p + s)) for s in
              ("attn.q.out", "attn.k.out", "attn.v.out")]
             + [jnp.stack((sc_s, sc_sh)), jnp.stack((p_s, p_sh)),
-               jnp.stack(site(p + "attn.context"))]).reshape(1, 12)
-        attn_bits_flags.append((sc_bits, p_bits))
+               jnp.stack((c_s, c_sh))]).reshape(1, 12)
+        attn_bits_flags.append((sc_bits, p_bits, c_bits))
 
+        # flex context (attn_output: False / 'c': 16): float value edge
+        # into attn_out — no input-site folding (in_mode='f')
+        ctx_in = ((c_s, c_sh) if 1 <= c_bits <= 8
+                  else (jnp.ones(()), jnp.zeros(())))
         so = lp["attn_out"]
         attn_out = mm([p + "attn_out.dense"], [so["dense"]["bias"]],
-                      site(p + "attn.context"),
+                      ctx_in,
                       [site(p + "attn_out.dense.out")])
         attn_out_norm, res_ao = _nonorm_plan(
             qcfg, qstate, so["norm"], p + "attn_out.norm.w",
@@ -998,16 +1007,16 @@ def mobilebert_encoder_engine(h: Array, mask_bias: Array,
                                        res_quant=False, norm="nonorm",
                                        w4=w4)
 
-    def mm_add_norm(x8, mp, r8, np_, res_quant, w4):
+    def mm_add_norm(x8, mp, r8, np_, res_quant, w4, in_mode="i8"):
         if mm_be == "pallas":
             return EK.int8_matmul_add_ln(
                 x8, mp["w"], mp["vecs"], mp["scal"], r8, np_["gb"],
                 np_["scal"], eps=0.0, res_quant=res_quant, norm="nonorm",
-                interpret=interpret, w4=w4)
+                interpret=interpret, w4=w4, in_mode=in_mode)
         return EK.int8_matmul_add_ln_ref(
             x8, mp["w"], mp["vecs"], mp["scal"], r8, np_["gb"],
             np_["scal"], eps=0.0, res_quant=res_quant, norm="nonorm",
-            w4=w4)
+            w4=w4, in_mode=in_mode)
 
     def ffn(x8, ip, dp, r8, np_, res_quant, w4i, w4d):
         # whole (inter -> act -> dense -> +residual -> NoNorm) block in
@@ -1072,8 +1081,10 @@ def mobilebert_encoder_engine(h: Array, mask_bias: Array,
                 cols=(0, 1, 0), skip_max=static.attn_skip_max,
                 attn_bits=static.layer_attn_bits(i))
 
+        c_bits = EK._attn3(static.layer_attn_bits(i))[2]
         x8 = mm_add_norm(c8, lp["attn_out"], li8, lp["attn_out_norm"],
-                         res_ao, w4())
+                         res_ao, w4(),
+                         in_mode="i8" if 1 <= c_bits <= 8 else "f")
         for j, f in enumerate(lp["ffns"]):
             x8 = ffn(x8, f["inter"], f["dense"], x8, f["norm"],
                      res_ffn[j], w4(), w4())

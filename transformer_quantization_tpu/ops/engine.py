@@ -72,16 +72,20 @@ class EngineStatic:
     # y = ffn.res; lnv1/lnv2 mark per-column (PEG) site params for the
     # attention / FFN megakernels. Empty tuple entries mean all-int8.
     flex: Tuple[Tuple[str, int, int, int, bool, bool], ...] = ()
-    # per layer: (scores_bits, probs_bits), 8 or 16 — the quant_dict
-    # 's'/'p' overrides (main.py:461-462). Empty tuple means all-(8, 8).
-    attn_bits: Tuple[Tuple[int, int], ...] = ()
+    # per layer: (scores_bits, probs_bits, context_bits) — the quant_dict
+    # 's'/'p'/'c' overrides (main.py:461-463) and MobileBERT's
+    # attn_scores/attn_probs/attn_output toggles. bits 0 = site disabled
+    # ('fp32'); context bits outside 1..8 make the context a FLOAT value
+    # edge into the attn_out matmul (in_mode='f'). Empty = all-(8, 8, 8);
+    # 2-tuples (pre-context-flex statics) stay accepted.
+    attn_bits: Tuple[Tuple[int, ...], ...] = ()
 
     @property
     def any_flex(self) -> bool:
         return any(f != ("i8", 8, 8, 8, False, False) for f in self.flex)
 
-    def layer_attn_bits(self, i: int) -> Tuple[int, int]:
-        return self.attn_bits[i] if self.attn_bits else (8, 8)
+    def layer_attn_bits(self, i: int) -> Tuple[int, ...]:
+        return self.attn_bits[i] if self.attn_bits else (8, 8, 8)
 
 
 # ---------------------------------------------------------------------------
@@ -317,14 +321,18 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
                                                  p + "attn.scores")
         p_s, p_sh, p_bits = attn_edge_scalars(qcfg, qstate,
                                               p + "attn.probs")
+        c_s, c_sh, c_bits = attn_edge_scalars(qcfg, qstate,
+                                              p + "attn.context")
         attn_scal = jnp.concatenate(
             [jnp.stack(s) for s in qkv_out]
             + [jnp.stack((sc_s, sc_sh)), jnp.stack((p_s, p_sh)),
-               jnp.stack(act_site_scalars(qcfg, qstate,
-                                          p + "attn.context"))]
+               jnp.stack((c_s, c_sh))]
         ).reshape(1, 12)
 
-        ctx_scal = act_site_scalars(qcfg, qstate, p + "attn.context")
+        # flex context ('c': 'fp32' / 16): the edge carries float VALUES,
+        # so the consuming matmul folds no input-site params (in_mode='f')
+        ctx_scal = ((c_s, c_sh) if 1 <= c_bits <= 8
+                    else (jnp.ones(()), jnp.zeros(())))
         ao_fold = _act_enabled(qcfg, p + "attn_out.dense.out")
         ao_out = ([act_site_scalars(qcfg, qstate, p + "attn_out.dense.out")]
                   if ao_fold else None)
@@ -391,7 +399,7 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
         fold_flags.append((ao_fold, d_fold))
         res_flags.append((res1, res2))
         flex_flags.append(flex)
-        attn_bits_flags.append((sc_bits, p_bits))
+        attn_bits_flags.append((sc_bits, p_bits, c_bits))
 
     entry_scal = jnp.stack(
         act_site_scalars(qcfg, qstate, entry_site)).reshape(1, 2)
@@ -442,15 +450,15 @@ def parse_backend(backend: str) -> Tuple[str, str, str]:
 
 
 def _mm(backend: str, interpret: bool, x8: Array, mp: Dict, *, activation,
-        out_mode, out_dtype, w4: bool) -> Array:
+        out_mode, out_dtype, w4: bool, in_mode: str = "i8") -> Array:
     if backend == "pallas":
         return EK.int8_matmul(x8, mp["w"], mp["vecs"], mp["scal"],
                               activation=activation, out_mode=out_mode,
                               out_dtype=out_dtype, interpret=interpret,
-                              w4=w4)
+                              w4=w4, in_mode=in_mode)
     return EK.int8_matmul_ref(x8, mp["w"], mp["vecs"], mp["scal"],
                               activation=activation, out_mode=out_mode,
-                              out_dtype=out_dtype, w4=w4)
+                              out_dtype=out_dtype, w4=w4, in_mode=in_mode)
 
 
 def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
@@ -505,15 +513,16 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
             y8, r8, lnp["gb"], lnp["scal"], eps=static.ln_eps,
             res_quant=res_quant)
 
-    def mm_add_ln(x8, mp, r8, lnp, res_quant, w4):
+    def mm_add_ln(x8, mp, r8, lnp, res_quant, w4, in_mode="i8"):
         if mm_be == "pallas":
             return EK.int8_matmul_add_ln(
                 x8, mp["w"], mp["vecs"], mp["scal"], r8, lnp["gb"],
                 lnp["scal"], eps=static.ln_eps, res_quant=res_quant,
-                interpret=interpret, w4=w4)
+                interpret=interpret, w4=w4, in_mode=in_mode)
         return EK.int8_matmul_add_ln_ref(
             x8, mp["w"], mp["vecs"], mp["scal"], r8, lnp["gb"],
-            lnp["scal"], eps=static.ln_eps, res_quant=res_quant, w4=w4)
+            lnp["scal"], eps=static.ln_eps, res_quant=res_quant, w4=w4,
+            in_mode=in_mode)
 
     def ffn_block(x8, ip, dp, r8, lnp, res_quant, w4i, w4d):
         # whole FFN in one kernel: profiling showed XLA spills the
@@ -622,13 +631,16 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
                                        n_heads=static.n_heads, seq=t,
                                        skip_max=static.attn_skip_max,
                                        attn_bits=static.layer_attn_bits(i))
+        c_bits = EK._attn3(static.layer_attn_bits(i))[2]
+        ctx_mode = "i8" if 1 <= c_bits <= 8 else "f"
         if fuse_ln:
-            h8 = mm_add_ln(c8, lp["attn_out"], h8, lp["ln1"], res1, ao_w4)
+            h8 = mm_add_ln(c8, lp["attn_out"], h8, lp["ln1"], res1, ao_w4,
+                           in_mode=ctx_mode)
         else:
             y = _mm(mm_be, interpret, c8, lp["attn_out"], activation=None,
                     out_mode="emit" if payload_res
                     else ("fold" if ao_fold else "float"),
-                    out_dtype=out_dtype, w4=ao_w4)
+                    out_dtype=out_dtype, w4=ao_w4, in_mode=ctx_mode)
             if payload_res:
                 h8 = add_ln_payload(y, h8, lp["ln1"], res1)
             else:

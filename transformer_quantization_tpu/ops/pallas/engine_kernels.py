@@ -114,6 +114,39 @@ def fakequant_f32(x: Array, s, shift, lo: float = -128.0,
     return s * (r + shift)
 
 
+def _attn3(attn_bits) -> Tuple[int, int, int]:
+    """Normalize an attention-sites bit tuple to (scores, probs, context).
+
+    Context defaults to 8 (the int8 payload protocol); 2-tuples are the
+    pre-context-flex static form and stay accepted everywhere.
+    """
+    ab = tuple(attn_bits)
+    return (ab[0], ab[1], ab[2] if len(ab) > 2 else 8)
+
+
+def _emit_ctx(ctx, pv_over_c, c_s, c_sh, c_bits: int):
+    """Context-site emission from the f32 context accumulator.
+
+    1..8-bit sites emit the int8 payload (narrower grids just clip
+    tighter — the payload still fits int8). Disabled (bits 0) and
+    16-bit sites emit a FLOAT VALUE edge — the consuming attn_out
+    matmul runs ``in_mode='f'`` ('c': 'fp32' / 'c': 16 quant_dict keys,
+    MobileBERT ``attn_output: False``). For bits 0 the builders pass
+    identity (c_s=1, c_sh=0) params, so ``pv_over_c == p_s * v_s`` and
+    the edge carries the raw p@v dequantization.
+    """
+    if c_bits == 0:
+        return (ctx * pv_over_c).astype(jnp.float32)
+    if c_bits > 8:
+        half = float(2 ** (c_bits - 1))
+        return (c_s * jnp.clip(jnp.round(ctx * pv_over_c),
+                               c_sh - half, c_sh + half - 1.0)
+                ).astype(jnp.float32)
+    lo, hi = _clip_bounds(c_bits)
+    return jnp.clip(jnp.round(ctx * pv_over_c) - c_sh, lo, hi
+                    ).astype(jnp.int8)
+
+
 # ---------------------------------------------------------------------------
 # Kernel 1: payload matmul with per-column output requantization
 # ---------------------------------------------------------------------------
@@ -340,7 +373,7 @@ def _resolve_dots(dots: str, seq: int, head_dim: int) -> str:
 
 def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
                  scores_scr, *, n_batch, n_heads, seq, head_dim, skip_max,
-                 group=1, dots="i8", sc_bits=8, p_bits=8):
+                 group=1, dots="i8", sc_bits=8, p_bits=8, c_bits=8):
     """One batch-block cell: phased attention over all heads at once.
 
     The q/k/v refs are (n_batch*seq, H) int8 blocks — full hidden width,
@@ -390,11 +423,11 @@ def _attn_kernel(qkv_q, qkv_k, qkv_v, mask_ref, smem_ref, out_ref,
             qj, kj, vj, mask_j, sv,
             scores_scr, n_heads=n_heads, seq=seq, head_dim=head_dim,
             skip_max=skip_max, group=group, dots=dots, sc_bits=sc_bits,
-            p_bits=p_bits)
+            p_bits=p_bits, c_bits=c_bits)
 
 
 def _attn_row_perhead(qj, kj, vj, mask_j, sv, *, n_heads, seq, head_dim,
-                      skip_max, sc_bits=8, p_bits=8):
+                      skip_max, sc_bits=8, p_bits=8, c_bits=8):
     """Per-head fused-phase form of :func:`_attn_row` (``dots='bf16ph'``,
     shifted-bf16 operands): each head goes dot -> softmax chain -> dot
     on its own (seq, seq) tile in-register — NO scores scratch, trading
@@ -447,12 +480,12 @@ def _attn_row_perhead(qj, kj, vj, mask_j, sv, *, n_heads, seq, head_dim,
             pb, vv, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
     ctx = jnp.concatenate(ctx_heads, axis=1)
-    return jnp.clip(jnp.round(ctx * pv_over_c) - c_sh, -128.0, 127.0
-                    ).astype(jnp.int8)
+    return _emit_ctx(ctx, pv_over_c, c_s, c_sh, c_bits)
 
 
 def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
-              head_dim, skip_max, group, dots="i8", sc_bits=8, p_bits=8):
+              head_dim, skip_max, group, dots="i8", sc_bits=8, p_bits=8,
+              c_bits=8):
     """Attention phases for ONE batch row's (seq, H) q/k/v payload tiles;
     returns the (seq, H) int8 context-site payload. Shared by the
     standalone attention kernel and the fused attention megakernel.
@@ -486,7 +519,7 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
         return _attn_row_perhead(qj, kj, vj, mask_j, sv, n_heads=n_heads,
                                  seq=seq, head_dim=head_dim,
                                  skip_max=skip_max, sc_bits=sc_bits,
-                                 p_bits=p_bits)
+                                 p_bits=p_bits, c_bits=c_bits)
     (q_s, q_sh, k_s, k_sh, v_s, v_sh,
      sc_s, sc_sh, p_s, p_sh, c_s, c_sh) = sv
     rsqrt_d = np.float32(1.0 / np.sqrt(head_dim))
@@ -678,8 +711,7 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
                              + v_sh * psum[hrows, :]
                              + seq * p_sh * v_sh)
     ctx = jnp.concatenate(ctx_heads, axis=1)
-    return jnp.clip(jnp.round(ctx * pv_over_c) - c_sh, -128.0, 127.0
-                    ).astype(jnp.int8)
+    return _emit_ctx(ctx, pv_over_c, c_s, c_sh, c_bits)
 
 
 def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
@@ -720,11 +752,14 @@ def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
             group = 1
             while d * group < 128 and n_heads % (group * 2) == 0:
                 group *= 2
+    sc_bits, p_bits, c_bits = _attn3(attn_bits)
     kernel = functools.partial(_attn_kernel, n_batch=bb, n_heads=n_heads,
                                seq=seq, head_dim=d, skip_max=skip_max,
                                group=group, dots=dots,
-                               sc_bits=attn_bits[0], p_bits=attn_bits[1])
+                               sc_bits=sc_bits, p_bits=p_bits,
+                               c_bits=c_bits)
     grid = (b // bb,)
+    out_t = jnp.int8 if 1 <= c_bits <= 8 else jnp.float32
     spec = lambda col: pl.BlockSpec(  # noqa: E731
         (bb * seq, h), lambda i, col=col: (i, col),
         memory_space=pltpu.VMEM)
@@ -740,7 +775,7 @@ def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
         ],
         out_specs=pl.BlockSpec((bb * seq, h), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mt, h), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((mt, h), out_t),
         scratch_shapes=[pltpu.VMEM((n_heads * seq, seq), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n_heads * seq * seq * d,
@@ -813,6 +848,7 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
     h = h3 // 3
     d = h // n_heads
     b = mt // seq
+    c_bits = _attn3(attn_bits)[2]
     s = scalars[0]
     q8, k8, v8 = (qkv8[:, i * h:(i + 1) * h].reshape(b, seq, n_heads, d)
                   for i in range(3))
@@ -855,8 +891,8 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
         vf = v8.astype(jnp.float32) + s[5]
         ctx = jnp.einsum("bnqk,bknd->bqnd", pf, vf,
                          preferred_element_type=jnp.float32)
-        return jnp.clip(jnp.round(ctx * pv_over_c) - s[11],
-                        -128.0, 127.0).astype(jnp.int8).reshape(mt, h)
+        return _emit_ctx(ctx, pv_over_c, s[10], s[11],
+                         c_bits).reshape(mt, h)
     lo_p, hi_p = _clip_bounds(attn_bits[1])
     p8 = jnp.clip(jnp.round(e * ((1.0 / s[8]) / denom)) - s[9],
                   lo_p, hi_p).astype(jnp.int8)
@@ -867,8 +903,7 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
     ctx = (acc2 + s[9] * vsum[:, None, :, :]
            + s[5] * psum.transpose(0, 2, 1)[:, :, :, None]
            + seq * s[9] * s[5])
-    return jnp.clip(jnp.round(ctx * pv_over_c) - s[11],
-                    -128.0, 127.0).astype(jnp.int8).reshape(mt, h)
+    return _emit_ctx(ctx, pv_over_c, s[10], s[11], c_bits).reshape(mt, h)
 
 
 def int8_attention_qkv_ref(q_arr, k_arr, v_arr, mask_bias, scalars, *,
@@ -1056,12 +1091,13 @@ def fused_add_ln_payload(y8: Array, r8: Array, gb: Array, scalars: Array, *,
 
 
 def _mm_norm_val(x8, w_ref, vec_ref, smem_ref, r8, gb_ref, ln_smem_ref, *,
-                 eps, res_quant, w4, norm):
+                 eps, res_quant, w4, norm, in_mode="i8"):
     """Value-level residual-feeding matmul + add + norm: ``x8``/``r8``
     are in-register tiles (``r8`` None = no residual); returns the int8
     norm-site payload tile. Shared by the standalone kernels and the
-    whole-layer megakernels."""
-    y = _mm_body(x8, w_ref, vec_ref, smem_ref, w4=w4, in_mode="i8")
+    whole-layer megakernels. ``in_mode='f'``: ``x8`` is a float value
+    edge (flex context site) instead of an int8 payload."""
+    y = _mm_body(x8, w_ref, vec_ref, smem_ref, w4=w4, in_mode=in_mode)
     # fold-site fake-quant (the producing matmul's .out site)
     r = jnp.clip(jnp.round(y * (1.0 / vec_ref[3, :])) - vec_ref[4, :],
                  -128.0, 127.0)
@@ -1092,7 +1128,8 @@ def _mm_emit(x8, w_ref, vec_ref, smem_ref, *, w4, dots, activation=None):
 
 
 def _mm_norm_core(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
-                  ln_smem_ref, out_ref, *, eps, res_quant, w4, norm):
+                  ln_smem_ref, out_ref, *, eps, res_quant, w4, norm,
+                  in_mode="i8"):
     """Residual-feeding matmul with the whole add+norm epilogue fused.
 
     Matmul part == :func:`_mm_kernel` with ``out_mode='fold'`` (the fold
@@ -1107,15 +1144,15 @@ def _mm_norm_core(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
     out_ref[:] = _mm_norm_val(
         x_ref[:], w_ref, vec_ref, smem_ref,
         r_ref[:] if r_ref is not None else None, gb_ref, ln_smem_ref,
-        eps=eps, res_quant=res_quant, w4=w4, norm=norm)
+        eps=eps, res_quant=res_quant, w4=w4, norm=norm, in_mode=in_mode)
 
 
 def _mm_add_ln_kernel(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
                       ln_smem_ref, out_ref, *, eps, res_quant, w4,
-                      norm="layernorm"):
+                      norm="layernorm", in_mode="i8"):
     _mm_norm_core(x_ref, w_ref, vec_ref, smem_ref, r_ref, gb_ref,
                   ln_smem_ref, out_ref, eps=eps, res_quant=res_quant,
-                  w4=w4, norm=norm)
+                  w4=w4, norm=norm, in_mode=in_mode)
 
 
 def _mm_norm_kernel(x_ref, w_ref, vec_ref, smem_ref, gb_ref, ln_smem_ref,
@@ -1128,13 +1165,14 @@ def _mm_norm_kernel(x_ref, w_ref, vec_ref, smem_ref, gb_ref, ln_smem_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "res_quant", "block_m", "interpret", "w4",
-                     "norm"))
+                     "norm", "in_mode"))
 def int8_matmul_add_ln(x8: Array, w8: Array, vecs: Array, scalars: Array,
                        r8: Array, gb: Array, ln_scalars: Array, *,
                        eps: float, res_quant: bool = True,
                        block_m: Optional[int] = None,
                        interpret: bool = False, w4: bool = False,
-                       norm: str = "layernorm") -> Array:
+                       norm: str = "layernorm",
+                       in_mode: str = "i8") -> Array:
     """Fused (payload matmul -> fold-site fake-quant -> +residual payload
     -> res-site fake-quant -> LayerNorm -> ln-site payload).
 
@@ -1148,9 +1186,11 @@ def int8_matmul_add_ln(x8: Array, w8: Array, vecs: Array, scalars: Array,
     """
     m, k = x8.shape
     n = w8.shape[0]
-    bm = _pick_block_m(m, k + 2 * n + 64, block_m)
+    in_b = 1 if in_mode == "i8" else x8.dtype.itemsize
+    bm = _pick_block_m(m, in_b * k + 2 * n + 64, block_m)
     kernel = functools.partial(_mm_add_ln_kernel, eps=eps,
-                               res_quant=res_quant, w4=w4, norm=norm)
+                               res_quant=res_quant, w4=w4, norm=norm,
+                               in_mode=in_mode)
     return pl.pallas_call(
         kernel,
         grid=(m // bm,),
@@ -1180,11 +1220,11 @@ def int8_matmul_add_ln(x8: Array, w8: Array, vecs: Array, scalars: Array,
 
 def int8_matmul_add_ln_ref(x8, w8, vecs, scalars, r8, gb, ln_scalars, *,
                            eps, res_quant=True, w4=False,
-                           norm="layernorm"):
+                           norm="layernorm", in_mode="i8"):
     """jnp oracle / XLA-composed backend for :func:`int8_matmul_add_ln`.
     ``r8`` None == no residual (the :func:`int8_matmul_norm` form)."""
     y = int8_matmul_ref(x8, w8, vecs, scalars, activation=None,
-                        out_mode="fold", w4=w4)
+                        out_mode="fold", w4=w4, in_mode=in_mode)
     s = ln_scalars[0]
     if r8 is not None:
         y = y + s[2] * (r8.astype(jnp.float32) + s[3])
@@ -1448,7 +1488,7 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
                       n_batch, n_heads, seq, head_dim,
                       skip_max, group, w4q, w4o, eps, res_quant, norm,
                       ln_out="emit", ln_bits=8, lnv=False, dots="i8",
-                      sc_bits=8, p_bits=8):
+                      sc_bits=8, p_bits=8, c_bits=8):
     """One (n_batch*seq, H) cell through the whole attention block.
 
     Stage 1 == :func:`_mm_kernel` (out_mode='emit') for the fused q|k|v
@@ -1496,12 +1536,18 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
         c8_rows.append(_attn_row(
             qkv8[rows, 0:h], qkv8[rows, h:2 * h], qkv8[rows, 2 * h:3 * h],
             mask_j, sv, scores_scr, n_heads=n_heads, seq=seq,
-            head_dim=head_dim, skip_max=skip_max, group=group, dots=dots))
+            head_dim=head_dim, skip_max=skip_max, group=group, dots=dots,
+            sc_bits=sc_bits, p_bits=p_bits, c_bits=c_bits))
     c8 = jnp.concatenate(c8_rows, axis=0)
 
-    o_s, o_sh = so_ref[0, 0], so_ref[0, 1]
-    acc2 = _int_dot(c8, wo_ref, w4o)
-    y2 = (o_s * vo_ref[0, :]) * (acc2 + o_sh * vo_ref[1, :])
+    if 1 <= c_bits <= 8:
+        o_s, o_sh = so_ref[0, 0], so_ref[0, 1]
+        acc2 = _int_dot(c8, wo_ref, w4o)
+        y2 = (o_s * vo_ref[0, :]) * (acc2 + o_sh * vo_ref[1, :])
+    else:
+        # flex context edge: c8 carries float VALUES ('c': 'fp32' / 16)
+        acc2 = _f_dot(c8, wo_ref, w4o)
+        y2 = vo_ref[0, :] * acc2
     y2 = y2 + vo_ref[2, :]
     r2 = jnp.clip(jnp.round(y2 * (1.0 / vo_ref[3, :])) - vo_ref[4, :],
                   -128.0, 127.0)
@@ -1564,6 +1610,7 @@ def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
         while b % bb:
             bb = max(1, bb // 2)
     dots = _resolve_dots(dots, seq, d)
+    ab3 = _attn3(attn_bits)
     if group is None:
         if dots == "bf16":
             group = 1
@@ -1576,7 +1623,7 @@ def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
         head_dim=d, skip_max=skip_max, group=group, w4q=w4q, w4o=w4o,
         eps=eps, res_quant=res_quant, norm=norm, ln_out=ln_out,
         ln_bits=ln_bits, lnv=lnv is not None, dots=dots,
-        sc_bits=attn_bits[0], p_bits=attn_bits[1])
+        sc_bits=ab3[0], p_bits=ab3[1], c_bits=ab3[2])
     blk = lambda r, c: pl.BlockSpec(  # noqa: E731
         (r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
@@ -1621,7 +1668,7 @@ def _layer_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
                   gb2_ref, ln2_ref, out_ref, scores_scr, *,
                   n_batch, n_heads, seq, head_dim, skip_max, group,
                   w4q, w4o, w4i, w4d, eps, res1, res2, norm, activation,
-                  dots, sc_bits=8, p_bits=8):
+                  dots, sc_bits=8, p_bits=8, c_bits=8):
     """One (n_batch*seq, H) cell through a WHOLE encoder layer.
 
     Stage A == :func:`_attn_mega_kernel` (all-int8 form) producing the
@@ -1648,10 +1695,11 @@ def _layer_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
             qkv8[rows, 0:h], qkv8[rows, h:2 * h], qkv8[rows, 2 * h:3 * h],
             mask_j, sv, scores_scr, n_heads=n_heads, seq=seq,
             head_dim=head_dim, skip_max=skip_max, group=group, dots=dots,
-            sc_bits=sc_bits, p_bits=p_bits))
+            sc_bits=sc_bits, p_bits=p_bits, c_bits=c_bits))
     c8 = jnp.concatenate(c8_rows, axis=0)
     hx8 = _mm_norm_val(c8, wo_ref, vo_ref, so_ref, x8, gb1_ref, ln1_ref,
-                       eps=eps, res_quant=res1, w4=w4o, norm=norm)
+                       eps=eps, res_quant=res1, w4=w4o, norm=norm,
+                       in_mode="i8" if 1 <= c_bits <= 8 else "f")
 
     # ---- stage B: FFN block (input == residual == hx8) ----
     i8 = _mm_emit(hx8, wi_ref, vi_ref, si_ref, w4=w4i, dots="i8",
@@ -1709,12 +1757,13 @@ def int8_layer_ln(x8: Array, wq: Array, vq: Array, sq: Array,
             group = 1
             while d * group < 128 and n_heads % (group * 2) == 0:
                 group *= 2
+    ab3 = _attn3(attn_bits)
     kernel = functools.partial(
         _layer_kernel, n_batch=bb, n_heads=n_heads, seq=seq, head_dim=d,
         skip_max=skip_max, group=group, w4q=w4q, w4o=w4o, w4i=w4i,
         w4d=w4d, eps=eps, res1=res1, res2=res2, norm=norm,
-        activation=activation, dots=dots, sc_bits=attn_bits[0],
-        p_bits=attn_bits[1])
+        activation=activation, dots=dots, sc_bits=ab3[0],
+        p_bits=ab3[1], c_bits=ab3[2])
     blk = lambda r, c: pl.BlockSpec(  # noqa: E731
         (r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
@@ -1780,8 +1829,10 @@ def int8_attn_ln_ref(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so,
     c8 = int8_attention_ref(qkv8, mask_bias, attn_scal, n_heads=n_heads,
                             seq=seq, skip_max=skip_max,
                             attn_bits=attn_bits)
+    c_bits = _attn3(attn_bits)[2]
     y = int8_matmul_ref(c8, wo, vo, so, activation=None, out_mode="fold",
-                        w4=w4o)
+                        w4=w4o,
+                        in_mode="i8" if 1 <= c_bits <= 8 else "f")
     s = ln_scalars[0]
     y = y + s[2] * (x8.astype(jnp.float32) + s[3])
     sv = ((lnv[0:1, :], lnv[1:2, :], lnv[2:3, :], lnv[3:4, :])
@@ -1803,7 +1854,7 @@ def int8_attn_ln_ref(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so,
 def _mb_layer_kernel(x_ref, mask_ref, asm_ref, *refs, n_batch, n_heads,
                      seq, head_dim, hidden, attn_case, activation, res,
                      w4, skip_max, group, dots, n_ffn, sc_bits=8,
-                     p_bits=8):
+                     p_bits=8, c_bits=8):
     """One (n_batch*seq, H) cell through a WHOLE MobileBERT layer.
 
     MobileBERT's per-layer op chain is ~10 separate kernels (bottleneck
@@ -1829,11 +1880,12 @@ def _mb_layer_kernel(x_ref, mask_ref, asm_ref, *refs, n_batch, n_heads,
     w4n = lambda: w4s.pop(0)  # noqa: E731
     res_ao, res_ffn, res_out, res_obn = res
 
-    def mm_norm(x8, r8, res_q):
+    def mm_norm(x8, r8, res_q, in_mode="i8"):
         w_r, v_r, s_r = mm3()
         gb_r, ln_r = nrm2()
         return _mm_norm_val(x8, w_r, v_r, s_r, r8, gb_r, ln_r, eps=0.0,
-                            res_quant=res_q, w4=w4n(), norm="nonorm")
+                            res_quant=res_q, w4=w4n(), norm="nonorm",
+                            in_mode=in_mode)
 
     h8 = x_ref[:]
     # bottleneck in (no residual)
@@ -1861,10 +1913,11 @@ def _mb_layer_kernel(x_ref, mask_ref, asm_ref, *refs, n_batch, n_heads,
             qk8[rows, 0:hidden], qk8[rows, hidden:2 * hidden],
             v8[rows, :], mask_j, sv, scores_scr, n_heads=n_heads,
             seq=seq, head_dim=head_dim, skip_max=skip_max, group=group,
-            dots=dots, sc_bits=sc_bits, p_bits=p_bits))
+            dots=dots, sc_bits=sc_bits, p_bits=p_bits, c_bits=c_bits))
     c8 = jnp.concatenate(c8_rows, axis=0)
 
-    x8 = mm_norm(c8, li8, res_ao)            # attn_out + NoNorm
+    x8 = mm_norm(c8, li8, res_ao,            # attn_out + NoNorm
+                 in_mode="i8" if 1 <= c_bits <= 8 else "f")
     for j in range(n_ffn):                   # stacked FFNs
         wi_r, vi_r, si_r = mm3()
         i8 = _mm_emit(x8, wi_r, vi_r, si_r, w4=w4n(), dots="i8",
@@ -1913,6 +1966,7 @@ def int8_mb_layer_ln(h8: Array, mask_bias: Array, attn_scal: Array,
         while b % bb:
             bb = max(1, bb // 2)
     dots = _resolve_dots(dots, seq, d)
+    ab3 = _attn3(attn_bits)
     if group is None:
         if dots == "bf16":
             group = 1
@@ -1924,8 +1978,8 @@ def int8_mb_layer_ln(h8: Array, mask_bias: Array, attn_scal: Array,
         _mb_layer_kernel, n_batch=bb, n_heads=n_heads, seq=seq,
         head_dim=d, hidden=hidden, attn_case=attn_case,
         activation=activation, res=res, w4=w4, skip_max=skip_max,
-        group=group, dots=dots, n_ffn=n_ffn, sc_bits=attn_bits[0],
-        p_bits=attn_bits[1])
+        group=group, dots=dots, n_ffn=n_ffn, sc_bits=ab3[0],
+        p_bits=ab3[1], c_bits=ab3[2])
     blk = lambda r, c: pl.BlockSpec(  # noqa: E731
         (r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
