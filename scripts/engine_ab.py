@@ -1,8 +1,12 @@
 """Model-level A/B of engine-kernel knobs on the real TPU.
 
 Builds ONE calibrated BERT-base, then loop-times the engine forward
-under each setting of a trace-time env knob (the knob is read when the
-outer jit traces, so each variant gets a fresh executable).
+under each setting of a trace-time env knob. The kernel entry points are
+module-level ``jax.jit`` functions whose trace caches key only on
+avals/statics — NOT on the env knob — so ``jax.clear_caches()`` runs
+between variants to force a fresh trace (and hence fresh
+``CompilerParams``) per value; without it every variant after the first
+reuses the first variant's executables and the A/B is void.
 
     JAX_COMPILATION_CACHE_DIR=/root/repo/.jaxcache \
         timeout 3000 python -u scripts/engine_ab.py TQ_DIMSEM '' parallel arbitrary
@@ -48,6 +52,9 @@ def main():
             os.environ[knob] = val
         else:
             os.environ.pop(knob, None)
+        # drop cached jaxprs/executables of the module-level jitted
+        # kernels so the knob (read at trace time) actually takes effect
+        jax.clear_caches()
 
         @jax.jit
         def engine_step(params, plan, int_params, batch):

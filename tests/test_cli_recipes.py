@@ -153,14 +153,27 @@ def test_engine_eval_roberta():
     assert 0.0 <= s <= 1.0
 
 
-def test_engine_falls_back_when_incompatible(caplog):
-    """16-bit on the context site breaks the payload protocol (it feeds
-    the attn_out int8 matmul); the CLI must fall back to the generic
-    path."""
+def test_engine_runs_16bit_context(caplog):
+    """'c': 16 (main.py:463-465) rides the engine: the context site
+    leaves the payload protocol and travels as a float value edge into
+    the attn_out matmul — no fallback."""
     import logging
 
     with caplog.at_level(logging.INFO, logger="tq_tpu"):
         s = _run("--quant-dict", "{'c': 16}", "--engine", "auto",
+                 "--weight-quant-method", "current_minmax")
+    assert 0.0 <= s <= 1.0
+    assert not any("engine unavailable" in r.message
+                   for r in caplog.records)
+
+
+def test_engine_falls_back_when_incompatible(caplog):
+    """A disabled q-projection output site breaks the attention payload
+    protocol entirely; the CLI must fall back to the generic path."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="tq_tpu"):
+        s = _run("--quant-dict", "{'L': 'fp32'}", "--engine", "auto",
                  "--weight-quant-method", "current_minmax")
     assert 0.0 <= s <= 1.0
     assert any("engine unavailable" in r.message for r in caplog.records)

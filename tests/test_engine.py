@@ -107,17 +107,35 @@ def test_incompatible_config_rejected(tiny_setup):
     bad = qcfg.replace_site("L0.attn.q.out", enabled=False)
     with pytest.raises(ENG.EngineIncompatible):
         B.build_bert_engine(params, cfg, bad, qstate, int_params=int_params)
-    # 16-bit scores/probs are supported (attn_bits) but the CONTEXT site
-    # feeds the attn_out int8 matmul and can't leave the payload protocol
-    bad16 = B.apply_bert_quant_dict(qcfg, {"c": 16}, cfg.num_hidden_layers)
-    with pytest.raises(ENG.EngineIncompatible):
-        B.build_bert_engine(params, cfg, bad16, qstate,
-                            int_params=int_params)
     ok16 = B.apply_bert_quant_dict(qcfg, {"s": 16, "p": 16},
                                    cfg.num_hidden_layers)
     static16, _, _ = B.build_bert_engine(params, cfg, ok16, qstate,
                                          int_params=int_params)
-    assert static16.layer_attn_bits(0) == (16, 16)
+    assert static16.layer_attn_bits(0) == (16, 16, 8)
+
+
+@pytest.mark.parametrize("qd,want_bits", [
+    ({"c": 16}, (8, 8, 16)),
+    ({"c": "fp32"}, (8, 8, 0)),
+], ids=["ctx16", "ctx_off"])
+def test_engine_flex_context_matches_generic(tiny_setup, qd, want_bits):
+    """'c': 16 / 'c': 'fp32' (main.py:463) ride the engine: the context
+    site leaves the int8 payload protocol and travels as a FLOAT value
+    edge into the attn_out matmul (in_mode='f'), bit-equal to the
+    generic int path on both backends."""
+    cfg, params, qcfg, qstate, _, _, int_params, batch = tiny_setup
+    qcfg2 = B.apply_bert_quant_dict(qcfg, qd, cfg.num_hidden_layers)
+    static, plan, e_int = B.build_bert_engine(params, cfg, qcfg2, qstate,
+                                              int_params=int_params)
+    assert static.layer_attn_bits(0) == want_bits
+    ref, _ = B.bert_apply(params, batch, cfg, qcfg2, qstate, QuantMode(),
+                          int_params=int_params)
+    for be, kw in (("xla", {}), ("pallas", {"interpret": True})):
+        out = B.bert_engine_apply(params, batch, cfg, qcfg2, qstate,
+                                  static, plan, e_int, backend=be, **kw)
+        np.testing.assert_allclose(np.asarray(out["logits"]),
+                                   np.asarray(ref["logits"]),
+                                   rtol=1e-3, atol=2e-3)
 
 
 def test_per_layer_attn_bits_override(tiny_setup):
@@ -128,8 +146,8 @@ def test_per_layer_attn_bits_override(tiny_setup):
                                     cfg.num_hidden_layers)
     static, plan, _ = B.build_bert_engine(params, cfg, qcfg2, qstate,
                                           int_params=int_params)
-    assert static.layer_attn_bits(0) == (8, 16)
-    assert static.layer_attn_bits(1) == (8, 8)
+    assert static.layer_attn_bits(0) == (8, 16, 8)
+    assert static.layer_attn_bits(1) == (8, 8, 8)
     out = B.bert_engine_apply(params, batch, cfg, qcfg2, qstate, static,
                               plan, int_params, backend="xla")
     assert np.isfinite(np.asarray(out["logits"])).all()

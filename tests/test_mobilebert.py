@@ -249,10 +249,11 @@ def test_engine_w4a8_parity():
 
 
 @pytest.mark.parametrize("qd,want_bits", [
-    ({"attn_probs_n_bits_act": 16}, (8, 16)),
-    ({"attn_scores": False}, (0, 8)),
-    ({"attn_probs": False}, (8, 0)),
-], ids=["probs16", "scores_off", "probs_off"])
+    ({"attn_probs_n_bits_act": 16}, (8, 16, 8)),
+    ({"attn_scores": False}, (0, 8, 8)),
+    ({"attn_probs": False}, (8, 0, 8)),
+    ({"attn_output": False}, (8, 8, 0)),
+], ids=["probs16", "scores_off", "probs_off", "ctx_off"])
 def test_engine_attn_site_overrides(qd, want_bits):
     """The reference's MobileBERT quant_dict attention toggles/overrides
     (quantized_mobilebert.py:31-55, 189-190) ride the engine instead of

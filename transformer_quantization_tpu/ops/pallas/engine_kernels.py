@@ -64,10 +64,10 @@ _VMEM_BUDGET = 24 * 1024 * 1024
 def _grid_params(n_dims: int = 1):
     """CompilerParams for the M-gridded kernels. The grid dimension is
     semantically parallel (each step owns a disjoint row block; the
-    scores scratch carries no cross-step state), but declaring it
-    ``parallel`` measured neutral on v5e (scripts/engine_ab.py) — the
-    ``TQ_DIMSEM`` env var (read at trace time) keeps the A/B available
-    without forking kernels."""
+    scores scratch carries no cross-step state); the ``TQ_DIMSEM`` env
+    var (read at trace time; A/B via scripts/engine_ab.py, which clears
+    jit caches between variants) keeps the knob available without
+    forking kernels."""
     dimsem = os.environ.get("TQ_DIMSEM") or None
     return pltpu.CompilerParams(
         vmem_limit_bytes=_VMEM_LIMIT,
