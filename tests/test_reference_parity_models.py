@@ -668,3 +668,392 @@ def test_bert_fp32_sites_via_quant_dict():
     sites = bert_site_managers(qm, hf_model.config.num_hidden_layers)
     assert_site_grids_match(sites, ours)
     assert_logits_match(qm, ours, batches)
+
+
+# ===========================================================================
+# RoBERTa
+# ===========================================================================
+
+
+def make_hf_roberta(seed=0, num_labels=2):
+    cfg = tr.RobertaConfig(
+        vocab_size=130, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=66, type_vocab_size=1, pad_token_id=1,
+        num_labels=num_labels, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, attn_implementation="eager")
+    torch.manual_seed(seed)
+    m = tr.RobertaForSequenceClassification(cfg)
+    _perturb(m, seed)
+    m.eval()
+    return cfg, m
+
+
+def run_reference_roberta(hf_model, qparams, quant_setup="all",
+                          batches=None, num_batches=NUM_BATCHES):
+    """quantized_roberta.py:161-167; main.py applies quant_dict/PEG only
+    to the bert families (main.py:365,446), so RoBERTa takes neither."""
+    R = ref()
+    for lyr in hf_model.roberta.encoder.layer:
+        if not isinstance(lyr.intermediate.intermediate_act_fn,
+                          torch.nn.GELU):
+            lyr.intermediate.intermediate_act_fn = torch.nn.GELU()
+    qp = dict(qparams)
+    qp["quant_dict"] = {}
+    qp["quant_setup"] = quant_setup
+    qm = R.models.QuantizedRobertaForSequenceClassification(hf_model, **qp)
+    ref_calibrate(qm, batches, num_batches=num_batches)
+    return qm
+
+
+def run_ours_roberta(hf_model, defaults, quant_setup="all", batches=None,
+                     num_batches=NUM_BATCHES, tmp_path=None):
+    from transformer_quantization_tpu.models import roberta as RB
+    from transformer_quantization_tpu.models.registry import get_family
+
+    fam = get_family("roberta")
+    path = _save_ckpt(tmp_path, hf_model)
+    cfg, params = fam.load_checkpoint(path, hf_model.config.num_labels)
+    qcfg = RB.declare_roberta_sites(defaults, cfg, quant_setup=quant_setup)
+    jb = [to_jax(b) for b in batches]
+    apply_fn = functools.partial(RB.roberta_apply, cfg=cfg)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, jb[:num_batches],
+        weight_tensors=RB.roberta_weight_site_tensors(params),
+        num_batches=num_batches)
+
+    def logits(batch):
+        out, _ = RB.roberta_apply(params, to_jax(batch), cfg, qcfg, qstate,
+                                  mode)
+        return np.asarray(out["logits"])
+
+    return SimpleNamespace(cfg=cfg, qcfg=qcfg, qstate=qstate, mode=mode,
+                           logits=logits)
+
+
+def _save_ckpt(tmp_path, hf_model):
+    d = tmp_path / "ckpt"
+    if not d.exists():
+        d.mkdir()
+        (d / "config.json").write_text(hf_model.config.to_json_string())
+        torch.save(hf_model.state_dict(), d / "pytorch_model.bin")
+    return str(d)
+
+
+def _encoder_site_managers(enc_layers):
+    """Shared BERT-shape encoder layer map (RoBERTa reuses the classes)."""
+    sites = {}
+    for i, L in enumerate(enc_layers):
+        A, S, O = L.attention.self, L.attention.output, L.output
+        p = f"L{i}."
+        sites.update({
+            p + "attn.q.w": A.query.weight_quantizer,
+            p + "attn.q.out": A.query.activation_quantizer,
+            p + "attn.k.w": A.key.weight_quantizer,
+            p + "attn.k.out": A.key.activation_quantizer,
+            p + "attn.v.w": A.value.weight_quantizer,
+            p + "attn.v.out": A.value.activation_quantizer,
+            p + "attn.scores": A.attn_scores_act_quantizer
+            .activation_quantizer,
+            p + "attn.probs": A.attn_probs_act_quantizer
+            .activation_quantizer,
+            p + "attn.context": A.context_act_quantizer
+            .activation_quantizer,
+            p + "attn_out.dense.w": S.dense.weight_quantizer,
+            p + "attn_out.dense.out": S.dense.activation_quantizer,
+            p + "attn_out.res": S.res_act_quantizer.activation_quantizer,
+            p + "attn_out.ln.w": S.LayerNorm.weight_quantizer,
+            p + "attn_out.ln.out": S.LayerNorm.activation_quantizer,
+            p + "ffn.inter.w": L.intermediate[0].weight_quantizer,
+            p + "ffn.inter.out": L.intermediate[0].activation_quantizer,
+            p + "ffn.dense.w": O.dense.weight_quantizer,
+            p + "ffn.dense.out": O.dense.activation_quantizer,
+            p + "ffn.res": O.res_act_quantizer.activation_quantizer,
+            p + "ffn.ln.w": O.LayerNorm.weight_quantizer,
+            p + "ffn.ln.out": O.LayerNorm.activation_quantizer,
+        })
+    return sites
+
+
+def roberta_site_managers(qm, n_layers):
+    R = ref()
+    E = qm.roberta.embeddings
+    sites = {
+        "emb.word.w": E.word_embeddings.weight_quantizer,
+        "emb.position.w": E.position_embeddings.weight_quantizer,
+        "emb.token_type.w": E.token_type_embeddings.weight_quantizer,
+        "emb.sum_tt": E.sum_input_token_type_embd_act_quantizer
+        .activation_quantizer,
+        "emb.sum_pos": E.sum_pos_embd_act_quantizer.activation_quantizer,
+        "emb.ln.w": E.LayerNorm.weight_quantizer,
+        "emb.ln.out": E.LayerNorm.activation_quantizer,
+        "clf.dense.w": qm.classifier.dense.weight_quantizer,
+        "clf.dense.out": qm.classifier.dense.activation_quantizer,
+        "clf.out_proj.w": qm.classifier.out_proj.weight_quantizer,
+        "clf.out_proj.out": qm.classifier.out_proj.activation_quantizer,
+    }
+    sites.update(_encoder_site_managers(qm.roberta.encoder.layer))
+    return {k: v for k, v in sites.items()
+            if not isinstance(v, R.FP32Acts)}
+
+
+def test_roberta_w8a8_minmax_logits_and_ranges(tmp_path):
+    """RoBERTa wiring: mask-derived position ids, single pos-sum
+    quantization (quantized_roberta.py:92-103), head dense-act site."""
+    hf_cfg, hf_model = make_hf_roberta()
+    batches = make_batches(vocab=128, pad_id=1, token_type=False)
+    ours = run_ours_roberta(hf_model, our_defaults(), batches=batches,
+                            tmp_path=tmp_path)
+    qm = run_reference_roberta(hf_model, ref_qparams(), batches=batches)
+    sites = roberta_site_managers(qm, hf_cfg.num_hidden_layers)
+    assert_site_grids_match(sites, ours)
+    assert_logits_match(qm, ours, batches)
+
+
+def test_roberta_mse_weights(tmp_path):
+    hf_cfg, hf_model = make_hf_roberta(seed=4)
+    batches = make_batches(vocab=128, pad_id=1, token_type=False, seed=7)
+    ours = run_ours_roberta(
+        hf_model, our_defaults(weight_method="MSE", weight_opt="grid",
+                               num_candidates=20),
+        batches=batches, tmp_path=tmp_path)
+    qm = run_reference_roberta(
+        hf_model, ref_qparams(weight_method="MSE", weight_opt="grid",
+                              num_candidates=20), batches=batches)
+    sites = roberta_site_managers(qm, hf_cfg.num_hidden_layers)
+    assert_site_grids_match(sites, ours)
+    assert_logits_match(qm, ours, batches)
+
+
+# ===========================================================================
+# MobileBERT
+# ===========================================================================
+
+
+def make_hf_mobilebert(seed=0, num_labels=2):
+    cfg = tr.MobileBertConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=48, embedding_size=16,
+        intra_bottleneck_size=16, num_feedforward_networks=2,
+        max_position_embeddings=64, num_labels=num_labels,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        attn_implementation="eager")
+    torch.manual_seed(seed)
+    m = tr.MobileBertForSequenceClassification(cfg)
+    _perturb(m, seed)
+    m.eval()
+    return cfg, m
+
+
+def run_reference_mobilebert(hf_model, qparams, quant_dict=None,
+                             quant_setup="all", batches=None,
+                             num_batches=NUM_BATCHES):
+    """quantized_mobilebert.py:684-700; the quant_dict here is the
+    MobileBERT static-enable/override language consumed at construction
+    (quantized_mobilebert.py:31-55), not the BERT letter hijacks."""
+    R = ref()
+    for lyr in hf_model.mobilebert.encoder.layer:
+        acts = [lyr.intermediate.intermediate_act_fn] + [
+            f.intermediate.intermediate_act_fn for f in (lyr.ffn or [])]
+        for a in acts:
+            assert isinstance(a, torch.nn.ReLU), type(a)
+    qp = dict(qparams)
+    qp["quant_dict"] = dict(quant_dict or {})
+    qp["quant_setup"] = quant_setup
+    qm = R.models.QuantizedMobileBertForSequenceClassification(
+        hf_model, **qp)
+    ref_calibrate(qm, batches, num_batches=num_batches)
+    return qm
+
+
+def run_ours_mobilebert(hf_model, defaults, quant_dict=None,
+                        quant_setup="all", batches=None,
+                        num_batches=NUM_BATCHES, tmp_path=None):
+    from transformer_quantization_tpu.models import mobilebert as MB
+    from transformer_quantization_tpu.models.registry import get_family
+
+    fam = get_family("mobilebert")
+    path = _save_ckpt(tmp_path, hf_model)
+    cfg, params = fam.load_checkpoint(path, hf_model.config.num_labels)
+    qcfg = MB.declare_mobilebert_sites(defaults, cfg,
+                                       quant_setup=quant_setup,
+                                       quant_dict=quant_dict)
+    jb = [to_jax(b) for b in batches]
+    apply_fn = functools.partial(MB.mobilebert_apply, cfg=cfg)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, jb[:num_batches],
+        weight_tensors=MB.mobilebert_weight_site_tensors(params),
+        num_batches=num_batches)
+
+    def logits(batch):
+        out, _ = MB.mobilebert_apply(params, to_jax(batch), cfg, qcfg,
+                                     qstate, mode)
+        return np.asarray(out["logits"])
+
+    return SimpleNamespace(cfg=cfg, qcfg=qcfg, qstate=qstate, mode=mode,
+                           logits=logits)
+
+
+def mobilebert_site_managers(qm, cfg):
+    R = ref()
+    E = qm.mobilebert.embeddings
+    sites = {
+        "emb.word.w": E.word_embeddings.weight_quantizer,
+        "emb.position.w": E.position_embeddings.weight_quantizer,
+        "emb.token_type.w": E.token_type_embeddings.weight_quantizer,
+        "emb.transform.w": E.embedding_transformation.weight_quantizer,
+        "emb.transform.out": E.embedding_transformation
+        .activation_quantizer,
+        "emb.sum_pos": E.sum_input_pos_embd_act_quantizer
+        .activation_quantizer,
+        "emb.sum_tt": E.sum_token_type_embd_act_quantizer
+        .activation_quantizer,
+        "emb.norm.w": E.LayerNorm.weight_quantizer,
+        "emb.norm.out": E.LayerNorm.activation_quantizer,
+        "classifier.w": qm.classifier.weight_quantizer,
+        "classifier.out": qm.classifier.activation_quantizer,
+    }
+    if getattr(qm.mobilebert.pooler, "do_activate", False):
+        sites["pooler.dense.w"] = (
+            qm.mobilebert.pooler.dense_act[0].weight_quantizer)
+        sites["pooler.dense.out"] = (
+            qm.mobilebert.pooler.dense_act[0].activation_quantizer)
+    for i, L in enumerate(qm.mobilebert.encoder.layer):
+        A, S, O = L.attention.self, L.attention.output, L.output
+        p = f"L{i}."
+        sites.update({
+            p + "bn.in.dense.w": L.bottleneck.input.dense.weight_quantizer,
+            p + "bn.in.dense.out": L.bottleneck.input.dense
+            .activation_quantizer,
+            p + "bn.in.norm.w": L.bottleneck.input.LayerNorm
+            .weight_quantizer,
+            p + "bn.in.norm.out": L.bottleneck.input.LayerNorm
+            .activation_quantizer,
+            p + "attn.q.w": A.query.weight_quantizer,
+            p + "attn.q.out": A.query.activation_quantizer,
+            p + "attn.k.w": A.key.weight_quantizer,
+            p + "attn.k.out": A.key.activation_quantizer,
+            p + "attn.v.w": A.value.weight_quantizer,
+            p + "attn.v.out": A.value.activation_quantizer,
+            p + "attn.scores": A.attn_scores_act_quantizer,
+            p + "attn.probs": A.attn_probs_act_quantizer,
+            p + "attn.context": A.attn_output_act_quantizer,
+            p + "attn_out.dense.w": S.dense.weight_quantizer,
+            p + "attn_out.dense.out": S.dense.activation_quantizer,
+            p + "attn_out.res": S.res_act_quantizer,
+            p + "attn_out.norm.w": S.LayerNorm.weight_quantizer,
+            p + "attn_out.norm.out": S.LayerNorm.activation_quantizer,
+            p + "ffn.inter.w": L.intermediate[0].weight_quantizer,
+            p + "ffn.inter.out": L.intermediate[0].activation_quantizer,
+            p + "out.dense.w": O.dense.weight_quantizer,
+            p + "out.dense.out": O.dense.activation_quantizer,
+            p + "out.res": O.res_act_quantizer,
+            p + "out.norm.w": O.LayerNorm.weight_quantizer,
+            p + "out.norm.out": O.LayerNorm.activation_quantizer,
+            p + "out.bn.dense.w": O.bottleneck.dense.weight_quantizer,
+            p + "out.bn.dense.out": O.bottleneck.dense
+            .activation_quantizer,
+            p + "out.bn.res": O.bottleneck.res_act_quantizer,
+            p + "out.bn.norm.w": O.bottleneck.LayerNorm.weight_quantizer,
+            p + "out.bn.norm.out": O.bottleneck.LayerNorm
+            .activation_quantizer,
+        })
+        if hasattr(L.bottleneck, "attention"):
+            sites[p + "bn.attn.dense.w"] = (
+                L.bottleneck.attention.dense.weight_quantizer)
+            sites[p + "bn.attn.dense.out"] = (
+                L.bottleneck.attention.dense.activation_quantizer)
+            sites[p + "bn.attn.norm.w"] = (
+                L.bottleneck.attention.LayerNorm.weight_quantizer)
+            sites[p + "bn.attn.norm.out"] = (
+                L.bottleneck.attention.LayerNorm.activation_quantizer)
+        for j, F in enumerate(L.ffn or []):
+            q = f"{p}ffn{j}."
+            sites.update({
+                q + "inter.w": F.intermediate[0].weight_quantizer,
+                q + "inter.out": F.intermediate[0].activation_quantizer,
+                q + "dense.w": F.output.dense.weight_quantizer,
+                q + "dense.out": F.output.dense.activation_quantizer,
+                q + "res": F.output.res_act_quantizer,
+                q + "norm.w": F.output.LayerNorm.weight_quantizer,
+                q + "norm.out": F.output.LayerNorm.activation_quantizer,
+            })
+    out = {}
+    for k, v in sites.items():
+        if isinstance(v, R.FP32Acts):
+            continue
+        # QuantizedActivation attrs in this file hold the module;
+        # unwrap to its manager
+        if hasattr(v, "activation_quantizer"):
+            v = v.activation_quantizer
+        out[k] = v
+    return out
+
+
+def test_mobilebert_w8a8_allminmax_logits_and_ranges(tmp_path):
+    """MobileBERT wiring: trigram embeddings, bottlenecks, stacked FFNs,
+    NoNorm sites. Weight method = allminmax: for the shared NoNorm w+b
+    quantizer the reference's sequential estimate over w then b forms the
+    ENVELOPE, which equals our concat([w, b]) range exactly — the
+    current_minmax case diverges by design (see
+    test_mobilebert_nonorm_deviation)."""
+    hf_cfg, hf_model = make_hf_mobilebert()
+    batches = make_batches()
+    ours = run_ours_mobilebert(
+        hf_model, our_defaults(weight_method="allminmax"),
+        batches=batches, tmp_path=tmp_path)
+    qm = run_reference_mobilebert(
+        hf_model, ref_qparams(weight_method="allminmax"), batches=batches)
+    sites = mobilebert_site_managers(qm, hf_cfg)
+    assert_site_grids_match(sites, ours)
+    assert_logits_match(qm, ours, batches)
+
+
+def test_mobilebert_quant_dict_overrides(tmp_path):
+    """The MobileBERT quant_dict language: 16-bit attn probs override +
+    disabled residual site (quantized_mobilebert.py:183-207,283-284)."""
+    qd = {"attn_probs_n_bits_act": 16, "res_self_output": False}
+    hf_cfg, hf_model = make_hf_mobilebert(seed=2)
+    batches = make_batches(seed=5)
+    ours = run_ours_mobilebert(
+        hf_model, our_defaults(weight_method="allminmax"), quant_dict=qd,
+        batches=batches, tmp_path=tmp_path)
+    qm = run_reference_mobilebert(
+        hf_model, ref_qparams(weight_method="allminmax"), quant_dict=qd,
+        batches=batches)
+    assert ours.qcfg["L0.attn.probs"].spec.n_bits == 16
+    assert not ours.qcfg["L0.attn_out.res"].enabled
+    A0 = qm.mobilebert.encoder.layer[0].attention
+    assert A0.self.attn_probs_act_quantizer.activation_quantizer \
+        .quantizer.n_bits == 16
+    assert isinstance(A0.output.res_act_quantizer, ref().FP32Acts)
+    sites = mobilebert_site_managers(qm, hf_cfg)
+    assert_site_grids_match(sites, ours)
+    assert_logits_match(qm, ours, batches)
+
+
+def test_mobilebert_nonorm_deviation(tmp_path):
+    """DOCUMENTED DEVIATION (ops/layers.py quant_nonorm): with
+    current_minmax weights the reference's shared NoNorm quantizer keeps
+    the LAST estimated range — the BIAS range, clipping γ≈1 to the tiny
+    β range at eval. We use the concat([w, b]) envelope instead. This
+    test pins BOTH behaviors so the deviation stays conscious."""
+    hf_cfg, hf_model = make_hf_mobilebert(seed=6)
+    batches = make_batches(seed=8)
+    ours = run_ours_mobilebert(hf_model, our_defaults(), batches=batches,
+                               tmp_path=tmp_path)
+    qm = run_reference_mobilebert(hf_model, ref_qparams(), batches=batches)
+    E = qm.mobilebert.embeddings
+    wq = E.LayerNorm.weight_quantizer
+    w = E.LayerNorm.weight.detach()
+    b = E.LayerNorm.bias.detach()
+    # reference: last-estimated (bias) range won
+    np.testing.assert_allclose(float(wq.range_estimator.current_xmax),
+                               float(b.max()), rtol=1e-6)
+    # ours: envelope of both tensors
+    st = ours.qstate["emb.norm.w"]
+    delta = float(np.ravel(np.asarray(st["qp"].delta))[0])
+    both = np.concatenate([w.numpy(), b.numpy()])
+    # symmetric signed 8-bit grid over the concat envelope
+    absmax = max(-float(both.min()), float(both.max()))
+    np.testing.assert_allclose(delta, absmax / 127.0, rtol=1e-5)
