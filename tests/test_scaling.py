@@ -57,10 +57,16 @@ def test_dp_scaling_efficiency(setup):
         for n, r in rows.items():
             assert r["global_batch"] == 64
             assert np.isfinite(r["seq_per_sec"])
-        if min(r["efficiency"] for r in rows.values()) >= 0.8:
+        if min(r["speedup"] for r in rows.values()) >= 0.8:
             break
-    # fixed-work on a shared-core virtual mesh: partitioning overhead only
-    assert min(r["efficiency"] for r in rows.values()) >= 0.8, rows
+    # fixed-work on a shared-core virtual mesh: true strong efficiency
+    # t1/(n*tn) cannot approach 1 (devices share cores); the partition-
+    # overhead signal is the SPEEDUP staying near 1 on n>=2 rows
+    assert min(r["speedup"] for n, r in rows.items() if n >= 2) >= 0.8, rows
+    # and the strong-mode efficiency column must follow its definition
+    for n, r in rows.items():
+        np.testing.assert_allclose(r["efficiency"], r["speedup"] / n,
+                                   rtol=1e-9)
     print("\n" + SC.format_scaling_table(rows))
 
 

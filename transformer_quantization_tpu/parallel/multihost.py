@@ -27,7 +27,12 @@ def initialize(coordinator_address: Optional[str] = None,
     elsewhere pass them (or set JAX_COORDINATOR_ADDRESS etc.). Safe to call
     when single-process: it no-ops if no coordination info is available.
     """
-    if jax.process_count() > 1:
+    # NB: do NOT probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize refuses to run.
+    # The distributed client handle says whether we already joined.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     kw = {}
     if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):

@@ -94,23 +94,44 @@ def dp_scaling_table(forward: Callable, params, batch: Dict[str, np.ndarray],
         rows[n] = {"seconds": t, "global_batch": gb,
                    "seq_per_sec": gb / t}
     base = rows[min(rows)]
+    n0 = min(rows)
     for n, r in rows.items():
+        scale = n / n0
+        # speedup: time ratio vs the smallest mesh (raw observation)
+        r["speedup"] = base["seconds"] / r["seconds"]
         if fixed_work:
-            r["efficiency"] = base["seconds"] / r["seconds"]
+            # STRONG-scaling efficiency: ideal = time shrinks 1/n, so
+            # eff = t(n0) / (scale * t(n)). The n0 row is 1.0 BY
+            # DEFINITION — only larger rows carry information.
+            r["efficiency"] = base["seconds"] / (scale * r["seconds"])
         else:
-            per_dev = r["seq_per_sec"] / n
-            r["efficiency"] = per_dev / base["seq_per_sec"]
+            # WEAK-scaling efficiency: per-device work fixed, ideal =
+            # flat time, so eff = t(n0) / t(n).
+            r["efficiency"] = base["seconds"] / r["seconds"]
+        r["mode"] = "strong" if fixed_work else "weak"
     return rows
 
 
-def format_scaling_table(rows: Dict[int, Dict], mode: str = "fixed-work"
-                         ) -> str:
-    lines = [f"# DP inference scaling ({mode})",
+def format_scaling_table(rows: Dict[int, Dict], mode: str = None) -> str:
+    """Table with BOTH the raw speedup and the per-mode efficiency
+    (strong: t1/(n*tn); weak: t1/tn). The smallest-mesh row's efficiency
+    is 1.0 by definition — read the n>=2 rows. On a virtual CPU mesh
+    every 'device' shares one host's cores, so strong-mode efficiency
+    cannot reach 1 and super-linear speedups are cache artifacts; the
+    meaningful virtual-mesh signal is the strong-mode SPEEDUP staying
+    near 1 (partitioning adds no overhead)."""
+    first = rows[min(rows)]
+    mode = mode or first.get("mode", "strong")
+    lines = [f"# DP inference scaling ({mode} scaling; efficiency = "
+             + ("t1/(n*tn), ideal 1.0 when time shrinks 1/n"
+                if mode == "strong" else "t1/tn, ideal 1.0 = flat time")
+             + ")",
              f"{'devices':>8} {'batch':>6} {'ms/step':>9} "
-             f"{'seq/s':>10} {'efficiency':>11}"]
+             f"{'seq/s':>10} {'speedup':>8} {'efficiency':>11}"]
     for n in sorted(rows):
         r = rows[n]
+        tag = " (def)" if n == min(rows) else ""
         lines.append(f"{n:>8} {r['global_batch']:>6} "
                      f"{r['seconds'] * 1e3:>9.2f} {r['seq_per_sec']:>10.1f} "
-                     f"{r['efficiency']:>11.3f}")
+                     f"{r['speedup']:>8.3f} {r['efficiency']:>11.3f}{tag}")
     return "\n".join(lines)
