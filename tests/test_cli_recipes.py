@@ -167,6 +167,20 @@ def test_engine_runs_16bit_context(caplog):
                    for r in caplog.records)
 
 
+def test_engine_runs_16bit_layer_key(caplog):
+    """{'L': 16} (every act site in every layer at 16 bits,
+    main.py:489-491) rides the engine: q/k/v and all inter-layer edges
+    travel as fake-quantized float value edges — no fallback."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="tq_tpu"):
+        s = _run("--quant-dict", "{'L': 16}", "--engine", "auto",
+                 "--weight-quant-method", "current_minmax")
+    assert 0.0 <= s <= 1.0
+    assert not any("engine unavailable" in r.message
+                   for r in caplog.records)
+
+
 def test_engine_falls_back_when_incompatible(caplog):
     """A disabled q-projection output site breaks the attention payload
     protocol entirely; the CLI must fall back to the generic path."""

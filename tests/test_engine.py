@@ -114,6 +114,86 @@ def test_incompatible_config_rejected(tiny_setup):
     assert static16.layer_attn_bits(0) == (16, 16, 8)
 
 
+@pytest.mark.parametrize("qd,want_io0", [
+    # quant_dict 'L'/'L{i}' keys set EVERY act site in a layer
+    # (main.py:489-491) — q/k/v outs, folds, residuals, ln outs — so the
+    # whole layer leaves the int8 payload protocol: the qkv matmul emits
+    # fake-quantized f32 values, the attention runs value-space f32 dots,
+    # and the inter-layer 'z' edge travels as a float value edge.
+    ({"L": 16}, ("i8", "f", 16, "f", 16, 16, 16, "f", 16)),
+    ({"L0": 16}, ("i8", "f", 16, "f", 16, 16, 16, "f", 16)),
+    ({"L": 12}, ("i8", "f", 12, "f", 12, 12, 12, "f", 12)),
+], ids=["L16", "L0_16", "L12"])
+def test_engine_16bit_layer_key_matches_generic(tiny_setup, qd, want_io0):
+    cfg, params, qcfg, qstate, _, _, _, batch = tiny_setup
+    from transformer_quantization_tpu.quant.manager import (
+        init_weight_qstate)
+    from transformer_quantization_tpu.quant.qconfig import Phase
+
+    qcfg2 = B.apply_bert_quant_dict(qcfg, qd, cfg.num_hidden_layers)
+    qstate2 = init_weight_qstate(qcfg2, B.bert_weight_site_tensors(params))
+    est = QuantMode(act_phase=Phase.estimate)
+    _, qstate2 = B.bert_apply(params, batch, cfg, qcfg2, qstate2, est)
+    int_params = B.build_bert_int_params(params, qcfg2, qstate2)
+    static, plan, e_int = B.build_bert_engine(params, cfg, qcfg2, qstate2,
+                                              int_params=int_params)
+    assert static.layer_io(0) == want_io0
+    ref, _ = B.bert_apply(params, batch, cfg, qcfg2, qstate2, QuantMode(),
+                          int_params=int_params)
+    for be, kw in (("xla", {}), ("pallas", {"interpret": True})):
+        out = B.bert_engine_apply(params, batch, cfg, qcfg2, qstate2,
+                                  static, plan, e_int, backend=be, **kw)
+        np.testing.assert_allclose(np.asarray(out["logits"]),
+                                   np.asarray(ref["logits"]),
+                                   rtol=1e-3, atol=2e-3)
+
+
+def test_engine_w8a16_global(tiny_setup):
+    """Global --n-bits-act 16 (W8A16): EVERY act edge leaves the payload
+    protocol — float entry, value-space attention, float inter-layer
+    edges — and the engine still matches the generic path."""
+    import dataclasses
+
+    import __graft_entry__ as GG
+    from transformer_quantization_tpu.quant.manager import (
+        init_weight_qstate)
+    from transformer_quantization_tpu.quant.qconfig import Phase
+
+    cfg, params, _, _, _, _, _, batch = tiny_setup
+    d16 = dataclasses.replace(GG._w8a8_defaults(), n_bits_act=16)
+    qcfg2 = B.declare_bert_sites(d16, cfg)
+    qstate2 = init_weight_qstate(qcfg2, B.bert_weight_site_tensors(params))
+    _, qstate2 = B.bert_apply(params, batch, cfg, qcfg2, qstate2,
+                              QuantMode(act_phase=Phase.estimate))
+    int_params = B.build_bert_int_params(params, qcfg2, qstate2)
+    static, plan, e_int = B.build_bert_engine(params, cfg, qcfg2, qstate2,
+                                              int_params=int_params)
+    assert static.layer_io(0)[0] == "f" and static.layer_io(0)[1] == "f"
+    ref, _ = B.bert_apply(params, batch, cfg, qcfg2, qstate2, QuantMode(),
+                          int_params=int_params)
+    for be, kw in (("xla", {}), ("pallas", {"interpret": True})):
+        out = B.bert_engine_apply(params, batch, cfg, qcfg2, qstate2,
+                                  static, plan, e_int, backend=be, **kw)
+        np.testing.assert_allclose(np.asarray(out["logits"]),
+                                   np.asarray(ref["logits"]),
+                                   rtol=1e-3, atol=2e-3)
+
+
+def test_engine_mixed_qkv_widths_rejected(tiny_setup):
+    """A 16-bit q.out with 8-bit k/v has no value-space dot partner —
+    tested EngineIncompatible reason, generic path serves it."""
+    cfg, params, qcfg, qstate, _, _, int_params, _ = tiny_setup
+    import dataclasses
+
+    qcfg2 = qcfg.replace_site(
+        "L0.attn.q.out",
+        spec=dataclasses.replace(qcfg["L0.attn.q.out"].spec, n_bits=16))
+    with pytest.raises(ENG.EngineIncompatible,
+                       match="share one grid width"):
+        B.build_bert_engine(params, cfg, qcfg2, qstate,
+                            int_params=int_params)
+
+
 @pytest.mark.parametrize("qd,want_bits", [
     ({"c": 16}, (8, 8, 16)),
     ({"c": "fp32"}, (8, 8, 0)),

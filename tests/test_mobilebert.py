@@ -279,3 +279,32 @@ def test_engine_attn_site_overrides(qd, want_bits):
         np.testing.assert_allclose(np.asarray(out["logits"]),
                                    np.asarray(ref["logits"]),
                                    rtol=1e-3, atol=2e-3)
+
+
+def test_engine_w8a16_rejected():
+    """Global 16-bit activations on MobileBERT: the NoNorm megakernel
+    family keeps the strict int8 payload protocol — a TESTED
+    EngineIncompatible reason, served by the generic path (the BERT
+    family's engine rides W8A16; MobileBERT's quant_dict language —
+    boolean enables + attn-probs overrides, quantized_mobilebert.py:31-55
+    — cannot produce partial 16-bit configs, so the only reachable wide
+    config is this global one)."""
+    import dataclasses
+
+    import __graft_entry__ as G
+    from transformer_quantization_tpu.ops.engine import EngineIncompatible
+
+    d16 = dataclasses.replace(G._w8a8_defaults(), n_bits_act=16)
+    params = M.init_mobilebert_params(jax.random.PRNGKey(3), CFG)
+    qcfg = M.declare_mobilebert_sites(d16, CFG)
+    rng = np.random.RandomState(3)
+    batch = make_batch(rng)
+    apply_fn = functools.partial(M.mobilebert_apply, cfg=CFG)
+    qstate, mode = prepare_quantized_model(
+        apply_fn, params, qcfg, [batch],
+        weight_tensors=M.mobilebert_weight_site_tensors(params))
+    with pytest.raises(EngineIncompatible, match="16-bit"):
+        M.build_mobilebert_engine(params, CFG, qcfg, qstate)
+    # the generic path serves the config
+    out, _ = M.mobilebert_apply(params, batch, CFG, qcfg, qstate, mode)
+    assert np.isfinite(np.asarray(out["logits"])).all()

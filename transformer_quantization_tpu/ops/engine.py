@@ -79,13 +79,30 @@ class EngineStatic:
     # edge into the attn_out matmul (in_mode='f'). Empty = all-(8, 8, 8);
     # 2-tuples (pre-context-flex statics) stay accepted.
     attn_bits: Tuple[Tuple[int, ...], ...] = ()
+    # per layer inter-layer / attention-payload edge modes:
+    # (in_mode, qkv_mode, qkv_bits, z_mode, z_bits, g_bits, u_bits,
+    # inter_mode, i_bits). in = the layer's input edge (previous z /
+    # entry), qkv = the q/k/v output sites (16-bit or PEG q/k/v —
+    # quant_dict 'L'/'L{i}' keys — leave the int8 payload protocol: the
+    # qkv matmul emits fake-quantized f32 VALUES and the attention runs
+    # value-space f32 dots), z = ffn.ln.out (the NEXT layer's input
+    # edge), g/u = the attention block's fold/res site grids, inter =
+    # the ffn.inter.out edge into the dense matmul. Empty = all-payload.
+    io: Tuple[Tuple[str, str, int, str, int, int, int, str, int],
+              ...] = ()
+
+    IO_DEFAULT = ("i8", "i8", 8, "i8", 8, 8, 8, "i8", 8)
 
     @property
     def any_flex(self) -> bool:
-        return any(f != ("i8", 8, 8, 8, False, False) for f in self.flex)
+        return (any(f != ("i8", 8, 8, 8, False, False) for f in self.flex)
+                or any(o != self.IO_DEFAULT for o in self.io))
 
     def layer_attn_bits(self, i: int) -> Tuple[int, ...]:
         return self.attn_bits[i] if self.attn_bits else (8, 8, 8)
+
+    def layer_io(self, i: int):
+        return self.io[i] if self.io else self.IO_DEFAULT
 
 
 # ---------------------------------------------------------------------------
@@ -301,6 +318,7 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
     fold_flags = []
     res_flags = []
     flex_flags = []
+    io_flags = []
     attn_bits_flags = []
     for i, lp in enumerate(layer_params):
         p = prefixes[i] if prefixes is not None else f"L{i}."
@@ -310,9 +328,33 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
             in_site = prefixes[i - 1] + "ffn.ln.out"
         else:
             in_site = f"L{i - 1}.ffn.ln.out"
-        in_scal = act_site_scalars(qcfg, qstate, in_site)
-        qkv_out = [act_site_scalars(qcfg, qstate, p + f"attn.{x}.out")
-                   for x in "qkv"]
+        in_edge = act_edge_params(qcfg, qstate, in_site)
+        in_mode = in_edge[0]
+        # a float input edge carries its own (fake-quantized) values —
+        # the consuming matmul folds no input-site params
+        in_scal = ((in_edge[2], in_edge[3]) if in_mode == "i8"
+                   else (jnp.ones(()), jnp.zeros(())))
+        qkv_edges = [act_edge_params(qcfg, qstate, p + f"attn.{x}.out")
+                     for x in "qkv"]
+        if all(e[0] == "i8" for e in qkv_edges):
+            qkv_mode, qkv_bits = "i8", 8
+            qkv_out = [(e[2], e[3]) for e in qkv_edges]
+            qkv_sv = qkv_out
+        else:
+            # q/k/v leave the payload protocol (16-bit / PEG / sub-8 —
+            # quant_dict 'L' keys): the qkv matmul emits fake-quantized
+            # f32 VALUES on each site's grid (per-column vq rows) and the
+            # attention runs value-space f32 dots with IDENTITY site
+            # scalars (the value carries its own scale)
+            bset = {e[1] for e in qkv_edges}
+            _require(len(bset) == 1,
+                     "q/k/v sites must share one grid width for the "
+                     "engine's value-space attention "
+                     f"(got {sorted(e[1] for e in qkv_edges)})")
+            qkv_mode, qkv_bits = "f", bset.pop()
+            qkv_out = [(e[2], e[3]) for e in qkv_edges]
+            ident = (jnp.ones(()), jnp.zeros(()))
+            qkv_sv = [ident, ident, ident]
         qkv, qkv_w4 = _mm_plan(
             int_params, [p + f"attn.{x}" for x in "qkv"],
             [lp["attn"][x]["bias"] for x in "qkv"], in_scal, qkv_out)
@@ -324,7 +366,7 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
         c_s, c_sh, c_bits = attn_edge_scalars(qcfg, qstate,
                                               p + "attn.context")
         attn_scal = jnp.concatenate(
-            [jnp.stack(s) for s in qkv_out]
+            [jnp.stack(s) for s in qkv_sv]
             + [jnp.stack((sc_s, sc_sh)), jnp.stack((p_s, p_sh)),
                jnp.stack((c_s, c_sh))]
         ).reshape(1, 12)
@@ -334,8 +376,13 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
         ctx_scal = ((c_s, c_sh) if 1 <= c_bits <= 8
                     else (jnp.ones(()), jnp.zeros(())))
         ao_fold = _act_enabled(qcfg, p + "attn_out.dense.out")
-        ao_out = ([act_site_scalars(qcfg, qstate, p + "attn_out.dense.out")]
-                  if ao_fold else None)
+        g_bits = 8
+        ao_out = None
+        if ao_fold:
+            # the attn_out fold site is quant_dict 'g' — flexible
+            _, g_bits, g_s, g_sh = act_edge_params(
+                qcfg, qstate, p + "attn_out.dense.out")
+            ao_out = [(g_s, g_sh)]
         attn_out, ao_w4 = _mm_plan(
             int_params, [p + "attn_out.dense"],
             [lp["attn_out"]["dense"]["bias"]], ctx_scal, ao_out)
@@ -344,10 +391,10 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
         ln1, res1, res1_bits, x_edge = _ln_plan(
             qcfg, qstate, lp["attn_out"]["ln"],
             p + "attn_out.res", p + "attn_out.ln.out",
-            p + "attn_out.ln.w", ao_out[0] if ao_fold else None, in_scal,
+            p + "attn_out.ln.w",
+            (ao_out[0] if ao_fold and g_bits == 8
+             and ao_out[0][0].ndim == 0 else None), in_scal,
             flex_ln=True)
-        _require(res1_bits == 8,
-                 "attn_out.res must be 8-bit for the engine")
         x_mode, x_bits, x_s, x_sh = x_edge
 
         if x_mode == "i8":
@@ -356,12 +403,17 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
         else:
             ln1_scal = (jnp.ones(()), jnp.zeros(()))  # value edge
             inter_in = ln1_scal
-        inter_out = [act_site_scalars(qcfg, qstate, p + "ffn.inter.out")]
+        i_edge = act_edge_params(qcfg, qstate, p + "ffn.inter.out")
+        inter_mode, i_bits = i_edge[0], i_edge[1]
+        inter_out = [(i_edge[2], i_edge[3])]
         inter, inter_w4 = _mm_plan(
             int_params, [p + "ffn.inter"], [lp["ffn"]["inter"]["bias"]],
             inter_in, inter_out)
 
-        i_scal = act_site_scalars(qcfg, qstate, p + "ffn.inter.out")
+        # the dense matmul folds the inter-site params only on the int8
+        # payload edge; a float inter edge carries its own values
+        i_scal = ((i_edge[2], i_edge[3]) if inter_mode == "i8"
+                  else (jnp.ones(()), jnp.zeros(())))
         d_fold = _act_enabled(qcfg, p + "ffn.dense.out")
         # the dense fold site is quant_dict 'h' — flexible (bits / PEG)
         h_bits = 8
@@ -382,13 +434,16 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
             (d_out[0] if d_fold and h_bits == 8
              and d_out[0][0].ndim == 0 else None),
             ln1_scal, flex_ln=True)
-        _require(out_edge[0] == "i8",
-                 f"{p}ffn.ln.out must be per-tensor 8-bit (it is the next "
-                 "layer's int8 matmul input)")
+        # z = ffn.ln.out, the NEXT layer's input edge: 'i8' payload or a
+        # float value edge ('L'/'z': 16 / PEG) consumed with in_mode='f'
+        z_mode, z_bits = out_edge[0], out_edge[1]
 
         flex = (x_mode, x_bits, h_bits, y_bits,
                 ln1.get("lnv") is not None, ln2.get("lnv") is not None)
-        if flex != ("i8", 8, 8, 8, False, False):
+        io = (in_mode, qkv_mode, qkv_bits, z_mode, z_bits,
+              g_bits, res1_bits, inter_mode, i_bits)
+        if (flex != ("i8", 8, 8, 8, False, False)
+                or io != ("i8", "i8", 8, "i8", 8, 8, 8, "i8", 8)):
             _require(ao_fold and d_fold,
                      "flex recipes need both fold sites enabled")
 
@@ -399,10 +454,13 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
         fold_flags.append((ao_fold, d_fold))
         res_flags.append((res1, res2))
         flex_flags.append(flex)
+        io_flags.append(io)
         attn_bits_flags.append((sc_bits, p_bits, c_bits))
 
-    entry_scal = jnp.stack(
-        act_site_scalars(qcfg, qstate, entry_site)).reshape(1, 2)
+    entry_edge = act_edge_params(qcfg, qstate, entry_site)
+    _require(entry_edge[2].ndim == 0,
+             f"entry site {entry_site!r} must be per-tensor")
+    entry_scal = jnp.stack((entry_edge[2], entry_edge[3])).reshape(1, 2)
     # prove the softmax max-subtraction unnecessary: quantized scores are
     # grid-bounded, |s2| <= 256 * sc_s / sqrt(d) * log2(e); when that is
     # far below exp2's overflow threshold (~126) the subtraction is dead
@@ -426,7 +484,8 @@ def build_encoder_plan(qcfg, qstate: Mapping, int_params: Mapping,
         n_layers=len(layer_params), n_heads=n_heads, ln_eps=ln_eps,
         hidden_act=hidden_act, w4=tuple(w4_flags), fold=tuple(fold_flags),
         res_quant=tuple(res_flags), attn_skip_max=skip_max,
-        flex=tuple(flex_flags), attn_bits=tuple(attn_bits_flags))
+        flex=tuple(flex_flags), attn_bits=tuple(attn_bits_flags),
+        io=tuple(io_flags))
     return static, {"layers": layers, "entry_scal": entry_scal}
 
 
@@ -488,7 +547,12 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
                       "exact": "gelu"}[gelu_impl]
     hf = h.reshape(b * t, hdim).astype(out_dtype)
     es = plan["entry_scal"]
-    h8 = EK.quantize_payload(hf, es[0, 0], es[0, 1])
+    if static.layer_io(0)[0] == "f":
+        # float entry edge (16-bit entry site): the stream starts as the
+        # fake-quantized VALUE itself
+        h8 = hf.astype(jnp.float32)
+    else:
+        h8 = EK.quantize_payload(hf, es[0, 0], es[0, 1])
     # when every residual-feeding matmul has its fold site enabled, the
     # residual stream itself rides int8 payloads: producers emit int8,
     # add+LN reads two payloads and emits one, and the float stream never
@@ -563,7 +627,10 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
         res1, res2 = static.res_quant[i]
         flex = static.flex[i] if static.flex else default_flex
         x_mode, x_bits, h_bits, y_bits, _, _ = flex
-        is_flex = flex != default_flex
+        io = static.layer_io(i)
+        (in_mode, qkv_mode, qkv_bits, z_mode, z_bits,
+         g_bits, u_bits, inter_mode, i_bits) = io
+        is_flex = (flex != default_flex or io != EngineStatic.IO_DEFAULT)
 
         if is_flex and mega:
             # value edges carry the 16-bit / PEG site VALUE and must not
@@ -575,7 +642,9 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
                        w4q=qkv_w4, w4o=ao_w4,
                        ln_out="emit" if x_mode == "i8" else "f",
                        ln_bits=x_bits, out_dtype=jnp.float32,
-                       attn_bits=static.layer_attn_bits(i))
+                       attn_bits=static.layer_attn_bits(i),
+                       in_mode=in_mode, qkv_mode=qkv_mode,
+                       qkv_bits=qkv_bits, g_bits=g_bits, u_bits=u_bits)
             aargs = (h8, lp["qkv"]["w"], lp["qkv"]["vecs"],
                      lp["qkv"]["scal"], mask_bias, lp["attn_scal"],
                      lp["attn_out"]["w"], lp["attn_out"]["vecs"],
@@ -588,7 +657,10 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
             fkw = dict(activation=hidden_act, eps=static.ln_eps,
                        res_quant=res2, w4i=inter_w4, w4d=dense_w4,
                        in_mode=x_mode, res_mode=x_mode, h_bits=h_bits,
-                       y_bits=y_bits)
+                       y_bits=y_bits,
+                       ln_out="emit" if z_mode == "i8" else "f",
+                       ln_bits=z_bits, inter_mode=inter_mode,
+                       inter_bits=i_bits)
             fargs = (hx, lp["inter"]["w"], lp["inter"]["vecs"],
                      lp["inter"]["scal"], lp["dense"]["w"],
                      lp["dense"]["vecs"], lp["dense"]["scal"], hx,
@@ -660,6 +732,10 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
                 h8 = add_ln_payload(y, h8, lp["ln2"], res2)
             else:
                 h8, hf = add_ln(y, hf, lp["ln2"], res2)
+    if static.layer_io(static.n_layers - 1)[3] == "f":
+        # last layer's z is a float value edge: the stream already holds
+        # the fake-quantized ln-site values
+        return h8.astype(out_dtype).reshape(b, t, hdim)
     if payload_res:
         ln2 = plan["layers"][-1]["ln2"]
         if ln2.get("lnv") is not None:

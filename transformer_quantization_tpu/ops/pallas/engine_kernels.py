@@ -514,6 +514,15 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
     levels for the same reason (clip(round(x) - sh, -128, 127) + sh ==
     clip(round(x), sh - 128, sh + 127), so the levels match the int8
     payload's levels exactly).
+
+    ``dots="f32"``: the q/k/v tiles carry FLOAT VALUES (16-bit q/k/v
+    sites — quant_dict 'L'/'L{i}': 16 — whose grids fit neither int8
+    payloads nor bf16 operands); the per-site sv scalars are identity
+    (s=1, shift=0), so the same formulas compute value-space dots on
+    f32 MXU operands. Probs emit as shifted f32 levels; context math is
+    unchanged (v_s=1 makes the shifted level the value itself). A
+    tolerance edge like the other flex paths, not bit-exact — the f32
+    dots round exactly like the reference's own float matmuls.
     """
     if dots == "bf16ph":
         return _attn_row_perhead(qj, kj, vj, mask_j, sv, n_heads=n_heads,
@@ -535,7 +544,7 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
 
     # phase 1: q@k^T dots with the corrections applied in-register
     # (bf16 path: corrections are already folded into the operands)
-    if dots == "bf16" and g > 1:
+    if dots in ("bf16", "f32") and g > 1:
         for p in range(n_heads // g):
             cols = slice(p * gw, (p + 1) * gw)
             qp, kp = qj[:, cols], kj[:, cols]
@@ -545,7 +554,7 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
                 jax.lax.dot_general(
                     qbd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32))
-    elif dots == "bf16":
+    elif dots in ("bf16", "f32"):
         for hh in range(n_heads):
             cols = slice(hh * head_dim, (hh + 1) * head_dim)
             scores_scr[hh * seq:(hh + 1) * seq, :] = jax.lax.dot_general(
@@ -633,10 +642,11 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
         half = float(2 ** (p_bits - 1))
         p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)),
                       p_sh - half, p_sh + half - 1.0)
-    elif dots == "bf16":
+    elif dots in ("bf16", "f32"):
         lo_p, hi_p = _clip_bounds(p_bits)   # <=8-bit grids fit payloads
         p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)),
-                      p_sh + lo_p, p_sh + hi_p).astype(jnp.bfloat16)
+                      p_sh + lo_p, p_sh + hi_p).astype(
+            jnp.bfloat16 if dots == "bf16" else jnp.float32)
     else:
         lo_p, hi_p = _clip_bounds(p_bits)
         p8 = jnp.clip(jnp.round(e * ((1.0 / p_s) / denom)) - p_sh,
@@ -645,12 +655,12 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
     # phase 3: p8 @ v8 dots; the (p_s v_s) dequant scale and the
     # context-site 1/c_s fold into one multiplier pv_over_c
     pv_over_c = p_s * v_s * (1.0 / c_s)
-    if dots != "bf16" and p_bits in range(1, 9):
+    if dots not in ("bf16", "f32") and p_bits in range(1, 9):
         vsum = jnp.sum(vj.astype(jnp.float32), axis=0, keepdims=True)
         psum = jnp.sum(p8.astype(jnp.float32), axis=1, keepdims=True)
     ctx_heads = []
     if p_bits == 0 or p_bits > 8:
-        vf = (vj.astype(jnp.float32) if dots == "bf16"
+        vf = (vj.astype(jnp.float32) if dots in ("bf16", "f32")
               else vj.astype(jnp.float32) + v_sh)
         for hh in range(n_heads):
             hrows = slice(hh * seq, (hh + 1) * seq)
@@ -659,7 +669,7 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
                 p8[hrows, :], vf[:, cols],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
-    elif dots == "bf16" and g > 1:
+    elif dots in ("bf16", "f32") and g > 1:
         for p in range(n_heads // g):
             cols = slice(p * gw, (p + 1) * gw)
             vp = vj[:, cols]
@@ -671,7 +681,7 @@ def _attn_row(qj, kj, vj, mask_j, sv, scores_scr, *, n_heads, seq,
             ctx_heads.append(jax.lax.dot_general(
                 ap, vbd, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
-    elif dots == "bf16":
+    elif dots in ("bf16", "f32"):
         for hh in range(n_heads):
             hrows = slice(hh * seq, (hh + 1) * seq)
             cols = slice(hh * head_dim, (hh + 1) * head_dim)
@@ -739,7 +749,7 @@ def _attention_call(q_arr: Array, k_arr: Array, v_arr: Array, cols,
             bb = max(1, bb // 2)
     dots = _resolve_dots(dots, seq, d)
     if group is None:
-        if dots == "bf16":
+        if dots in ("bf16", "f32"):
             # corrected products come straight off the MXU; the masking/
             # concat work of grouping only costs (probe: g=1 1.25 ms vs
             # g=2 1.37 at B=128/T=128 on v5e)
@@ -842,8 +852,12 @@ def int8_attention_qkv(q_arr: Array, k_arr: Array, v_arr: Array,
 
 
 def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
-                       skip_max=False, attn_bits=(8, 8)):
-    """jnp oracle / XLA backend for :func:`int8_attention`."""
+                       skip_max=False, attn_bits=(8, 8), dots="i8"):
+    """jnp oracle / XLA backend for :func:`int8_attention`.
+
+    ``dots='f32'``: ``qkv8`` carries fake-quantized f32 VALUES (16-bit
+    q/k/v sites) with identity site scalars — value-space f32 einsums,
+    no payload-shift corrections (see :func:`_attn_row`)."""
     mt, h3 = qkv8.shape
     h = h3 // 3
     d = h // n_heads
@@ -852,12 +866,18 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
     s = scalars[0]
     q8, k8, v8 = (qkv8[:, i * h:(i + 1) * h].reshape(b, seq, n_heads, d)
                   for i in range(3))
-    acc = jnp.einsum("bqnd,bknd->bnqk", q8, k8,
-                     preferred_element_type=jnp.int32).astype(jnp.float32)
-    qsum = jnp.sum(q8.astype(jnp.float32), axis=-1)  # (b, T, n)
-    ksum = jnp.sum(k8.astype(jnp.float32), axis=-1)
-    scr = (acc + s[1] * ksum.transpose(0, 2, 1)[:, :, None, :]
-           + s[3] * qsum.transpose(0, 2, 1)[:, :, :, None] + d * s[1] * s[3])
+    if dots == "f32":
+        scr = jnp.einsum("bqnd,bknd->bnqk", q8, k8,
+                         preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.einsum(
+            "bqnd,bknd->bnqk", q8, k8,
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        qsum = jnp.sum(q8.astype(jnp.float32), axis=-1)  # (b, T, n)
+        ksum = jnp.sum(k8.astype(jnp.float32), axis=-1)
+        scr = (acc + s[1] * ksum.transpose(0, 2, 1)[:, :, None, :]
+               + s[3] * qsum.transpose(0, 2, 1)[:, :, :, None]
+               + d * s[1] * s[3])
     # mirror the kernel's folded phase-2 math op-for-op (scale folds +
     # exp2 softmax) so interpret-mode kernel and oracle stay bit-equal
     log2e = np.float32(np.log2(np.e))
@@ -879,15 +899,19 @@ def int8_attention_ref(qkv8, mask_bias, scalars, *, n_heads, seq,
         e = jnp.exp2(s2 - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     pv_over_c = s[8] * s[4] * (1.0 / s[10])
-    if attn_bits[1] == 0 or attn_bits[1] > 8:
-        # 16-bit probs: shifted f32 levels, f32 einsum (see _attn_row);
-        # bits 0 = probs site disabled, raw softmax probabilities
+    if attn_bits[1] == 0 or attn_bits[1] > 8 or dots == "f32":
+        # 16-bit probs / f32 value dots: shifted f32 levels, f32 einsum
+        # (see _attn_row); bits 0 = probs site disabled, raw softmax
         if attn_bits[1] == 0:
             pf = e * (1.0 / denom)
-        else:
+        elif attn_bits[1] > 8:
             half = float(2 ** (attn_bits[1] - 1))
             pf = jnp.clip(jnp.round(e * ((1.0 / s[8]) / denom)),
                           s[9] - half, s[9] + half - 1.0)
+        else:
+            lo_p, hi_p = _clip_bounds(attn_bits[1])
+            pf = jnp.clip(jnp.round(e * ((1.0 / s[8]) / denom)),
+                          s[9] + lo_p, s[9] + hi_p)
         vf = v8.astype(jnp.float32) + s[5]
         ctx = jnp.einsum("bnqk,bknd->bqnd", pf, vf,
                          preferred_element_type=jnp.float32)
@@ -1335,7 +1359,8 @@ def fused_add_ln_payload_ref(y8, r8, gb, scalars, *, eps, res_quant=True):
 def _ffn_kernel(x_ref, wi_ref, vi_ref, si_ref, wd_ref, vd_ref, sd_ref,
                 r_ref, gb_ref, ln_smem_ref, *rest, activation, eps,
                 res_quant, w4i, w4d, norm, in_mode="i8", res_mode="i8",
-                h_bits=8, y_bits=8, lnv=False):
+                h_bits=8, y_bits=8, lnv=False, ln_out="emit", ln_bits=8,
+                inter_mode="i8", inter_bits=8):
     """One (BM, K) payload tile through the whole FFN block.
 
     The (BM, N1) inter payload lives only in VMEM registers: profiling
@@ -1359,10 +1384,19 @@ def _ffn_kernel(x_ref, wi_ref, vi_ref, si_ref, wd_ref, vd_ref, sd_ref,
     act = _ACTS[activation]
     if act is not None:
         y = act(y)
-    i8 = jnp.clip(jnp.round(y * (1.0 / vi_ref[3, :])) - vi_ref[4, :],
-                  -128.0, 127.0).astype(jnp.int8)
+    if inter_mode == "i8":
+        i8 = jnp.clip(jnp.round(y * (1.0 / vi_ref[3, :])) - vi_ref[4, :],
+                      -128.0, 127.0).astype(jnp.int8)
+    else:
+        # 16-bit inter.out site ('L': 16): the inter->dense edge carries
+        # fake-quantized f32 VALUES (value = s*clip(round(y/s), sh±half))
+        half_i = float(2 ** (inter_bits - 1))
+        i8 = (vi_ref[3, :] * jnp.clip(
+            jnp.round(y * (1.0 / vi_ref[3, :])),
+            vi_ref[4, :] - half_i, vi_ref[4, :] + half_i - 1.0)
+        ).astype(jnp.float32)
 
-    y2 = _mm_body(i8, wd_ref, vd_ref, sd_ref, w4=w4d, in_mode="i8")
+    y2 = _mm_body(i8, wd_ref, vd_ref, sd_ref, w4=w4d, in_mode=inter_mode)
     lo_h, hi_h = _clip_bounds(h_bits)
     r2 = jnp.clip(jnp.round(y2 * (1.0 / vd_ref[3, :])) - vd_ref[4, :],
                   lo_h, hi_h)
@@ -1372,17 +1406,21 @@ def _ffn_kernel(x_ref, wi_ref, vi_ref, si_ref, wd_ref, vd_ref, sd_ref,
         y2 = y2 + r_s * (r_ref[:].astype(jnp.float32) + r_sh)
     else:  # value edge: the residual IS the float site value
         y2 = y2 + r_ref[:].astype(jnp.float32)
-    q, _, _ = _ln_body(y2, gb_ref, _site_vals(ln_smem_ref, lnv_ref),
-                       eps=eps, res_quant=res_quant, norm=norm,
-                       res_bits=y_bits)
-    out_ref[:] = q.astype(jnp.int8)
+    q, s_l, sh_l = _ln_body(y2, gb_ref, _site_vals(ln_smem_ref, lnv_ref),
+                            eps=eps, res_quant=res_quant, norm=norm,
+                            res_bits=y_bits, ln_bits=ln_bits)
+    if ln_out == "emit":
+        out_ref[:] = q.astype(jnp.int8)
+    else:  # float value edge of the ffn.ln ('z') site ('L': 16)
+        out_ref[:] = (s_l * (q + sh_l)).astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("activation", "eps", "res_quant", "block_m",
                      "interpret", "w4i", "w4d", "norm", "in_mode",
-                     "res_mode", "h_bits", "y_bits"))
+                     "res_mode", "h_bits", "y_bits", "ln_out", "ln_bits",
+                     "inter_mode", "inter_bits"))
 def int8_ffn_ln(x8: Array, wi: Array, vi: Array, si: Array, wd: Array,
                 vd: Array, sd: Array, r8: Array, gb: Array,
                 ln_scalars: Array, lnv: Optional[Array] = None, *,
@@ -1391,7 +1429,9 @@ def int8_ffn_ln(x8: Array, wi: Array, vi: Array, si: Array, wd: Array,
                 interpret: bool = False, w4i: bool = False,
                 w4d: bool = False, norm: str = "layernorm",
                 in_mode: str = "i8", res_mode: str = "i8",
-                h_bits: int = 8, y_bits: int = 8) -> Array:
+                h_bits: int = 8, y_bits: int = 8, ln_out: str = "emit",
+                ln_bits: int = 8, inter_mode: str = "i8",
+                inter_bits: int = 8) -> Array:
     """Fused FFN block: (payload inter matmul + act -> inter.out payload
     -> dense matmul -> fold-site fake-quant -> +residual payload ->
     res-site fake-quant -> LayerNorm -> ln-site payload) in one kernel.
@@ -1422,7 +1462,10 @@ def int8_ffn_ln(x8: Array, wi: Array, vi: Array, si: Array, wd: Array,
                                res_quant=res_quant, w4i=w4i, w4d=w4d,
                                norm=norm, in_mode=in_mode,
                                res_mode=res_mode, h_bits=h_bits,
-                               y_bits=y_bits, lnv=lnv is not None)
+                               y_bits=y_bits, lnv=lnv is not None,
+                               ln_out=ln_out, ln_bits=ln_bits,
+                               inter_mode=inter_mode,
+                               inter_bits=inter_bits)
     full = lambda shape, space=None: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0, 0),
         memory_space=space or pltpu.VMEM)
@@ -1443,7 +1486,8 @@ def int8_ffn_ln(x8: Array, wi: Array, vi: Array, si: Array, wd: Array,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, n2), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n2), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct(
+            (m, n2), jnp.int8 if ln_out == "emit" else jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n1 * (k1 + n2) + 20 * m * (n1 + n2),
             bytes_accessed=m * k1 * in_b + n1 * k1 + n2 * n1
@@ -1457,12 +1501,15 @@ def int8_ffn_ln(x8: Array, wi: Array, vi: Array, si: Array, wd: Array,
 def int8_ffn_ln_ref(x8, wi, vi, si, wd, vd, sd, r8, gb, ln_scalars,
                     lnv=None, *, activation, eps, res_quant=True,
                     w4i=False, w4d=False, norm="layernorm", in_mode="i8",
-                    res_mode="i8", h_bits=8, y_bits=8):
+                    res_mode="i8", h_bits=8, y_bits=8, ln_out="emit",
+                    ln_bits=8, inter_mode="i8", inter_bits=8):
     """jnp oracle / XLA-composed backend for :func:`int8_ffn_ln`."""
-    i8 = int8_matmul_ref(x8, wi, vi, si, activation=activation,
-                         out_mode="emit", w4=w4i, in_mode=in_mode)
+    i8 = int8_matmul_ref(
+        x8, wi, vi, si, activation=activation, w4=w4i, in_mode=in_mode,
+        out_mode="emit" if inter_mode == "i8" else "fold",
+        out_bits=inter_bits)
     y = int8_matmul_ref(i8, wd, vd, sd, activation=None, out_mode="fold",
-                        w4=w4d, out_bits=h_bits)
+                        w4=w4d, out_bits=h_bits, in_mode=inter_mode)
     s = ln_scalars[0]
     if res_mode == "i8":
         y = y + s[2] * (r8.astype(jnp.float32) + s[3])
@@ -1471,8 +1518,12 @@ def int8_ffn_ln_ref(x8, wi, vi, si, wd, vd, sd, r8, gb, ln_scalars,
     sv = ((lnv[0:1, :], lnv[1:2, :], lnv[2:3, :], lnv[3:4, :])
           if lnv is not None else (s[4], s[5], s[6], s[7]))
     q = _ln_body_ref(y, gb, sv, eps=eps, res_quant=res_quant, norm=norm,
-                     res_bits=y_bits)
-    return q.astype(jnp.int8)
+                     res_bits=y_bits, ln_bits=ln_bits)
+    if ln_out == "emit":
+        return q.astype(jnp.int8)
+    ln_s = sv[2] if lnv is not None else s[6]
+    ln_sh = sv[3] if lnv is not None else s[7]
+    return (ln_s * (q + ln_sh)).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -1488,7 +1539,8 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
                       n_batch, n_heads, seq, head_dim,
                       skip_max, group, w4q, w4o, eps, res_quant, norm,
                       ln_out="emit", ln_bits=8, lnv=False, dots="i8",
-                      sc_bits=8, p_bits=8, c_bits=8):
+                      sc_bits=8, p_bits=8, c_bits=8, in_mode="i8",
+                      qkv_bits=8, g_bits=8, u_bits=8):
     """One (n_batch*seq, H) cell through the whole attention block.
 
     Stage 1 == :func:`_mm_kernel` (out_mode='emit') for the fused q|k|v
@@ -1509,10 +1561,28 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
     scores_scr = rest[-1]
     in_s, in_shift = sq_ref[0, 0], sq_ref[0, 1]
     x8 = x_ref[:]
-    acc = _int_dot(x8, wq_ref, w4q)
-    y = (in_s * vq_ref[0, :]) * (acc + in_shift * vq_ref[1, :])
+    if in_mode == "i8":
+        acc = _int_dot(x8, wq_ref, w4q)
+        y = (in_s * vq_ref[0, :]) * (acc + in_shift * vq_ref[1, :])
+    else:
+        # float layer-input edge (16-bit 'z' site of the PREVIOUS layer,
+        # quant_dict 'L': 16): values carry their own scale — no input
+        # params fold into the matmul (builder passes identity sq)
+        acc = _f_dot(x8, wq_ref, w4q)
+        y = vq_ref[0, :] * acc
     y = y + vq_ref[2, :]
-    if dots == "bf16":
+    if dots == "f32":
+        # 16-bit q/k/v sites: emit fake-quantized f32 VALUES on the
+        # qkv_bits grid (value = s * clip(round(y/s), sh-half, sh+half-1)
+        # — same identity as the bf16 shifted-level emission, with the
+        # scale multiplied back in since the attention runs value-space
+        # f32 dots with identity site scalars)
+        half = float(2 ** (qkv_bits - 1))
+        qkv8 = (vq_ref[3, :] * jnp.clip(
+            jnp.round(y * (1.0 / vq_ref[3, :])),
+            vq_ref[4, :] - half, vq_ref[4, :] + half - 1.0)
+        ).astype(jnp.float32)
+    elif dots == "bf16":
         # emit the SHIFTED bf16 levels directly: the per-column requant
         # shift vq[4] on the q/k/v thirds IS the per-site scalar shift
         # sv[1]/sv[3]/sv[5] (both come from the same act sites), and
@@ -1549,14 +1619,18 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
         acc2 = _f_dot(c8, wo_ref, w4o)
         y2 = vo_ref[0, :] * acc2
     y2 = y2 + vo_ref[2, :]
+    lo_g, hi_g = _clip_bounds(g_bits)
     r2 = jnp.clip(jnp.round(y2 * (1.0 / vo_ref[3, :])) - vo_ref[4, :],
-                  -128.0, 127.0)
+                  lo_g, hi_g)
     y2 = vo_ref[3, :] * (r2 + vo_ref[4, :])
-    r_s, r_sh = ln_smem_ref[0, 2], ln_smem_ref[0, 3]
-    y2 = y2 + r_s * (x8.astype(jnp.float32) + r_sh)
+    if in_mode == "i8":
+        r_s, r_sh = ln_smem_ref[0, 2], ln_smem_ref[0, 3]
+        y2 = y2 + r_s * (x8.astype(jnp.float32) + r_sh)
+    else:  # float layer-input edge: the residual IS the value
+        y2 = y2 + x8.astype(jnp.float32)
     q, s_l, sh_l = _ln_body(y2, gb_ref, _site_vals(ln_smem_ref, lnv_ref),
                             eps=eps, res_quant=res_quant, norm=norm,
-                            ln_bits=ln_bits)
+                            res_bits=u_bits, ln_bits=ln_bits)
     if ln_out == "emit":
         out_ref[:] = q.astype(jnp.int8)
     else:  # float value edge of the ln ('x') site
@@ -1568,7 +1642,8 @@ def _attn_mega_kernel(x_ref, wq_ref, vq_ref, sq_ref, mask_ref, asm_ref,
     static_argnames=("n_heads", "seq", "eps", "res_quant", "batch_block",
                      "skip_max", "group", "interpret", "w4q", "w4o",
                      "norm", "ln_out", "ln_bits", "out_dtype", "dots",
-                     "attn_bits"))
+                     "attn_bits", "in_mode", "qkv_mode", "qkv_bits",
+                     "g_bits", "u_bits"))
 def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
                  mask_bias: Array, attn_scal: Array, wo: Array, vo: Array,
                  so: Array, gb: Array, ln_scalars: Array,
@@ -1580,7 +1655,10 @@ def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
                  norm: str = "layernorm", ln_out: str = "emit",
                  ln_bits: int = 8, out_dtype=jnp.bfloat16,
                  dots: str = "auto",
-                 attn_bits: Tuple[int, int] = (8, 8)) -> Array:
+                 attn_bits: Tuple[int, int] = (8, 8),
+                 in_mode: str = "i8", qkv_mode: str = "i8",
+                 qkv_bits: int = 8, g_bits: int = 8,
+                 u_bits: int = 8) -> Array:
     """Fused attention block: (payload q|k|v matmul -> site payloads ->
     attention -> attn_out matmul -> fold-site fake-quant -> +layer-input
     residual -> res-site fake-quant -> LayerNorm -> ln-site payload).
@@ -1609,10 +1687,15 @@ def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
         bb = batch_block
         while b % bb:
             bb = max(1, bb // 2)
-    dots = _resolve_dots(dots, seq, d)
+    if qkv_mode == "f":
+        # q/k/v sites left the payload protocol (16-bit / PEG): the
+        # attention runs value-space f32 dots (identity site scalars)
+        dots = "f32"
+    else:
+        dots = _resolve_dots(dots, seq, d)
     ab3 = _attn3(attn_bits)
     if group is None:
-        if dots == "bf16":
+        if dots in ("bf16", "f32"):
             group = 1
         else:
             group = 1
@@ -1623,7 +1706,8 @@ def int8_attn_ln(x8: Array, wq: Array, vq: Array, sq: Array,
         head_dim=d, skip_max=skip_max, group=group, w4q=w4q, w4o=w4o,
         eps=eps, res_quant=res_quant, norm=norm, ln_out=ln_out,
         ln_bits=ln_bits, lnv=lnv is not None, dots=dots,
-        sc_bits=ab3[0], p_bits=ab3[1], c_bits=ab3[2])
+        sc_bits=ab3[0], p_bits=ab3[1], c_bits=ab3[2], in_mode=in_mode,
+        qkv_bits=qkv_bits, g_bits=g_bits, u_bits=u_bits)
     blk = lambda r, c: pl.BlockSpec(  # noqa: E731
         (r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
@@ -1822,23 +1906,38 @@ def int8_attn_ln_ref(x8, wq, vq, sq, mask_bias, attn_scal, wo, vo, so,
                      gb, ln_scalars, lnv=None, *, n_heads, seq, eps,
                      res_quant=True, skip_max=False, w4q=False, w4o=False,
                      norm="layernorm", ln_out="emit", ln_bits=8,
-                     out_dtype=jnp.bfloat16, attn_bits=(8, 8)):
+                     out_dtype=jnp.bfloat16, attn_bits=(8, 8),
+                     in_mode="i8", qkv_mode="i8", qkv_bits=8, g_bits=8,
+                     u_bits=8):
     """jnp oracle / XLA-composed backend for :func:`int8_attn_ln`."""
-    qkv8 = int8_matmul_ref(x8, wq, vq, sq, activation=None,
-                           out_mode="emit", w4=w4q)
-    c8 = int8_attention_ref(qkv8, mask_bias, attn_scal, n_heads=n_heads,
-                            seq=seq, skip_max=skip_max,
-                            attn_bits=attn_bits)
+    if qkv_mode == "i8":
+        qkv8 = int8_matmul_ref(x8, wq, vq, sq, activation=None,
+                               out_mode="emit", w4=w4q, in_mode=in_mode)
+        c8 = int8_attention_ref(qkv8, mask_bias, attn_scal,
+                                n_heads=n_heads, seq=seq,
+                                skip_max=skip_max, attn_bits=attn_bits)
+    else:
+        # 16-bit q/k/v: fake-quantized f32 values, value-space attention
+        qkvf = int8_matmul_ref(x8, wq, vq, sq, activation=None,
+                               out_mode="fold", w4=w4q, in_mode=in_mode,
+                               out_bits=qkv_bits, out_dtype=jnp.float32)
+        c8 = int8_attention_ref(qkvf, mask_bias, attn_scal,
+                                n_heads=n_heads, seq=seq,
+                                skip_max=skip_max, attn_bits=attn_bits,
+                                dots="f32")
     c_bits = _attn3(attn_bits)[2]
     y = int8_matmul_ref(c8, wo, vo, so, activation=None, out_mode="fold",
-                        w4=w4o,
+                        w4=w4o, out_bits=g_bits,
                         in_mode="i8" if 1 <= c_bits <= 8 else "f")
     s = ln_scalars[0]
-    y = y + s[2] * (x8.astype(jnp.float32) + s[3])
+    if in_mode == "i8":
+        y = y + s[2] * (x8.astype(jnp.float32) + s[3])
+    else:  # float layer-input edge: the residual IS the value
+        y = y + x8.astype(jnp.float32)
     sv = ((lnv[0:1, :], lnv[1:2, :], lnv[2:3, :], lnv[3:4, :])
           if lnv is not None else (s[4], s[5], s[6], s[7]))
     q = _ln_body_ref(y, gb, sv, eps=eps, res_quant=res_quant, norm=norm,
-                     ln_bits=ln_bits)
+                     res_bits=u_bits, ln_bits=ln_bits)
     if ln_out == "emit":
         return q.astype(jnp.int8)
     ln_s = sv[2] if lnv is not None else s[6]
