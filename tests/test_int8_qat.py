@@ -328,11 +328,12 @@ def test_scan_layers_int8_forward_matches_loop(monkeypatch):
         outs[scan] = step(p, learnable, rest, opt, batch,
                           jax.random.PRNGKey(0))
         # loop: 12 encoder matmuls + pooler + classifier. scan: ONE
-        # traced layer body, where q/k/v stay float — their input site
-        # differs per iteration (emb.ln.out for layer 0, ffn.ln.out
-        # after) so no static site name exists inside the scan body —
-        # leaving attn_out/inter/dense (3) + pooler + classifier = 5.
-        assert calls["n"] == (5 if scan else 14), (scan, calls["n"])
+        # traced layer body — q/k/v consume the scan-CARRIED input-site
+        # params (their input site has no static name: emb.ln.out at
+        # layer 0, ffn.ln.out after; _scan_encoder threads the producing
+        # site's qp through the carry), so all 6 layer matmuls + pooler
+        # + classifier take the int8 path = 8 traced calls.
+        assert calls["n"] == (8 if scan else 14), (scan, calls["n"])
     np.testing.assert_allclose(float(outs[True][-1]),
                                float(outs[False][-1]), rtol=1e-5,
                                atol=1e-6)

@@ -309,12 +309,23 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--per-groups-permute-shared-h", action="store_true")
         g = sp.add_argument_group("qat")
         g.add_argument("--learn-ranges", action="store_true")
-        g.add_argument("--int8-qat-forward", action="store_true",
+        g.add_argument("--int8-qat-forward", nargs="?", const="on",
+                       default="auto", choices=["auto", "on", "off"],
                        help="run eligible fake-quant matmuls on the int8 "
                             "MXU during QAT (training/int8_qat.py): values "
                             "exactly the fake-quant composition's, STE/LSQ "
-                            "gradients unchanged; needs fixed or learned "
-                            "ranges and no --amp")
+                            "gradients unchanged; needs full-precision "
+                            "activations (no --amp). 'auto' (default) "
+                            "enables it only where it measured faster — "
+                            "learn-ranges QAT (v5e B=32 S=128, dropout-0: "
+                            "49.0 -> 44.6 ms/step); fixed-ranges QAT "
+                            "measured 5%% SLOWER on int8 (39.6 -> 41.7 — "
+                            "the float fake-quant matmuls fuse well and "
+                            "the pack/unpack doesn't pay), estimate "
+                            "phases neutral, so 'auto' keeps those on "
+                            "the float forward. 'on' forces it "
+                            "everywhere (bare --int8-qat-forward = 'on', "
+                            "round-3/4 behavior)")
         g.add_argument("--range-learning-rate", type=float, default=None,
                        help="separate lr for learned ranges (default: the "
                             "weight lr, like the reference)")
@@ -646,11 +657,20 @@ def run_task(args, task, do_train: bool, quantized: bool) -> float:
                 scan_layers=args.scan_layers,
                 pp_mesh=pp_mesh,
                 pp_microbatches=args.pp_microbatches)
-            if getattr(args, "int8_qat_forward", False):
+            i8fwd = getattr(args, "int8_qat_forward", "auto") or "auto"
+            if i8fwd == "off":
+                want_i8 = False
+            elif i8fwd == "on":
+                want_i8 = True
+            else:
+                # 'auto': only the phase where it measured a win
+                # (learn-ranges; see --help for the qat_bench table)
+                want_i8 = bool(args.learn_ranges)
+            if want_i8:
                 import inspect
 
                 if amp_dtype is not None:
-                    logger.warning(
+                    (logger.warning if i8fwd == "on" else logger.info)(
                         "--int8-qat-forward needs full-precision "
                         "activations (bf16 rounds them off-grid); "
                         "IGNORED with --amp")
