@@ -340,3 +340,43 @@ class TestWeightOnlyIntPath:
                                   int_params=int_params)
         np.testing.assert_array_equal(np.asarray(out_int["logits"]),
                                       np.asarray(out_fake["logits"]))
+
+
+def test_wide_input_edges_bypass_int8_payload():
+    """A >8-bit input site must NOT ride the int8 payload path: its
+    levels don't fit int8 and the cast would WRAP (caught by the round-5
+    real-TPU flex check — the generic path diverged from both the engine
+    and the fake-quant simulation by ~30% of logit scale on {'c': 16}).
+    The generic int path must agree with the pure simulation for every
+    16-bit-edge recipe at a non-toy size."""
+    import __graft_entry__ as G
+    from transformer_quantization_tpu.models import bert as B
+    from transformer_quantization_tpu.quant.manager import (
+        init_weight_qstate)
+    from transformer_quantization_tpu.quant.qconfig import (
+        Phase, QuantMode)
+
+    cfg = B.BertConfig(vocab_size=256, hidden_size=128,
+                       num_hidden_layers=3, num_attention_heads=4,
+                       intermediate_size=256, max_position_embeddings=64,
+                       num_labels=2)
+    params, qcfg0, _ = G._calibrated_bert(cfg, batch_size=2, seq=64)
+    rng = np.random.RandomState(5)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, 256, (8, 64)), jnp.int32),
+        "attention_mask": jnp.ones((8, 64), jnp.float32),
+        "token_type_ids": jnp.zeros((8, 64), jnp.int32),
+    }
+    for qd in ({"c": 16}, {"x": 16, "h": 16, "y": 16}, {"L": 16}):
+        qc = B.apply_bert_quant_dict(qcfg0, qd, cfg.num_hidden_layers)
+        qs = init_weight_qstate(qc, B.bert_weight_site_tensors(params))
+        _, qs = B.bert_apply(params, batch, cfg, qc, qs,
+                             QuantMode(act_phase=Phase.estimate))
+        ip = B.build_bert_int_params(params, qc, qs)
+        sim, _ = B.bert_apply(params, batch, cfg, qc, qs, QuantMode())
+        gen, _ = B.bert_apply(params, batch, cfg, qc, qs, QuantMode(),
+                              int_params=ip)
+        scale = float(np.max(np.abs(np.asarray(sim["logits"]))))
+        d = float(np.max(np.abs(np.asarray(gen["logits"])
+                                - np.asarray(sim["logits"]))))
+        assert d <= max(2e-2 * scale, 2e-3), (qd, d, scale)

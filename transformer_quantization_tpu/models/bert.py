@@ -39,6 +39,7 @@ from transformer_quantization_tpu.ops.layers import (
     quant_embedding,
     quant_layernorm,
     quant_linear,
+    wide_matmul_precision,
 )
 from transformer_quantization_tpu.quant.manager import QuantCtx
 from transformer_quantization_tpu.quant.qconfig import (
@@ -536,7 +537,11 @@ def _self_attention(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train,
             # scores/probs are 8-bit-quantized right after, so bf16 matmul
             # error (~2^-8 relative) sits below the quantization step
             q, k, v = q.astype(adt), k.astype(adt), v.astype(adt)
-        scores = jnp.einsum("bqnd,bknd->bnqk", q, k).astype(h.dtype)
+        scores = jnp.einsum(
+            "bqnd,bknd->bnqk", q, k,
+            precision=wide_matmul_precision(
+                ctx, prefix + "attn.q.out",
+                prefix + "attn.k.out")).astype(h.dtype)
     # quantize raw scores; 1/sqrt(d) is applied after and absorbed into the
     # next quantizer's scale (quantized_bert.py:154, :189-190)
     scores = ctx.act(prefix + "attn.scores", scores)
@@ -560,8 +565,11 @@ def _self_attention(ctx, layer, cfg: BertConfig, h, mask_bias, prefix, train,
         if adt is not None:
             probs = probs.astype(adt)
             v = v.astype(adt)
-        context = jnp.einsum("bnqk,bknd->bqnd", probs,
-                             v).astype(h.dtype).reshape(B, T, H)
+        context = jnp.einsum(
+            "bnqk,bknd->bqnd", probs, v,
+            precision=wide_matmul_precision(
+                ctx, prefix + "attn.probs",
+                prefix + "attn.v.out")).astype(h.dtype).reshape(B, T, H)
     return ctx.act(prefix + "attn.context", context)
 
 

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from transformer_quantization_tpu.models import bert as B
+from transformer_quantization_tpu.ops import layers as L
 from transformer_quantization_tpu.ops.layers import (
     dropout,
     quant_embedding,
@@ -513,7 +514,10 @@ def _attention(ctx, layer, cfg: MobileBertConfig, q_in, k_in, v_in,
 
         scores = IL.int8_attention_scores(q, k, q_sp, q_qp, k_sp, k_qp)
     else:
-        scores = jnp.einsum("bqnd,bknd->bnqk", q, k)
+        scores = jnp.einsum(
+            "bqnd,bknd->bnqk", q, k,
+            precision=L.wide_matmul_precision(
+                ctx, prefix + "attn.q.out", prefix + "attn.k.out"))
     scores = ctx.act(prefix + "attn.scores", scores)
     scores = scores / jnp.sqrt(jnp.asarray(hd, q_in.dtype))
     if mask_bias is not None:
@@ -530,7 +534,11 @@ def _attention(ctx, layer, cfg: MobileBertConfig, q_in, k_in, v_in,
         context = IL.int8_attention_context(
             probs, v, p_sp, p_qp, v_sp, v_qp).reshape(B_, T, TH)
     else:
-        context = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(B_, T, TH)
+        context = jnp.einsum(
+            "bnqk,bknd->bqnd", probs, v,
+            precision=L.wide_matmul_precision(
+                ctx, prefix + "attn.probs",
+                prefix + "attn.v.out")).reshape(B_, T, TH)
     context = ctx.act(prefix + "attn.context", context)
 
     # self-output: dense -> +layer_input residual -> quant -> NoNorm

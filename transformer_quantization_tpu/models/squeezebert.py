@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from transformer_quantization_tpu.models import bert as B
+from transformer_quantization_tpu.ops import layers as L
 from transformer_quantization_tpu.ops.layers import (
     dropout,
     quant_grouped_linear,
@@ -175,7 +176,10 @@ def _sq_layer(ctx, layer, cfg: SqueezeBertConfig, h, mask_bias, prefix,
 
         scores = IL.int8_attention_scores(q, k, q_sp, q_qp, k_sp, k_qp)
     else:
-        scores = jnp.einsum("bqnd,bknd->bnqk", q, k)
+        scores = jnp.einsum(
+            "bqnd,bknd->bnqk", q, k,
+            precision=L.wide_matmul_precision(
+                ctx, prefix + "attn.q.out", prefix + "attn.k.out"))
     scores = ctx.act(prefix + "attn.scores", scores)
     scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
     if mask_bias is not None:
@@ -192,7 +196,11 @@ def _sq_layer(ctx, layer, cfg: SqueezeBertConfig, h, mask_bias, prefix,
         context = IL.int8_attention_context(
             probs, v, p_sp, p_qp, v_sp, v_qp).reshape(Bsz, T, H)
     else:
-        context = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(Bsz, T, H)
+        context = jnp.einsum(
+            "bnqk,bknd->bqnd", probs, v,
+            precision=L.wide_matmul_precision(
+                ctx, prefix + "attn.probs",
+                prefix + "attn.v.out")).reshape(Bsz, T, H)
     context = ctx.act(prefix + "attn.context", context)
 
     so = layer["attn_out"]

@@ -68,6 +68,11 @@ def _int8_fast_path(ctx, name: str, input_site: Optional[str]):
         return None
     if in_cfg.per_channel or in_cfg.n_groups:
         return None  # scales vary along the contracted features
+    if in_cfg.spec.n_bits > 8:
+        # >8-bit grids don't fit the int8 payload (re-quantizing would
+        # WRAP the levels); the float path serves these edges exactly
+        # (round-5 real-TPU flex check caught this on {'c': 16})
+        return None
     wname = f"{name}.w"
     if wname in ctx.cfg and not ctx.cfg[wname].enabled:
         return None
@@ -296,7 +301,9 @@ def quant_linear(ctx, name: str, x: Array, w: Array, b: Optional[Array],
     if getattr(ctx, "compute_dtype", None) is not None:
         w_q = w_q.astype(ctx.compute_dtype)
         x = x.astype(ctx.compute_dtype)
-    y = jnp.einsum("...i,oi->...o", x, w_q)
+    y = jnp.einsum("...i,oi->...o", x, w_q,
+                   precision=wide_matmul_precision(ctx, input_site,
+                                                   f"{name}.w"))
     if b is not None:
         y = (y + b).astype(y.dtype)
     if act is not None and getattr(ctx, "capture_pre_act", False):
@@ -309,6 +316,31 @@ def quant_linear(ctx, name: str, x: Array, w: Array, b: Optional[Array],
             y = act(y)
         _maybe_capture(ctx, name, x, y)
     return ctx.act(f"{name}.out", y)
+
+
+def wide_matmul_precision(ctx, *sites):
+    """``lax.Precision.HIGHEST`` when any named act/weight site puts
+    >8-bit-grid VALUES into a float matmul, else None (backend default).
+
+    On TPU the default f32 matmul rounds operands toward bf16 precision
+    (~8 mantissa bits) — invisible under 8-bit quantization grids (the
+    256 levels are bf16-exact), but it silently destroys the low bits of
+    16-bit sites, defeating the mixed W8A{8,16} recipes' accuracy on the
+    generic path (found by the round-5 real-TPU flex spot check: the
+    engine computes these edges in exact f32 and diverged from the
+    generic path by ~30% of logit scale at {'c': 16}; the reference's
+    torch matmuls are full f32). CPU/GPU backends ignore HIGHEST.
+    """
+    cfg = getattr(ctx, "cfg", None)
+    if cfg is None:
+        return None
+    for name in sites:
+        if name is None or name not in cfg:
+            continue
+        c = cfg[name]
+        if c.enabled and c.spec.n_bits > 8:
+            return jax.lax.Precision.HIGHEST
+    return None
 
 
 def quant_layernorm(ctx, name: str, x: Array, scale: Array, bias: Array,
