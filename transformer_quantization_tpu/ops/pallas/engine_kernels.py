@@ -64,10 +64,11 @@ _VMEM_BUDGET = 24 * 1024 * 1024
 def _grid_params(n_dims: int = 1):
     """CompilerParams for the M-gridded kernels. The grid dimension is
     semantically parallel (each step owns a disjoint row block; the
-    scores scratch carries no cross-step state); the ``TQ_DIMSEM`` env
-    var (read at trace time; A/B via scripts/engine_ab.py, which clears
-    jit caches between variants) keeps the knob available without
-    forking kernels."""
+    scores scratch carries no cross-step state); declaring it
+    ``parallel`` measured NEUTRAL on v5e with fresh executables per
+    variant (round 5, scripts/engine_ab.py with cache clearing:
+    unset 17.145 / parallel 17.164 / arbitrary 17.166 ms at B=128) —
+    the ``TQ_DIMSEM`` env var keeps the knob without forking kernels."""
     dimsem = os.environ.get("TQ_DIMSEM") or None
     return pltpu.CompilerParams(
         vmem_limit_bytes=_VMEM_LIMIT,
