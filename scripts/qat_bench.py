@@ -103,6 +103,11 @@ def main():
         # the config that actually ships for big models
         ("qat_learn_scan_remat",
          QAT.QATConfig(learn_ranges=True, scan_layers=True, remat=True)),
+        # round 5: q/k/v ride the int8 path under scan too (input-site
+        # params carried through the scan carry, models/bert.py)
+        ("qat_learn_scan_remat_int8fwd",
+         QAT.QATConfig(learn_ranges=True, scan_layers=True, remat=True,
+                       int8_sites=int8_sites)),
         ("baseline_fp32", None),
         ("baseline_amp", "amp"),
     ]
