@@ -1098,3 +1098,176 @@ def test_mobilebert_mse_weights(tmp_path):
     our_delta = float(np.ravel(np.asarray(
         ours.qstate["emb.norm.w"]["qp"].delta))[0])
     assert our_delta > 1.5 * ref_delta, (our_delta, ref_delta)
+
+
+# ===========================================================================
+# AdaRound at MODEL level (C31 driver semantics)
+# ===========================================================================
+
+
+class _TransformerInput(tuple):
+    """Reference main.py:269-283's tuple shim so the reference AdaRound
+    driver can slice/index a (ids, mask, token_type) sample pack."""
+
+    def __getitem__(self, index):
+        return _TransformerInput([t[index] for t in self])
+
+    def to(self, device):
+        return _TransformerInput(
+            [v.to(device) if isinstance(v, torch.Tensor) else v
+             for v in self])
+
+    def size(self, *a, **kw):
+        return [v.size(*a, **kw) for v in self][0]
+
+
+def test_bert_adaround_model_driver_parity(tmp_path):
+    """MODEL-level AdaRound oracle: the reference's
+    apply_adaround_to_model (utils/adaround_utils.py:35-139 — layer
+    enumeration/filter ORDER, FP-acts optimization state, the ASYM
+    quantized-prefix capture where earlier layers' hard alphas shape
+    later layers' inputs, and the post_adaround act re-estimation) vs
+    training/adaround_driver.py on identical weights, samples, and
+    schedule.
+
+    Determinism: batch_size == num_samples, so both sides process the
+    FULL sample set every iteration (reference randperm[:bs] == all
+    rows; ours permutation[:bs] == all rows) — the only remaining drift
+    is Adam arithmetic order. Compared: the optimized-layer sequence,
+    per-layer hard reconstruction losses before/after, and final
+    logits."""
+    import dataclasses
+
+    from transformer_quantization_tpu.quant import adaround as AR
+    from transformer_quantization_tpu.training import (
+        adaround_driver as AD)
+
+    R = ref()
+    hf_cfg, hf_model = make_hf_bert(seed=13)
+    batches = make_batches(n=4, seed=17)
+    N, BS, ITERS = 16, 16, 150
+
+    # W4 symmetric weights (the AdaRound headline), A8 asym acts
+    qparams = ref_qparams()
+    qparams["n_bits"] = 4
+    defaults = dataclasses.replace(our_defaults(), n_bits=4, n_bits_act=8)
+
+    ref_layers = [
+        "bert.embeddings.word_embeddings",
+        "bert.encoder.layer.0.attention.self.query",
+        "bert.encoder.layer.0.output.dense",
+        "bert.encoder.layer.1.attention.output.dense",
+    ]
+    our_layers = ("emb.word", "L0.attn.q", "L0.ffn.dense",
+                  "L1.attn_out.dense")
+
+    # ---- reference ---------------------------------------------------
+    qm = run_reference_bert(hf_model, qparams, batches=batches)
+    sys.path.insert(0, REF_ROOT)
+    try:
+        from quantization.adaround import adaround as r_ada
+        from utils import adaround_utils as r_driver
+    finally:
+        sys.path.remove(REF_ROOT)
+
+    record = []
+    orig_layer_fn = r_driver.apply_adaround_to_layer
+
+    def recording(model, layer, *a, **kw):
+        name = next(n for n, m in model.named_modules() if m is layer)
+        out = orig_layer_fn(model, layer, *a, **kw)
+        record.append((name, out))
+        return out
+
+    cfg_ns = SimpleNamespace(
+        adaround=SimpleNamespace(
+            num_samples=N, layers=ref_layers,
+            act_quant_mode=None,  # set below from the reference enums
+            init=None, round_mode=None, asym=True,
+            include_act_func=True, lr=1e-3, weight=0.01,
+            annealing=(20, 2), decay_type=None, decay_shape=1.0,
+            decay_start=0.0, warmup=0.2, iters=ITERS),
+        quant=SimpleNamespace(act_quant=True),
+        act_quant=SimpleNamespace(num_batches=2,
+                                  cross_entropy_layer=None))
+    sys.path.insert(0, REF_ROOT)
+    try:
+        from quantization.adaround.utils import (AdaRoundActQuantMode,
+                                                 AdaRoundInitMode,
+                                                 AdaRoundMode,
+                                                 AdaRoundTempDecayType)
+    finally:
+        sys.path.remove(REF_ROOT)
+    cfg_ns.adaround.act_quant_mode = AdaRoundActQuantMode.post_adaround
+    cfg_ns.adaround.init = AdaRoundInitMode.range_estimator
+    cfg_ns.adaround.round_mode = AdaRoundMode.learned_hard_sigmoid
+    cfg_ns.adaround.decay_type = AdaRoundTempDecayType.cosine
+
+    def loader():
+        for b in batches:
+            yield {k: torch.tensor(
+                np.asarray(v, np.int64 if k != "attention_mask"
+                           else np.float32)) for k, v in b.items()}
+
+    import unittest.mock as mock
+
+    with mock.patch.object(r_driver, "apply_adaround_to_layer",
+                           recording):
+        r_driver.apply_adaround_to_model(
+            cfg_ns, qm, loader(), loader(), batch_size=BS,
+            get_samples_fn=lambda dl, num_samples: _TransformerInput((
+                torch.cat([torch.tensor(np.asarray(b["input_ids"],
+                                                   np.int64))
+                           for b in batches])[:num_samples],
+                torch.cat([torch.tensor(b["attention_mask"])
+                           for b in batches])[:num_samples],
+                torch.cat([torch.tensor(np.asarray(b["token_type_ids"],
+                                                   np.int64))
+                           for b in batches])[:num_samples])))
+    qm.eval()
+
+    # ---- ours --------------------------------------------------------
+    ours = run_ours_bert(hf_model, defaults, batches=batches)
+    jb = [to_jax(b) for b in batches]
+    apply_fn = functools.partial(B.bert_apply, cfg=ours.cfg)
+    ar_cfg = AR.AdaRoundConfig(
+        layers=our_layers, num_samples=N, iters=ITERS, batch_size=BS,
+        asym=True, lr=1e-3, weight=0.01, annealing=(20.0, 2.0),
+        warmup=0.2)
+    stats_out = []
+    qstate2 = AD.apply_adaround_to_model(
+        apply_fn, ours.params, ours.qcfg, ours.qstate,
+        B.bert_adaround_specs(ours.params, ours.cfg), jb, ar_cfg,
+        batch_size=BS, act_quant=True, range_est_batches=jb,
+        num_est_batches=2, stats_out=stats_out)
+
+    # (a) same layers, same ORDER (module order + filter semantics)
+    name_map = dict(zip(ref_layers, our_layers))
+    assert [name_map[n] for n, _ in record] == [n for n, _ in stats_out]
+
+    # (b) per-layer hard reconstruction losses: 'before' is
+    # deterministic given identical inputs; later layers see inputs
+    # shaped by EARLIER hard alphas (asym prefix), so the band widens
+    # with depth; 'after' adds optimizer drift
+    for i, ((rn, r_out), (on, o_st)) in enumerate(zip(record, stats_out)):
+        rtol = 0.02 if i == 0 else 0.2
+        np.testing.assert_allclose(
+            o_st["loss_hard_before"], r_out["loss_hard_before"],
+            rtol=rtol, err_msg=f"{on} before")
+        np.testing.assert_allclose(
+            o_st["loss_hard_after"], r_out["loss_hard_after"],
+            rtol=max(rtol, 0.1), err_msg=f"{on} after")
+
+    # (c) final logits: hard-rounded weights + post_adaround act ranges
+    def ours_logits(batch):
+        out, _ = B.bert_apply(ours.params, to_jax(batch), ours.cfg,
+                              ours.qcfg, qstate2, QuantMode())
+        return np.asarray(out["logits"])
+
+    for b in batches[:2]:
+        lr_ = ref_logits(qm, b)
+        lo = ours_logits(b)
+        scale = max(np.abs(lr_).max(), 1.0)
+        # W4 + AdaRound: a single flipped hard decision moves logits by
+        # ~one W4 step through the head; allow a few percent of scale
+        np.testing.assert_allclose(lo, lr_, atol=0.05 * scale, rtol=0)
