@@ -399,7 +399,10 @@ def quant_grouped_linear(ctx, name: str, x: Array, w: Array,
     lead = x.shape[:-1]
     xg = x.reshape(*lead, groups, in_g)
     wg = w_q.reshape(groups, out_f // groups, in_g)
-    y = jnp.einsum("...gi,goi->...go", xg, wg).reshape(*lead, out_f)
+    y = jnp.einsum("...gi,goi->...go", xg, wg,
+                   precision=wide_matmul_precision(ctx, input_site,
+                                                   f"{name}.w")
+                   ).reshape(*lead, out_f)
     if b is not None:
         y = (y + b).astype(y.dtype)
     if act is not None:
