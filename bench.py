@@ -153,10 +153,13 @@ def bench_serving(cfg, params, qcfg, qstate, static, plan, int_params,
     else:
         forward = jax.jit(lambda packed: model_fwd(unpack_batch(packed)))
 
+    # pipeline_depth=5 A/B-measured best for in-process continuous
+    # batching (round 5, v5e: 88.6k tokens/s at depth 3 -> 92.2k at 5;
+    # max_batch 128 LOSES — 57k — big batches starve the pipeline)
     scfg = ServeConfig(max_batch=max_batch, max_wait_ms=2.0,
                        seq_buckets=seq_buckets,
                        batch_buckets=batch_buckets, precompile=True,
-                       fused_transfer=fused, pipeline_depth=3)
+                       fused_transfer=fused, pipeline_depth=5)
     eng = ServingEngine(forward, scfg)
     rng = np.random.RandomState(0)
     reqs = [rng.randint(4, cfg.vocab_size,
