@@ -177,6 +177,14 @@ def test_engine_w8a16_global(tiny_setup):
         np.testing.assert_allclose(np.asarray(out["logits"]),
                                    np.asarray(ref["logits"]),
                                    rtol=1e-3, atol=2e-3)
+    # the bf16-storage engine must take the float entry edge from the
+    # PRE-cast values (a bf16 hop would destroy the 16-bit entry grid)
+    out = B.bert_engine_apply(params, batch, cfg, qcfg2, qstate2,
+                              static, plan, e_int, backend="xla",
+                              engine_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-2, atol=3e-3)
 
 
 def test_engine_mixed_qkv_widths_rejected(tiny_setup):

@@ -549,8 +549,9 @@ def encoder_engine(h: Array, mask_bias: Array, static: EngineStatic,
     es = plan["entry_scal"]
     if static.layer_io(0)[0] == "f":
         # float entry edge (16-bit entry site): the stream starts as the
-        # fake-quantized VALUE itself
-        h8 = hf.astype(jnp.float32)
+        # fake-quantized VALUE itself — taken from h BEFORE the
+        # engine_dtype cast (a bf16 hop would destroy the 16-bit grid)
+        h8 = h.reshape(b * t, hdim).astype(jnp.float32)
     else:
         h8 = EK.quantize_payload(hf, es[0, 0], es[0, 1])
     # when every residual-feeding matmul has its fold site enabled, the
